@@ -1,13 +1,666 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.{Tables, SnapshotScan}
+import graft.cdc.Envelope
+import graft.functions.{Converters => Cv, TextFunctions => Tf, VectorFunctions => Vf}
+import graft.operators.{Ann, Dedup}
+import graft.sinks.BatchedSink
+import graft.streaming.EventsIngest
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query
+  * mapping. Every `queries` key has matching DuckDB `oracleSql` (except the
+  * approximate `ann_lsh`, which gets the driver's rows-only check).
+  *
+  * Exactness conventions (so value hashes match the DuckDB oracle):
+  *  - integer outputs are BIGINT on both sides;
+  *  - double aggregates are computed in scale-pinned DECIMAL (exact,
+  *    order-independent) and cast to double at the end;
+  *  - per-row double arithmetic is written with the identical expression
+  *    tree on both sides (IEEE-deterministic);
+  *  - hashes go through md5/sha256 (bit-identical hex on both engines);
+  *  - every result carries a deterministic total ORDER BY.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_shipping_priority")(spark, "/root/testdata/sf0.001")
+
+  // decimal-pinned casts used across aggregates
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private def rate(c: Column): Column = c.cast("decimal(4,2)") // discount/tax in [0,1)
+  private def sumd(c: Column): Column = sum(c).cast("double")
+
+  private def workDir(kind: String, sfDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft/${kind}_$h"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scan core (SURVEY §2 #1-2) ----
+
+    "snapshot_scan" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val bounds = SnapshotScan.pkBounds(li, "l_orderkey")
+      SnapshotScan.chunked(li, "l_orderkey", bounds, 8)
+        .groupBy("chunk_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).cast("long").as("min_pk"),
+          max(col("l_orderkey")).cast("long").as("max_pk"),
+          sumd(dec2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("chunk_id")
+    },
+
+    "scan_pushdown" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1996-02-01").cast("timestamp_ntz")
+          && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- relational core (#3-11) ----
+
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumd(dec2(col("l_quantity"))).as("sum_qty"),
+          sumd(dec2(col("l_extendedprice"))).as("sum_base_price"),
+          sumd(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))).as("sum_disc_price"),
+          sumd(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+            * (lit(1) + rate(col("l_tax")))).as("sum_charge"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q3_shipping_priority" -> { (s, dir) =>
+      val cut = lit("1996-07-01").cast("timestamp_ntz")
+      Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < cut)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > cut)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sumd(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "q5_local_supplier" -> { (s, dir) =>
+      Tables.region(s, dir).where(col("r_name") === "ASIA")
+        .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir).where(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sumd(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "join_broadcast" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), sumd(dec2(col("c_acctbal"))).as("acct_total"))
+        .orderBy("r_name", "n_name")
+    },
+
+    "join_anti_semi" -> { (s, dir) =>
+      val purchases = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"))
+      Tables.customer(s, dir)
+        .join(purchases, col("c_custkey") === col("user_id"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "agg_distinct" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          sumd(dec2(col("c_acctbal"))).as("acct_total"))
+        .orderBy("c_mktsegment")
+    },
+
+    "window_topn" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    "sort_limit" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    },
+
+    "rollup_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sumd(dec2(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- CDC / converters (#12-18) ----
+
+    "cdc_envelope" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      Envelope.snapshotEnvelope(ev, "event_id", expr("ts_ns div 1000000"), "events",
+        Seq("user_id", "event_type", "value"))
+        .orderBy("event_id")
+    },
+
+    "cdc_latest_state" -> { (s, dir) =>
+      Envelope.latestState(Tables.events(s, dir), Seq("user_id"),
+        Seq(col("ts_ns"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          expr("ts_ns div 1000000").as("last_ts_ms"))
+        .orderBy("user_id")
+    },
+
+    "convert_temporal" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        Cv.epochDays(col("ts_ntz")).as("epoch_days"),
+        expr("ts_ns div 1000000").as("ts_ms_epoch"),
+        expr("ts_ns div 1000").as("ts_us_epoch"),
+        Cv.microsSinceMidnight(expr("ts_ns div 1000")).as("micros_of_day"),
+        Cv.isoDate(col("ts_ntz")).as("iso_date"))
+        .orderBy("event_id")
+    },
+
+    "convert_decimal" -> { (s, dir) =>
+      val unscaled = Cv.unscaledLong(col("o_totalprice"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        Cv.decimalString(col("o_totalprice")).as("dec_str"),
+        unscaled.as("unscaled"),
+        upper(hex(unscaled)).as("unscaled_hex"))
+        .orderBy("o_orderkey")
+    },
+
+    "convert_money" -> { (s, dir) =>
+      val u = Cv.unscaledLong(col("o_totalprice"))
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), u.as("u"))
+        .withColumn("d", expr("u div 100")).withColumn("c", expr("u % 100"))
+      val grouped = when(col("d") < 1000, col("d").cast("string"))
+        .when(col("d") < 1000000,
+          concat(expr("d div 1000").cast("string"), lit(","),
+            lpad(expr("d % 1000").cast("string"), 3, "0")))
+        .otherwise(
+          concat(expr("d div 1000000").cast("string"), lit(","),
+            lpad(expr("(d div 1000) % 1000").cast("string"), 3, "0"), lit(","),
+            lpad(expr("d % 1000").cast("string"), 3, "0")))
+      base
+        .withColumn("money_input",
+          concat(lit("$"), grouped, lit("."), lpad(col("c").cast("string"), 2, "0")))
+        .withColumn("parsed_str", Cv.moneyToDecimal(col("money_input")).cast("string"))
+        .select("o_orderkey", "money_input", "parsed_str")
+        .orderBy("o_orderkey")
+    },
+
+    "convert_json" -> { (s, dir) =>
+      val k = Cv.jsonFieldLong(col("props"), "$.k")
+      Tables.events(s, dir).select(
+        col("event_id"),
+        k.as("k_val"),
+        length(col("props")).cast("long").as("props_len"),
+        (k * k).as("k_sq"))
+        .orderBy("event_id")
+    },
+
+    "convert_uuid_bits" -> { (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        Cv.uuidFromKey(col("c_custkey")).as("uuid"),
+        Cv.bitAt(col("c_custkey"), 0).as("bit0"),
+        Cv.bitAt(col("c_custkey"), 3).as("bit3"),
+        Cv.popCount(col("c_custkey")).as("pop"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- streaming + sink (#19-20) ----
+
+    "stream_events" -> { (s, dir) =>
+      val landed = EventsIngest.freshIngest(s, s"$dir/events.parquet", workDir("stream", dir))
+      landed
+        .withColumn("day", expr("cast(cast(timestamp_micros(ts div 1000) as timestamp_ntz) as date)"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sumd(dec2(col("value"))).as("sum_value"))
+        .orderBy("event_type", "day")
+    },
+
+    "sink_batch" -> { (s, dir) =>
+      BatchedSink.writeBatched(Tables.lineitem(s, dir), "l_orderkey", 256L,
+        workDir("sink", dir))
+        .orderBy("batch_id")
+    },
+
+    // ---- dedup battery (#21-25) ----
+
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactLatest(Tables.events(s, dir), Seq("user_id", "event_type"),
+        Seq(col("ts_ns"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+          expr("ts_ns div 1000000").as("last_ts_ms"))
+        .orderBy("user_id", "event_type")
+    },
+
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3,
+        Dedup.MinHashConfig(threshold = 0.9), blockCol = Some("source"))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jacc"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, threshold = 0.9)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- ANN (#26-27) ----
+
+    "ann_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("qid").as("query_id"), col("rank").as("rnk"), col("nid").as("neighbor_id"))
+        .orderBy("query_id", "rnk")
+    },
+
+    "ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", dim = 64, k = 5)
+        .select(col("qid").as("query_id"), col("rank").as("rnk"), col("nid").as("neighbor_id"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- text analysis (#28-31) ----
+
+    "text_tokens" -> { (s, dir) =>
+      val toks = Tf.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        ((length(col("text")) - (size(toks) - lit(1))) / size(toks)).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    "text_quality" -> { (s, dir) =>
+      val toks = Tf.tokens(lower(col("text")))
+      val nTok = size(toks)
+      val stopHits = Tf.stopwordHits(toks, Tf.EnStops)
+      val ttr = size(array_distinct(toks)) / nTok
+      val stopRatio = stopHits / nTok
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        stopHits.as("stop_hits"),
+        stopRatio.as("stop_ratio"),
+        ttr.as("ttr"),
+        (lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopRatio)
+          + lit(0.2) * least(lit(1.0), nTok / lit(200.0))).as("score"))
+        .orderBy("doc_id")
+    },
+
+    "text_langid" -> { (s, dir) =>
+      val toks = Tf.tokens(lower(col("text")))
+      val he = Tf.stopwordHits(toks, Tf.EnStops)
+      val hs = Tf.stopwordHits(toks, Tf.EsStops)
+      val hd = Tf.stopwordHits(toks, Tf.DeStops)
+      Tables.documents(s, dir).select(
+        col("doc_id"), he.as("hits_en"), hs.as("hits_es"), hd.as("hits_de"),
+        Tf.langId(he, hs, hd).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      import graft.expressions.{ShingleHashes, Sketch}
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Tf.fingerprintHex(col("text")).as("fp_md5"),
+        Tf.fingerprint60(col("text")).as("fp60"),
+        size(Sketch.column(ShingleHashes(Sketch.expr(col("text")), 5, word = true)))
+          .cast("long").as("n_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal plumbing (#32) ----
+
+    "multimodal_meta" -> { (s, dir) =>
+      // Binary-column plumbing: payload as bytes + typed metadata + frame
+      // sampling. The "decode" is a deterministic stub (md5-derived fake
+      // dimensions) — the real impl would be a vectorized UDF over the
+      // payload; the schema/partitioning/batch shape here is the real thing.
+      val h60 = Tf.hash60(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+        .withColumn("sha_hex", sha2(col("payload"), 256))
+        .withColumn("fake_w", (lit(1L) + pmod(h60, lit(640L))).as("fake_w"))
+        .withColumn("fake_h", (lit(1L) + pmod(expr(
+          "cast(conv(substring(md5(text),1,15),16,10) as bigint) div 640"), lit(480L))))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), expr("least(4, (byte_len + 99) div 100) - 1"))))
+        .withColumn("frame_text", expr("substring(text, cast(frame_idx*100 + 1 as int), 32)"))
+        .withColumn("frame_sha", sha2(col("frame_text").cast("binary"), 256))
+        .select("doc_id", "frame_idx", "byte_len", "sha_hex", "fake_w", "fake_h",
+          "frame_text", "frame_sha")
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+
+  /** DuckDB-equivalent SQL per query (driver runs these at sf0.01). */
+  def oracleSql: Map[String, String] = Map(
+
+    "snapshot_scan" ->
+      """WITH b AS (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem),
+        |w AS (SELECT mn, ((mx - mn + 1 + 7) // 8) AS cw FROM b)
+        |SELECT ((l_orderkey - mn) // cw) AS chunk_id, count(*) AS n_rows,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_pk, CAST(max(l_orderkey) AS BIGINT) AS max_pk,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scan_pushdown" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+        |  AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01' AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acct_total
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_anti_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e
+        |  WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acct_total
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "cdc_envelope" ->
+      """SELECT event_id, 'r' AS op, epoch_ms(ts) AS ts_ms, 'events' AS source_table,
+        |  user_id AS after_user_id, event_type AS after_event_type, value AS after_value,
+        |  CAST(NULL AS BIGINT) AS before_user_id, CAST(NULL AS VARCHAR) AS before_event_type,
+        |  CAST(NULL AS DOUBLE) AS before_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value, epoch_ms(ts) AS last_ts_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "convert_temporal" ->
+      """SELECT event_id,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_days,
+        |  epoch_ms(ts) AS ts_ms_epoch,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us_epoch,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS micros_of_day,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS iso_date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "convert_decimal" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_str,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS unscaled,
+        |  upper(to_hex(CAST(round(o_totalprice * 100) AS BIGINT))) AS unscaled_hex
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "convert_money" ->
+      """WITH t AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) u FROM orders),
+        |g AS (SELECT o_orderkey, u // 100 AS d, u % 100 AS c FROM t)
+        |SELECT o_orderkey,
+        |  '$' || CASE WHEN d < 1000 THEN CAST(d AS VARCHAR)
+        |    WHEN d < 1000000 THEN CAST(d // 1000 AS VARCHAR) || ',' || lpad(CAST(d % 1000 AS VARCHAR), 3, '0')
+        |    ELSE CAST(d // 1000000 AS VARCHAR) || ',' || lpad(CAST((d // 1000) % 1000 AS VARCHAR), 3, '0') || ',' || lpad(CAST(d % 1000 AS VARCHAR), 3, '0') END
+        |    || '.' || lpad(CAST(c AS VARCHAR), 2, '0') AS money_input,
+        |  CAST(d AS VARCHAR) || '.' || lpad(CAST(c AS VARCHAR), 2, '0') AS parsed_str
+        |FROM g ORDER BY o_orderkey""".stripMargin,
+
+    "convert_json" ->
+      """SELECT event_id, k_val, props_len, k_val * k_val AS k_sq FROM (
+        |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |    CAST(len(props) AS BIGINT) AS props_len
+        |  FROM events) t ORDER BY event_id""".stripMargin,
+
+    "convert_uuid_bits" ->
+      """SELECT c_custkey,
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4) || '-' ||
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4) || '-' ||
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 17, 4) || '-' ||
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 21, 12) AS uuid,
+        |  CAST((c_custkey >> 0) & 1 AS BIGINT) AS bit0,
+        |  CAST((c_custkey >> 3) & 1 AS BIGINT) AS bit3,
+        |  CAST(bit_count(c_custkey) AS BIGINT) AS pop
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "stream_events" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, CAST(ts AS DATE) ORDER BY event_type, day""".stripMargin,
+
+    "sink_batch" ->
+      """SELECT l_orderkey // 256 AS batch_id, COUNT(*) AS n_rows,
+        |  CAST(MIN(l_orderkey) AS BIGINT) AS min_pk, CAST(MAX(l_orderkey) AS BIGINT) AS max_pk
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT user_id, event_type, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        |      FROM w WHERE len(toks) >= 5)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jacc
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM w),
+        |tot AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+        |b AS (SELECT doc_id, bit, SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE 0 END) AS cnt
+        |      FROM h CROSS JOIN (SELECT unnest(range(16)) AS bit) bits GROUP BY doc_id, bit)
+        |SELECT b.doc_id, CAST(SUM(CASE WHEN 2 * cnt > n THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM b JOIN tot ON b.doc_id = tot.doc_id GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(text) - 1),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS sh
+        |  FROM documents WHERE len(text) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jacc
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, nid, list_cosine_similarity(cv, qv) AS cos FROM c, q WHERE nid != qid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // ann_lsh: approximate by design -> rows-only check (no oracle).
+
+    "text_tokens" ->
+      """WITH t AS (SELECT doc_id, len(text) AS lc, len(string_split(text, ' ')) AS n,
+        |    len(list_distinct(string_split(text, ' '))) AS u
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(u AS BIGINT) AS n_uniq,
+        |  CAST(lc AS BIGINT) AS n_chars_txt, (lc - (n - 1)) / n AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS BIGINT) AS sh,
+        |    len(list_distinct(toks)) AS u
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, sh AS stop_hits,
+        |  sh / n AS stop_ratio, u / n AS ttr,
+        |  0.4 * (u / n) + 0.4 * (1.0 - sh / n) + 0.2 * least(1.0, n / 200.0) AS score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS BIGINT) AS he,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','en','que','los','un'], x))) AS BIGINT) AS hs,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','ein','zu'], x))) AS BIGINT) AS hd
+        |  FROM t)
+        |SELECT doc_id, he AS hits_en, hs AS hits_es, hd AS hits_de,
+        |  CASE WHEN he >= hs AND he >= hd AND he > 0 THEN 'en'
+        |       WHEN hs >= hd AND hs > 0 THEN 'es'
+        |       WHEN hd > 0 THEN 'de' ELSE 'und' END AS lang_pred
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60,
+        |  CAST(len(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS BIGINT) AS n_shingles
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS bl,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h60
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, bl, h60,
+        |    unnest(range(0, least(4, (bl + 99) // 100))) AS fi
+        |  FROM t)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, CAST(bl AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha_hex,
+        |  CAST(1 + (h60 % 640) AS BIGINT) AS fake_w,
+        |  CAST(1 + ((h60 // 640) % 480) AS BIGINT) AS fake_h,
+        |  substr(text, CAST(fi * 100 + 1 AS INT), 32) AS frame_text,
+        |  sha256(substr(text, CAST(fi * 100 + 1 AS INT), 32)) AS frame_sha
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  )
 }

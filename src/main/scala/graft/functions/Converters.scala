@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Debezium-style type converters, re-expressed as codegen'd Column
+  * expressions instead of reader's per-row interface dispatch
+  * (reference: lib/debezium/converters/converters.go — ValueConverter).
+  *
+  * Reader converts one value at a time through ~23 converter structs; on
+  * Spark the same logical conversions are declarative expressions that
+  * whole-stage codegen fuses into the scan loop — no virtual dispatch, no
+  * boxing, and Catalyst can constant-fold/prune around them.
+  *
+  * All integer-valued outputs are BIGINT so results compare cleanly against
+  * DuckDB oracles (which default to int64).
+  */
+object Converters {
+
+  // ---- temporal (reference: lib/debezium/converters/time.go) ----
+
+  /** Debezium `Date`: days since epoch (DateConverter, time.go:80+). */
+  def epochDays(c: Column): Column =
+    datediff(c.cast("date"), to_date(lit("1970-01-01"))).cast("long")
+
+  /** Debezium `Timestamp`: milliseconds since epoch (time.go Timestamp). */
+  def epochMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Debezium `MicroTimestamp`: microseconds since epoch. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Debezium `MicroTime`: microseconds past midnight, no TZ
+    * (MicroTimeConverter, time.go:32-58). Takes raw epoch micros. */
+  def microsSinceMidnight(epochMicros: Column): Column =
+    pmod(epochMicros, lit(86400000000L))
+
+  /** ISO date string (reader renders dates via time.Format downstream). */
+  def isoDate(c: Column): Column = c.cast("date").cast("string")
+
+  // ---- decimal / money (reference: lib/debezium/converters/decimal.go, money.go) ----
+
+  /** Scale-pinned exact decimal: the Spark analogue of
+    * encodeDecimalWithScale (decimal.go:14-28) — the value is locked to the
+    * declared scale at the type level, so scale drift is impossible by
+    * construction rather than checked per row. */
+  def toDecimal(c: Column, precision: Int = 12, scale: Int = 2): Column =
+    c.cast(s"decimal($precision,$scale)")
+
+  /** Canonical string rendering of a scale-pinned decimal. */
+  def decimalString(c: Column, precision: Int = 12, scale: Int = 2): Column =
+    toDecimal(c, precision, scale).cast("string")
+
+  /** Kafka-connect unscaled integer for a scale-2 decimal (decimal.go
+    * encodes big-endian bytes of the unscaled value; we surface the integer
+    * itself, which is the information content). */
+  def unscaledLong(c: Column, scale: Int = 2): Column = {
+    require(scale >= 0 && scale <= 6, "scale out of supported range")
+    round(c * pow(lit(10), lit(scale))).cast("long")
+  }
+
+  /** Money parse (money.go:39-60): strip currency symbol + grouping commas,
+    * then pin to scale 2. */
+  def moneyToDecimal(c: Column, currencySymbol: String = "$"): Column = {
+    val stripped = regexp_replace(c, lit("[,\\" + currencySymbol + "]"), lit(""))
+    stripped.cast("decimal(12,2)")
+  }
+
+  // ---- json (reference: lib/debezium/converters/json.go) ----
+
+  /** Extract a JSON field as string (JSONB passthrough analogue). */
+  def jsonField(c: Column, path: String): Column = get_json_object(c, path)
+
+  /** Extract a JSON field as BIGINT. */
+  def jsonFieldLong(c: Column, path: String): Column =
+    get_json_object(c, path).cast("long")
+
+  // ---- uuid / bits (reference: lib/debezium/converters/uuid.go, bit.go) ----
+
+  /** Deterministic UUID-shaped string from any key column (uuid.go renders
+    * 16 bytes as 8-4-4-4-12; we derive the bytes from md5 so the oracle can
+    * reproduce them). */
+  def uuidFromKey(c: Column): Column = {
+    val h = md5(c.cast("string"))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** Single-bit extraction (bit.go BitConverter). */
+  def bitAt(c: Column, pos: Int): Column =
+    shiftright(c.cast("long"), pos).bitwiseAND(lit(1L))
+
+  /** Population count (bit_varying.go analogue). */
+  def popCount(c: Column): Column = bit_count(c.cast("long")).cast("long")
+}

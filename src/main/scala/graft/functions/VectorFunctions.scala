@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns, as pure
+  * codegen-friendly expressions (zip_with/aggregate — no UDF, no boxing of
+  * a custom vector type).
+  *
+  * All arithmetic is double: float accumulation is neither associative nor
+  * reproducible across engines; casting once at the start keeps results
+  * deterministic and lets the DuckDB oracle (`::DOUBLE[]`) agree bit-for-bit
+  * on per-pair values.
+  */
+object VectorFunctions {
+
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity; inputs must already be array<double>. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine from a precomputed-norm pair — the form the operators use so the
+    * corpus norms are computed once per vector, not once per pair. */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Sign-random-projection code bits for hyperplane LSH: bit j is the sign
+    * of <v, H_j> where H_j is a deterministic ±1 hyperplane derived from
+    * splitmix64. Returns an array of `numPlanes` 0/1 longs.
+    *
+    * ±1 hyperplanes keep the projection a pure sum/subtract — exact in
+    * double and cheap in codegen; quality matches gaussian planes for LSH
+    * purposes.
+    */
+  def hyperplaneBits(v: Column, numPlanes: Int, dim: Int, seed: Long = 7L): Column = {
+    val signs: Seq[Double] = (0 until numPlanes * dim).map { k =>
+      var z = seed + k.toLong * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d9669b529ccf12L
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+    val signLit = typedlit(signs)
+    transform(
+      sequence(lit(0), lit(numPlanes - 1)),
+      j => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), lit(dim - 1)),
+            (x, d) => x * element_at(signLit, j * dim + d + 1)),
+          lit(0.0), (acc, p) => acc + p)
+        when(proj > 0, lit(1L)).otherwise(lit(0L))
+      })
+  }
+
+  /** Pack code bits into per-band integer keys (`numBands` bands of
+    * `bitsPerBand` bits): the LSH bucket ids that candidate generation
+    * shuffles on. */
+  def bandKeys(bits: Column, numBands: Int, bitsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBands - 1)),
+      bnd => aggregate(
+        slice(bits, bnd * bitsPerBand + 1, lit(bitsPerBand)),
+        lit(0L), (acc, bit) => acc * 2 + bit))
+}

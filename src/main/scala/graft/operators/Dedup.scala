@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.expressions.{CosineSim, HyperplaneBandKeys, MinHashSig, ShingleHashes, SimHash16, Sketch, SortedIntersectCount}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for the LLM-training-data pipeline.
+  *
+  * Scale discipline shared by every near-dup variant: candidate generation
+  * is a shuffle on (band_id, band_hash) — O(n * bands) shuffle rows — and
+  * exact verification runs only inside buckets. There is no crossJoin
+  * anywhere; an all-pairs comparison at 100 TB is not a slow plan, it is a
+  * non-plan.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one survivor per key, latest by `orderCols` with a
+    * deterministic tie-break. One hash-partitioned shuffle (row_number over
+    * the key window); map-side nothing to combine since survivors are whole
+    * rows. Equivalent shape to reader's downstream PK dedupe. */
+  def exactLatest(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate groups by content fingerprint: groupBy md5(normalized
+    * text) — partial aggregation map-side, survivors = min(id). */
+  def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), fingerprintHex(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
+
+  final case class MinHashConfig(
+      numPerm: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 5,
+      threshold: Double = 0.9) {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    def rowsPerBand: Int = numPerm / bands
+  }
+
+  /** Near-duplicate pairs via MinHash + banded LSH, exact-verified.
+    *
+    * Pipeline (each step one narrow projection or one keyed shuffle):
+    *  1. shingle + hash + MinHash signature         (single pass, codegen)
+    *  2. explode band hashes                        (n * bands rows, 16B each)
+    *  3. self-join on (band_id, band_hash), id<id   (shuffle on band key)
+    *  4. distinct candidate pairs                   (shuffle on pair)
+    *  5. join back shingle sets, exact Jaccard >= t (two broadcast-or-shuffle
+    *     hash joins keyed by doc id)
+    *
+    * With 128 perms / 32 bands / r=4, P[candidate | J=0.9] = 1-(1-0.9^4)^32
+    * ≈ 1 - 3e-15: recall at the threshold is effectively exact, which is why
+    * the verified output can match an all-pairs oracle.
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        Sketch.column(ShingleHashes(Sketch.expr(col(textCol)), cfg.shingleSize, word = true)).as("sh"))
+      .where(size(col("sh")) > 0)
+    nearDupPairsFromSets(sh, cfg)
+  }
+
+  /** Same machinery over character n-gram sets (catches reorder-heavy edits
+    * word shingles miss). `blockCol`, when set, restricts pairs to the same
+    * block (e.g. same source) — classic blocking to cut candidate volume. */
+  def ngramNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      cfg: MinHashConfig,
+      blockCol: Option[String] = None): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("id") +:
+        Sketch.column(ShingleHashes(Sketch.expr(col(textCol)), n, word = false)).as("sh") +:
+        blockCol.map(col).toSeq: _*)
+    nearDupPairsFromSets(base.where(size(col("sh")) > 0), cfg, blockCol)
+  }
+
+  private def nearDupPairsFromSets(
+      sets: DataFrame,
+      cfg: MinHashConfig,
+      blockCol: Option[String] = None): DataFrame = {
+    // `sets` carries (id, sh: sorted distinct shingle hashes) from the
+    // native ShingleHashes kernel; signature + banding are one-pass kernels
+    // too, so the whole sketch side is a single cheap projection.
+    // The sketch table is consumed three times (both sides of the band
+    // self-join + the verification lookups) — materialize it once instead
+    // of re-sketching the corpus per consumer. At cluster scale this is the
+    // standard "persist the signatures" step of every LSH pipeline.
+    val withSig = sets
+      .withColumn("sig", Sketch.column(MinHashSig(Sketch.expr(col("sh")), cfg.numPerm)))
+      .withColumn("bands", lshBandHashes(col("sig"), cfg.bands, cfg.rowsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bandCols = Seq(col("id"), posexplode(col("bands"))) ++ blockCol.map(col)
+    val bandTable = withSig
+      .select(bandCols: _*)
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+
+    val joinKeys = Seq("band_id", "band_hash") ++ blockCol
+    val candidates = bandTable.as("x")
+      .join(bandTable.as("y"), joinKeys, "inner")
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    val shSets = withSig.select(col("id"), col("sh"))
+    val inter = Sketch.column(SortedIntersectCount(
+      Sketch.expr(col("sa.sh")), Sketch.expr(col("sb.sh"))))
+    candidates
+      .join(shSets.as("sa"), col("id_a") === col("sa.id"))
+      .join(shSets.as("sb"), col("id_b") === col("sb.id"))
+      .select(
+        col("id_a"), col("id_b"),
+        (inter.cast("double") / (size(col("sa.sh")) + size(col("sb.sh")) - inter)).as("jacc"))
+      .where(col("jacc") >= cfg.threshold)
+  }
+
+  /** SimHash fingerprints: one 16-bit content hash per doc; docs whose
+    * fingerprints collide (or sit within small Hamming distance) are dup
+    * candidates. Pure single-pass projection. */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token hashes stay md5-derived (hash60) so a SQL oracle can reproduce
+    // the fingerprint; the bit-voting runs in the native SimHash16 kernel.
+    val toks = tokens(lower(col(textCol)))
+    val hashes = transform(toks, t => hash60(t))
+    docs.select(col(idCol), Sketch.column(SimHash16(Sketch.expr(hashes))).as("simhash"))
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucketed candidates, exact
+    * cosine verification. 8 bands x 4 bits: P[candidate] at cos=0.9 ≈ 0.95+,
+    * and every bucket join is a keyed shuffle, never a cross product. */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      numBands: Int = 8,
+      bitsPerBand: Int = 4): DataFrame = {
+    val base = embeddings.select(
+      col(idCol).as("id"),
+      VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("bkeys", Sketch.column(
+        HyperplaneBandKeys(Sketch.expr(col("v")), numBands, bitsPerBand, dim)))
+
+    val bandTable = base
+      .select(col("id"), posexplode(col("bkeys")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+
+    val candidates = bandTable.as("x")
+      .join(bandTable.as("y"), Seq("band_id", "band_key"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    val vecs = base.select(col("id"), col("v"))
+    candidates
+      .join(vecs.as("va"), col("id_a") === col("va.id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.id"))
+      .select(col("id_a"), col("id_b"),
+        Sketch.column(CosineSim(Sketch.expr(col("va.v")), Sketch.expr(col("vb.v")))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Size-capped batched sink — the Spark re-expression of reader's
+  * publish-size batching (reference: lib/kafkalib/writer.go:48-193
+  * BatchWriter + cfg.GetPublishSize(); writers/transfer/writer.go).
+  *
+  * Reader chops the row stream into `publishSize` batches and publishes each
+  * with retries; the unit of retry/idempotency is the batch. Here the batch
+  * id is derived from the PK keyspace (`pk div batchSize` — the same keyset
+  * arithmetic the snapshot scanner pages by), so batch membership is
+  * deterministic, partition-parallel to compute (no global row numbering,
+  * which would serialize at scale), and the write is idempotent: re-running
+  * overwrites the same batch directories with identical content.
+  */
+object BatchedSink {
+
+  /** Assign deterministic keyset batch ids (integer keyspace division). */
+  def withBatchId(df: DataFrame, pkCol: String, batchKeySpan: Long): DataFrame =
+    df.withColumn("batch_id", expr(s"cast($pkCol as bigint) div $batchKeySpan"))
+
+  /** Write `df` as one parquet directory per batch (dynamic partition
+    * overwrite = per-batch idempotent republish), then return the manifest
+    * the writer would ack: per-batch row count and key bounds. */
+  def writeBatched(
+      df: DataFrame,
+      pkCol: String,
+      batchKeySpan: Long,
+      outDir: String): DataFrame = {
+    val batched = withBatchId(df, pkCol, batchKeySpan)
+    batched.write
+      .mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    manifest(batched.sparkSession.read.parquet(outDir), pkCol)
+  }
+
+  /** Manifest over batched data: the per-batch ack record. */
+  def manifest(batched: DataFrame, pkCol: String): DataFrame =
+    batched
+      .groupBy(col("batch_id").cast("long").as("batch_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(pkCol)).cast("long").as("min_pk"),
+        max(col(pkCol)).cast("long").as("max_pk"))
+}

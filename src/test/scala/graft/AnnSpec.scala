@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+import graft.sources.Tables
+
+class AnnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("brute-force topk: k neighbors per query, self excluded, ranks 1..k") {
+    val emb = Tables.embeddings(spark, Sf)
+    val q = emb.where(col("vec_id") < 5)
+    val out = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val rows = out.collect()
+    assert(rows.length === 5 * 5)
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("nid")))
+    val ranks = rows.groupBy(_.getAs[Long]("qid")).values
+      .map(_.map(_.getAs[Long]("rank")).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("LSH topk recall vs brute force is nontrivial") {
+    val emb = Tables.embeddings(spark, Sf)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(emb, q, "vec_id", "embedding", 64, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random 64-dim embeddings are a worst case for LSH; just require the
+    // buckets to genuinely concentrate: far better than the ~2.5% a random
+    // same-size candidate set would score, at a fraction of brute-force cost
+    assert(recall > 0.15, s"recall=$recall")
+  }
+
+  test("LSH plan is bucket-joined, not a cross product") {
+    val emb = Tables.embeddings(spark, Sf)
+    val plan = Ann.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 64, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Converters => Cv, TextFunctions => Tf}
+
+class ConvertersSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("temporal converters match debezium epoch semantics") {
+    val df = Seq("2024-01-02 03:04:05.123456").toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ts"))
+    val r = df.select(
+      Cv.epochDays(col("ts")).as("d"),
+      Cv.epochMillis(col("ts")).as("ms"),
+      Cv.epochMicros(col("ts")).as("us"),
+      Cv.microsSinceMidnight(Cv.epochMicros(col("ts"))).as("mod")).head()
+    assert(r.getAs[Long]("d") === 19724L)
+    assert(r.getAs[Long]("ms") === 1704164645123L)
+    assert(r.getAs[Long]("us") === 1704164645123456L)
+    assert(r.getAs[Long]("mod") === (3L * 3600 + 4 * 60 + 5) * 1000000 + 123456)
+  }
+
+  test("money converter strips symbol and commas (money.go semantics)") {
+    val r = Seq("$1,234,567.89", "$12.05", "7.20").toDF("m")
+      .select(Cv.moneyToDecimal(col("m")).cast("string").as("v"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq === Seq("1234567.89", "12.05", "7.20"))
+  }
+
+  test("decimal converter pins scale exactly") {
+    val r = Seq(151998.3799999999d).toDF("x")
+      .select(Cv.decimalString(col("x")).as("s"), Cv.unscaledLong(col("x")).as("u")).head()
+    assert(r.getString(0) === "151998.38")
+    assert(r.getLong(1) === 15199838L)
+  }
+
+  test("uuid converter shape + determinism") {
+    val r = Seq(42L, 42L).toDF("k").select(Cv.uuidFromKey(col("k")).as("u"))
+      .collect().map(_.getString(0))
+    assert(r(0) === r(1))
+    assert(r(0).matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+
+  test("bit extraction and popcount") {
+    val r = Seq(11L).toDF("k") // 1011
+      .select(Cv.bitAt(col("k"), 0).as("b0"), Cv.bitAt(col("k"), 2).as("b2"),
+        Cv.popCount(col("k")).as("p")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 0L, 3L)))
+  }
+
+  test("hash60 is 60-bit non-negative and stable") {
+    val r = Seq("abc", "abc").toDF("s").select(Tf.hash60(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(r(0) === r(1) && r(0) >= 0 && r(0) < (1L << 60))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again until done " * 4
+    val nearDup = base.replace("lazy", "sleepy") // one token of ~60 changed
+    val docs = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, "completely different content about spark catalyst optimizer rules engine " * 4))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      Dedup.MinHashConfig(threshold = 0.5))
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("minhash candidate generation has no cartesian product in the plan") {
+    val docs = Tables.documents(spark, Sf)
+    val plan = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"crossJoin leaked into LSH plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("exactLatest keeps exactly one row per key") {
+    val ev = Tables.events(spark, Sf)
+    val out = Dedup.exactLatest(ev, Seq("user_id", "event_type"),
+      Seq(col("ts_ns"), col("event_id")))
+    assert(out.groupBy("user_id", "event_type").count()
+      .agg(max("count")).head().getLong(0) === 1L)
+  }
+
+  test("simhash of identical token multisets collides; differing texts mostly differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same multiset -> same simhash
+      (3L, "totally unrelated words here padding tokens")).toDF("doc_id", "text")
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+  }
+
+  test("embedding near-dup finds a planted duplicate vector") {
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v2 = v.clone(); v2(0) = (v2(0) * 1.001f) // ~identical direction
+    val other = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, v.toSeq), (2L, v2.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", 64, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
