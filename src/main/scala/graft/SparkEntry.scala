@@ -260,9 +260,16 @@ object SparkEntry {
     },
 
     "sink_batch" -> { (s, dir) =>
-      BatchedSink.writeBatched(Tables.lineitem(s, dir), "l_orderkey", 256L,
+      BatchedSink.writeBatched(Tables.lineitem(s, dir), "l_orderkey", 2048L,
         workDir("sink", dir))
         .orderBy("batch_id")
+    },
+
+    "stream_sessions" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000000").as("ts_ms"), col("value"))
+      graft.streaming.SessionWindows.sessionizeBatch(ev, gapMs = 7200000L)
+        .orderBy("user_id", "session_start")
     },
 
     // ---- dedup battery (#21-25) ----
@@ -319,38 +326,48 @@ object SparkEntry {
     // ---- text analysis (#28-31) ----
 
     "text_tokens" -> { (s, dir) =>
-      val toks = Tf.tokens(col("text"))
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_uniq"),
-        length(col("text")).cast("long").as("n_chars_txt"),
-        ((length(col("text")) - (size(toks) - lit(1))) / size(toks)).as("avg_token_len"))
+      import graft.expressions.{Sketch, TokenStats}
+      val stats = Sketch.column(TokenStats(Sketch.expr(col("text")), Nil, lowercase = false))
+      Tables.documents(s, dir)
+        .withColumn("st", stats)
+        .select(
+          col("doc_id"),
+          element_at(col("st"), 1).as("n_tokens"),
+          element_at(col("st"), 2).as("n_uniq"),
+          length(col("text")).cast("long").as("n_chars_txt"),
+          ((length(col("text")) - (element_at(col("st"), 1) - lit(1))) /
+            element_at(col("st"), 1)).as("avg_token_len"))
         .orderBy("doc_id")
     },
 
     "text_quality" -> { (s, dir) =>
-      val toks = Tf.tokens(lower(col("text")))
-      val nTok = size(toks)
-      val stopHits = Tf.stopwordHits(toks, Tf.EnStops)
-      val ttr = size(array_distinct(toks)) / nTok
+      import graft.expressions.{Sketch, TokenStats}
+      val stats = Sketch.column(TokenStats(Sketch.expr(col("text")), Tf.EnStops, lowercase = true))
+      val nTok = element_at(col("st"), 1)
+      val nUniq = element_at(col("st"), 2)
+      val stopHits = element_at(col("st"), 3)
+      val ttr = nUniq / nTok
       val stopRatio = stopHits / nTok
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        nTok.cast("long").as("n_tokens"),
-        stopHits.as("stop_hits"),
-        stopRatio.as("stop_ratio"),
-        ttr.as("ttr"),
-        (lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopRatio)
-          + lit(0.2) * least(lit(1.0), nTok / lit(200.0))).as("score"))
+      Tables.documents(s, dir)
+        .withColumn("st", stats)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          stopHits.as("stop_hits"),
+          stopRatio.as("stop_ratio"),
+          ttr.as("ttr"),
+          (lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopRatio)
+            + lit(0.2) * least(lit(1.0), nTok / lit(200.0))).as("score"))
         .orderBy("doc_id")
     },
 
     "text_langid" -> { (s, dir) =>
-      val toks = Tf.tokens(lower(col("text")))
-      val he = Tf.stopwordHits(toks, Tf.EnStops)
-      val hs = Tf.stopwordHits(toks, Tf.EsStops)
-      val hd = Tf.stopwordHits(toks, Tf.DeStops)
+      import graft.expressions.{Sketch, TokenStats}
+      def hits(stops: Seq[String]) = element_at(
+        Sketch.column(TokenStats(Sketch.expr(col("text")), stops, lowercase = true)), 3)
+      val he = hits(Tf.EnStops)
+      val hs = hits(Tf.EsStops)
+      val hd = hits(Tf.DeStops)
       Tables.documents(s, dir).select(
         col("doc_id"), he.as("hits_en"), hs.as("hits_es"), hd.as("hits_de"),
         Tf.langId(he, hs, hd).as("lang_pred"))
@@ -548,9 +565,21 @@ object SparkEntry {
         |FROM events GROUP BY event_type, CAST(ts AS DATE) ORDER BY event_type, day""".stripMargin,
 
     "sink_batch" ->
-      """SELECT l_orderkey // 256 AS batch_id, COUNT(*) AS n_rows,
+      """SELECT l_orderkey // 2048 AS batch_id, COUNT(*) AS n_rows,
         |  CAST(MIN(l_orderkey) AS BIGINT) AS min_pk, CAST(MAX(l_orderkey) AS BIGINT) AS max_pk
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |l AS (SELECT user_id, ts_ms, value,
+        |        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ts
+        |      FROM e),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 7200000 THEN 1 ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS sess_id FROM n)
+        |SELECT user_id, MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_start""".stripMargin,
 
     "dedup_exact" ->
       """SELECT user_id, event_type, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms

@@ -142,6 +142,49 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** One-pass token statistics of a single-space-tokenized text:
+  * [n_tokens, n_distinct, stop_hits] where stop_hits counts tokens (with
+  * duplicates) present in `stops`. Replaces three interpreted
+  * size/filter/array_distinct HOF chains with one kernel. Token comparison
+  * is on the lowercased token when `lowercase` is set. */
+case class TokenStats(child: Expression, stops: Seq[String], lowercase: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stops.foreach(w => s.add(w))
+    s
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.toString
+    val text = if (lowercase) raw.toLowerCase(java.util.Locale.ROOT) else raw
+    val distinct = new java.util.HashSet[String]()
+    var nTok = 0L
+    var hits = 0L
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        val tok = text.substring(start, i)
+        nTok += 1
+        distinct.add(tok)
+        if (stopSet.contains(tok)) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(nTok, distinct.size.toLong, hits))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
 /** MinHash signature over an array<long> of element hashes: for each of
   * `numPerm` permutations, min((a_i * (x & 2^30-1) + b_i) mod p). */
 case class MinHashSig(child: Expression, numPerm: Int)

@@ -28,9 +28,18 @@ object BatchedSink {
       df: DataFrame,
       pkCol: String,
       batchKeySpan: Long,
-      outDir: String): DataFrame = {
+      outDir: String,
+      numWriteTasks: Int = 64): DataFrame = {
     val batched = withBatchId(df, pkCol, batchKeySpan)
-    batched.write
+    // Cluster rows by batch before the partitioned write: every batch then
+    // lands as ONE file written by one task, instead of every task opening
+    // a file in every batch directory (tasks x batches small files — the
+    // classic dynamic-partition-write storm). The explicit task count keeps
+    // AQE from coalescing the exchange down to one writer that would open
+    // every batch file serially.
+    batched
+      .repartition(numWriteTasks, col("batch_id"))
+      .write
       .mode("overwrite")
       .partitionBy("batch_id")
       .parquet(outDir)
