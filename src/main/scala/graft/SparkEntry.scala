@@ -248,6 +248,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    "convert_enum_array" -> { (s, dir) =>
+      // enum.go (index into the declared value set), array.go / map.go
+      // (collection rendering), geometry.go (POINT text parse)
+      val enumIdx = when(col("c_mktsegment") === "AUTOMOBILE", 0L)
+        .when(col("c_mktsegment") === "BUILDING", 1L)
+        .when(col("c_mktsegment") === "FURNITURE", 2L)
+        .when(col("c_mktsegment") === "HOUSEHOLD", 3L)
+        .when(col("c_mktsegment") === "MACHINERY", 4L)
+        .otherwise(-1L)
+      val pt = concat(lit("POINT("), col("c_nationkey").cast("string"), lit(" "),
+        col("c_custkey").cast("string"), lit(")"))
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        enumIdx.as("seg_idx"),
+        concat_ws(",", array(col("c_custkey"), col("c_nationkey").cast("long"))).as("arr_str"),
+        lit(2L).as("arr_len"),
+        pt.as("geom_wkt"),
+        regexp_extract(pt, "POINT\\(([0-9]+) ([0-9]+)\\)", 1).cast("long").as("geom_x"),
+        regexp_extract(pt, "POINT\\(([0-9]+) ([0-9]+)\\)", 2).cast("long").as("geom_y"))
+        .orderBy("c_custkey")
+    },
+
     // ---- streaming + sink (#19-20) ----
 
     "stream_events" -> { (s, dir) =>
@@ -557,6 +579,20 @@ object SparkEntry {
         |  CAST((c_custkey >> 0) & 1 AS BIGINT) AS bit0,
         |  CAST((c_custkey >> 3) & 1 AS BIGINT) AS bit3,
         |  CAST(bit_count(c_custkey) AS BIGINT) AS pop
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "convert_enum_array" ->
+      """SELECT c_custkey,
+        |  CAST(CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+        |    WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3 WHEN 'MACHINERY' THEN 4
+        |    ELSE -1 END AS BIGINT) AS seg_idx,
+        |  array_to_string([c_custkey, CAST(c_nationkey AS BIGINT)], ',') AS arr_str,
+        |  CAST(2 AS BIGINT) AS arr_len,
+        |  'POINT(' || CAST(c_nationkey AS VARCHAR) || ' ' || CAST(c_custkey AS VARCHAR) || ')' AS geom_wkt,
+        |  CAST(regexp_extract('POINT(' || CAST(c_nationkey AS VARCHAR) || ' ' || CAST(c_custkey AS VARCHAR) || ')',
+        |    'POINT\(([0-9]+) ([0-9]+)\)', 1) AS BIGINT) AS geom_x,
+        |  CAST(regexp_extract('POINT(' || CAST(c_nationkey AS VARCHAR) || ' ' || CAST(c_custkey AS VARCHAR) || ')',
+        |    'POINT\(([0-9]+) ([0-9]+)\)', 2) AS BIGINT) AS geom_y
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "stream_events" ->
