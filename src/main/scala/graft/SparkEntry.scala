@@ -58,6 +58,41 @@ object SparkEntry {
         .orderBy("chunk_id")
     },
 
+    "snapshot_scan_range" -> { (s, dir) =>
+      // reader's OptionalStartingValues/OptionalEndingValues overrides
+      // (lib/rdbms/scan/scan.go:44-55, primary_key.LoadValues): scan only a
+      // caller-pinned PK window, still chunked + predicate-pushed.
+      val li = Tables.lineitem(s, dir)
+      val bounds = SnapshotScan.PkBounds(1000L, 8999L)
+      SnapshotScan.chunked(li.where(col("l_orderkey").between(bounds.min, bounds.max)),
+        "l_orderkey", bounds, 4)
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).cast("long").as("min_pk"),
+          max(col("l_orderkey")).cast("long").as("max_pk"))
+        .orderBy("chunk_id")
+    },
+
+    "dynamo_unmarshal" -> { (s, dir) =>
+      // DynamoDB export/stream AttributeValue unmarshalling
+      // (sources/dynamodb/snapshot.go, lib/dynamo): round-trip rows through
+      // the marshalled {"col":{"N"|"S": "..."}} JSON shape and parse back
+      // to typed columns.
+      val marshalled = concat(
+        lit("""{"user_id":{"N":""""), col("user_id").cast("string"),
+        lit(""""},"event_type":{"S":""""), col("event_type"),
+        lit(""""},"value":{"N":""""), col("value").cast("string"), lit(""""}}"""))
+      Tables.events(s, dir)
+        .select(col("event_id"), marshalled.as("dyn_json"))
+        .select(
+          col("event_id"),
+          col("dyn_json"),
+          get_json_object(col("dyn_json"), "$.user_id.N").cast("long").as("user_id_parsed"),
+          get_json_object(col("dyn_json"), "$.event_type.S").as("event_type_parsed"),
+          get_json_object(col("dyn_json"), "$.value.N").cast("double").as("value_parsed"))
+        .orderBy("event_id")
+    },
+
     "scan_pushdown" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
@@ -442,6 +477,23 @@ object SparkEntry {
         |  CAST(min(l_orderkey) AS BIGINT) AS min_pk, CAST(max(l_orderkey) AS BIGINT) AS max_pk,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem, w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "snapshot_scan_range" ->
+      """SELECT ((l_orderkey - 1000) // 2000) AS chunk_id, count(*) AS n_rows,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_pk, CAST(max(l_orderkey) AS BIGINT) AS max_pk
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 8999
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dynamo_unmarshal" ->
+      """WITH t AS (SELECT event_id,
+        |  '{"user_id":{"N":"' || CAST(user_id AS VARCHAR) || '"},"event_type":{"S":"' || event_type ||
+        |  '"},"value":{"N":"' || CAST(value AS VARCHAR) || '"}}' AS dyn_json
+        |  FROM events)
+        |SELECT event_id, dyn_json,
+        |  CAST(json_extract_string(dyn_json, '$.user_id.N') AS BIGINT) AS user_id_parsed,
+        |  json_extract_string(dyn_json, '$.event_type.S') AS event_type_parsed,
+        |  CAST(json_extract_string(dyn_json, '$.value.N') AS DOUBLE) AS value_parsed
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "scan_pushdown" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
