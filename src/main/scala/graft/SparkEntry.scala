@@ -212,6 +212,18 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "cdc_before_after" -> { (s, dir) =>
+      // op mapping: first event per user = create, error = delete marker,
+      // anything else = update; before_* = previous image via lag window
+      val ev = Tables.events(s, dir)
+      val op = when(expr("row_number() over (partition by user_id order by ts_ns, event_id)") === 1, lit("c"))
+        .when(col("event_type") === "error", lit("d"))
+        .otherwise(lit("u"))
+      Envelope.changeEnvelope(ev, "user_id", Seq(col("ts_ns"), col("event_id")), op,
+        expr("ts_ns div 1000000"), "events", Seq("event_type", "value"))
+        .orderBy("user_id", "ts_ms")
+    },
+
     "cdc_latest_state" -> { (s, dir) =>
       Envelope.latestState(Tables.events(s, dir), Seq("user_id"),
         Seq(col("ts_ns"), col("event_id")))
@@ -580,6 +592,16 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS before_user_id, CAST(NULL AS VARCHAR) AS before_event_type,
         |  CAST(NULL AS DOUBLE) AS before_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_before_after" ->
+      """SELECT user_id,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1 THEN 'c'
+        |       WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+        |  epoch_ms(ts) AS ts_ms, 'events' AS source_table,
+        |  event_type AS after_event_type, value AS after_value,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS before_event_type,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS before_value
+        |FROM events ORDER BY user_id, ts_ms""".stripMargin,
 
     "cdc_latest_state" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,

@@ -49,6 +49,30 @@ object Envelope {
       ).as("envelope"))
   }
 
+  /** Change-event envelope with BEFORE images: op c/u/d per row plus the
+    * prior row image per key, reconstructed with a lag window — the batch
+    * re-expression of what reader's binlog iterator carries natively
+    * (sources/mysql/streaming/iterator.go before/after rows; transformer.go
+    * payload.Before). One shuffle on the key; no state store needed. */
+  def changeEnvelope(
+      df: DataFrame,
+      keyCol: String,
+      seqCols: Seq[Column],
+      opCol: Column,
+      tsMs: Column,
+      table: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(seqCols: _*)
+    val flat = Seq(
+      col(keyCol),
+      opCol.as("op"),
+      tsMs.cast("long").as("ts_ms"),
+      lit(table).as("source_table")) ++
+      valueCols.map(c => col(c).as(s"after_$c")) ++
+      valueCols.map(c => lag(col(c), 1).over(w).as(s"before_$c"))
+    df.select(flat: _*)
+  }
+
   /** Latest-state compaction: last event per key by (event time, seq) — the
     * materialization step reader's downstream (artie transfer) performs when
     * collapsing a CDC stream to current state. row_number over a
