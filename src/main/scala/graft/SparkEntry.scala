@@ -404,6 +404,10 @@ object SparkEntry {
           element_at(col("st"), 1).as("n_tokens"),
           element_at(col("st"), 2).as("n_uniq"),
           length(col("text")).cast("long").as("n_chars_txt"),
+          // BPE-ish subword-boundary count: letter runs | digit runs |
+          // single other non-space (the GPT-2 pretokenizer shape)
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+            .as("n_tokens_bpe"),
           ((length(col("text")) - (element_at(col("st"), 1) - lit(1))) /
             element_at(col("st"), 1)).as("avg_token_len"))
         .orderBy("doc_id")
@@ -746,11 +750,13 @@ object SparkEntry {
     // ann_lsh: approximate by design -> rows-only check (no oracle).
 
     "text_tokens" ->
-      """WITH t AS (SELECT doc_id, len(text) AS lc, len(string_split(text, ' ')) AS n,
+      """WITH t AS (SELECT doc_id, text, len(text) AS lc, len(string_split(text, ' ')) AS n,
         |    len(list_distinct(string_split(text, ' '))) AS u
         |  FROM documents)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(u AS BIGINT) AS n_uniq,
-        |  CAST(lc AS BIGINT) AS n_chars_txt, (lc - (n - 1)) / n AS avg_token_len
+        |  CAST(lc AS BIGINT) AS n_chars_txt,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
+        |  (lc - (n - 1)) / n AS avg_token_len
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->

@@ -71,6 +71,56 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** IVF (inverted-file) top-k: the corpus is coarsely quantized to the
+    * nearest of `nlist` centroids (one broadcast pass — the "train" step
+    * here uses deterministic seed vectors; swap in k-means centroids for
+    * production); each query probes only its `nprobe` nearest lists.
+    * Evaluated pairs shrink to ~|corpus| * nprobe / nlist, and the list
+    * assignment is a plain column the corpus can be PARTITIONED/bucketed by
+    * at write time — at 100 TB the probe then prunes whole files, which is
+    * the property LSH band keys don't give you. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+
+    // deterministic "training": the nlist lowest-id corpus vectors seed the
+    // coarse quantizer (k-means iterations would refine these)
+    val centroids = c.orderBy("nid").limit(nlist).orderBy("nid")
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    val centDf = corpus.sparkSession.createDataFrame(
+      centroids.toIndexedSeq.map { case (i, v) => (i, v.toSeq) })
+      .toDF("list_id", "centroid")
+      .select(col("list_id"), col("centroid").cast("array<double>").as("centroid"))
+
+    def nearestLists(df: DataFrame, vec: String, n: Int): DataFrame = {
+      val simToCentroid = Sketch.column(
+        CosineSim(Sketch.expr(col(vec)), Sketch.expr(col("centroid"))))
+      val w = Window.partitionBy(col(df.columns.head)).orderBy(
+        simToCentroid.desc, col("list_id").asc)
+      df.join(broadcast(centDf))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= n)
+        .drop("centroid", "__r")
+    }
+
+    val cAssigned = nearestLists(c, "cv", 1) // each corpus vector in ONE list
+    val qProbes = nearestLists(q, "qv", nprobe)
+
+    val scored = cAssigned.join(broadcast(qProbes), Seq("list_id"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        Sketch.column(CosineSim(Sketch.expr(col("cv")), Sketch.expr(col("qv")))).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic top-k: rank by similarity desc with neighbor id as the
     * total-order tie-break. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {

@@ -55,4 +55,26 @@ object SnapshotScan {
       }
       .reduce(_.unionAll(_))
   }
+
+  /** Quantile-balanced chunk boundaries: uniform key-width splits collapse
+    * when the PK space is sparse/skewed (a hot insert range = one giant
+    * chunk). approxQuantile gives near-equal ROW counts per chunk for the
+    * cost of one sketch pass — the same reason reader re-pages by observed
+    * last-row keys rather than fixed arithmetic strides (scan.go:100-116
+    * UpdateStartingValue). Returns numChunks+1 ascending boundaries. */
+  def quantileBoundaries(df: DataFrame, pkCol: String, numChunks: Int): Array[Long] = {
+    val probs = (0 to numChunks).map(_.toDouble / numChunks).toArray
+    val qs = df.stat.approxQuantile(pkCol, probs, 0.001).map(_.toLong)
+    qs(qs.length - 1) = qs.last + 1 // make the final bound exclusive-safe
+    qs
+  }
+
+  /** Chunked scan over explicit ascending boundaries: chunk i covers
+    * [bounds(i), bounds(i+1)). */
+  def chunkedByBoundaries(base: DataFrame, pkCol: String, boundaries: Array[Long]): DataFrame = {
+    val pk: Column = col(pkCol)
+    boundaries.sliding(2).zipWithIndex.map { case (Array(lo, hi), i) =>
+      base.where(pk >= lo && pk < hi).withColumn("chunk_id", lit(i.toLong))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -34,6 +34,20 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.15, s"recall=$recall")
   }
 
+  test("IVF topk probes lists and returns ranked neighbors with decent recall") {
+    val emb = Tables.embeddings(spark, Sf)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, q, "vec_id", "embedding", 5, nlist = 16, nprobe = 4)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 5))
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall") // nprobe/nlist = 1/4 of lists probed
+  }
+
   test("LSH plan is bucket-joined, not a cross product") {
     val emb = Tables.embeddings(spark, Sf)
     val plan = Ann.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 64, 5)

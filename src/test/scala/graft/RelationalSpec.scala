@@ -22,6 +22,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("quantile chunking balances skewed keyspaces") {
+    import spark.implicits._
+    // skewed PK space: 90% of keys in [0,100), the rest sparse up to 1e6
+    val df = ((1 to 900).map(_.toLong % 100) ++ (1 to 100).map(_ * 10000L))
+      .toDF("pk")
+    val bounds = SnapshotScan.quantileBoundaries(df, "pk", 4)
+    val chunked = SnapshotScan.chunkedByBoundaries(df, "pk", bounds)
+    assert(chunked.count() === 1000)
+    val sizes = chunked.groupBy("chunk_id").count().collect().map(_.getLong(1))
+    // uniform-width split would put ~90% in one chunk; quantiles keep the
+    // largest chunk well under half
+    assert(sizes.max <= 600, s"unbalanced: ${sizes.mkString(",")}")
+  }
+
   test("q1 aggregates over expected groups") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Sf)
     val rows = df.collect()
