@@ -214,6 +214,48 @@ case class TokenStats(child: Expression, stops: Seq[String], lowercase: Boolean)
     copy(child = newChild)
 }
 
+/** Count of positions where two equal-length long arrays agree — the
+  * MinHash similarity estimator (matches/numPerm ~ Jaccard). Codegen'd. */
+case class EqualPositionCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $cnt = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var cnt = 0L
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EqualPositionCount =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature over an array<long> of element hashes: for each of
   * `numPerm` permutations, min((a_i * (x & 2^30-1) + b_i) mod p). */
 case class MinHashSig(child: Expression, numPerm: Int)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.expressions.{CosineSim, HyperplaneBandKeys, MinHashSig, ShingleHashes, SimHash16, Sketch, SortedIntersectCount}
+import graft.expressions.{CosineSim, EqualPositionCount, HyperplaneBandKeys, MinHashSig, ShingleHashes, SimHash16, Sketch, SortedIntersectCount}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -116,10 +116,27 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
+    // Two-stage verification. Stage 1 joins only the fixed-width signatures
+    // and keeps pairs whose MinHash ESTIMATE clears a slack threshold —
+    // with 128 perms the estimator's σ at J=0.9 is ~0.027, so a 6σ slack
+    // (0.15) loses nothing while discarding the ~0-similarity bucket
+    // collisions that dominate candidate volume. Stage 2 fetches the full
+    // shingle sets only for survivors and computes exact Jaccard. At scale
+    // this is the difference between shuffling every candidate's document
+    // set and shuffling a few KB of sketch per doc.
+    val sigs = withSig.select(col("id"), col("sig"))
+    val est = Sketch.column(EqualPositionCount(
+      Sketch.expr(col("ga.sig")), Sketch.expr(col("gb.sig"))))
+    val plausible = candidates
+      .join(sigs.as("ga"), col("id_a") === col("ga.id"))
+      .join(sigs.as("gb"), col("id_b") === col("gb.id"))
+      .where(est.cast("double") / cfg.numPerm >= cfg.threshold - 0.15)
+      .select(col("id_a"), col("id_b"))
+
     val shSets = withSig.select(col("id"), col("sh"))
     val inter = Sketch.column(SortedIntersectCount(
       Sketch.expr(col("sa.sh")), Sketch.expr(col("sb.sh"))))
-    candidates
+    plausible
       .join(shSets.as("sa"), col("id_a") === col("sa.id"))
       .join(shSets.as("sb"), col("id_b") === col("sb.id"))
       .select(
