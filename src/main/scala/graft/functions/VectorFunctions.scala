@@ -39,12 +39,10 @@ object VectorFunctions {
     * purposes.
     */
   def hyperplaneBits(v: Column, numPlanes: Int, dim: Int, seed: Long = 7L): Column = {
-    val signs: Seq[Double] = (0 until numPlanes * dim).map { k =>
-      var z = seed + k.toLong * 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d9669b529ccf12L
-      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
-    }
+    // shares the sign derivation with the native kernel (HyperplaneBandKeys)
+    // so the two paths are interchangeable — pinned by KernelEquivalenceSpec
+    val signs: Seq[Double] =
+      graft.expressions.Sketch.hyperplaneSigns(numPlanes, dim, seed).toSeq
     val signLit = typedlit(signs)
     transform(
       sequence(lit(0), lit(numPlanes - 1)),

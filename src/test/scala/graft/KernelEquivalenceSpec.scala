@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions._
+import graft.functions.{TextFunctions => Tf, VectorFunctions => Vf}
+import graft.sources.Tables
+
+/** The native kernels in graft.expressions are performance rewrites of the
+  * readable Column-API implementations in graft.functions. These tests pin
+  * the two against each other on real data, so the fast path can never
+  * silently drift from the specification path. */
+class KernelEquivalenceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Tables.documents(spark, Sf).limit(100)
+
+  test("ShingleHashes(word) emits exactly one hash per distinct word shingle") {
+    val bad = docs.select(
+      size(Tf.wordShingles(Tf.tokens(col("text")), 5)).as("ref"),
+      size(Sketch.column(ShingleHashes(Sketch.expr(col("text")), 5, word = true))).as("fast"))
+      .where(col("ref") =!= col("fast")).count()
+    assert(bad === 0)
+  }
+
+  test("ShingleHashes(char) matches charNgrams cardinality") {
+    val bad = docs.select(
+      size(Tf.charNgrams(col("text"), 3)).as("ref"),
+      size(Sketch.column(ShingleHashes(Sketch.expr(col("text")), 3, word = false))).as("fast"))
+      .where(col("ref") =!= col("fast")).count()
+    assert(bad === 0)
+  }
+
+  test("SimHash16 kernel equals the HOF simhash16 on md5 token hashes") {
+    val toks = Tf.tokens(lower(col("text")))
+    val hashes = transform(toks, t => Tf.hash60(t))
+    val bad = docs.select(
+      Tf.simhash16(toks).as("ref"),
+      Sketch.column(SimHash16(Sketch.expr(hashes))).as("fast"))
+      .where(col("ref") =!= col("fast")).count()
+    assert(bad === 0)
+  }
+
+  test("CosineSim kernel is bit-equal to the HOF cosine") {
+    val emb = Tables.embeddings(spark, Sf).limit(50)
+    val pairs = emb.select(col("vec_id").as("ida"), Vf.toDouble(col("embedding")).as("va"))
+      .crossJoin(emb.select(col("vec_id").as("idb"), Vf.toDouble(col("embedding")).as("vb")).limit(5))
+    val bad = pairs.select(
+      Vf.cosine(col("va"), col("vb")).as("ref"),
+      Sketch.column(CosineSim(Sketch.expr(col("va")), Sketch.expr(col("vb")))).as("fast"))
+      .where(abs(col("ref") - col("fast")) > lit(1e-12)).count()
+    assert(bad === 0)
+  }
+
+  test("HyperplaneBandKeys equals hyperplaneBits+bandKeys composition") {
+    val emb = Tables.embeddings(spark, Sf).limit(50)
+      .select(Vf.toDouble(col("embedding")).as("v"))
+    val ref = Vf.bandKeys(Vf.hyperplaneBits(col("v"), 32, 64), 8, 4)
+    val fast = Sketch.column(HyperplaneBandKeys(Sketch.expr(col("v")), 8, 4, 64))
+    val bad = emb.select(ref.as("ref"), fast.as("fast"))
+      .where(col("ref") =!= col("fast")).count()
+    assert(bad === 0)
+  }
+}
