@@ -405,6 +405,14 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     },
 
+    "ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .select(col("qid").as("query_id"), col("rank").as("rnk"), col("nid").as("neighbor_id"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ---- text analysis (#28-31) ----
 
     "text_tokens" -> { (s, dir) =>
@@ -769,7 +777,7 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
-    // ann_lsh: approximate by design -> rows-only check (no oracle).
+    // ann_lsh, ann_ivf: approximate by design -> rows-only check (no oracle).
 
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, text, len(text) AS lc, len(string_split(text, ' ')) AS n,

@@ -386,6 +386,50 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The `nprobe` nearest coarse-quantizer lists for an array<double> vector,
+  * by cosine (desc, list id asc), with the centroid matrix baked in as a
+  * literal. IVF list assignment is thus a pure map-side projection — no
+  * explode-to-nlist-rows, no per-vector window, no shuffle. At 100 TB the
+  * assignment column is also what the corpus gets bucketed/partitioned by
+  * at write time, so probes prune whole files. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty && nprobe > 0 && nprobe <= centroids.length)
+
+  private val nlist = centroids.length
+  // pre-normalized so per-row work is one dot product per list
+  private val unitCentroids: Array[Array[Double]] = centroids.map { c =>
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0) c.clone else c.map(_ / n)
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val sims = new Array[Double](nlist)
+    var l = 0
+    while (l < nlist) {
+      val c = unitCentroids(l)
+      val dim = math.min(d, c.length)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += v.getDouble(i) * c(i); i += 1 }
+      sims(l) = dot // |v| constant across lists: argmax unaffected
+      l += 1
+    }
+    val order = Array.tabulate(nlist)(identity)
+      .sortInPlaceWith((a, b) => sims(a) > sims(b) || (sims(a) == sims(b) && a < b))
+    new GenericArrayData(order.take(nprobe))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** 16-bit SimHash over an array<long> of 60-bit token hashes: bit b set iff
   * strictly more than half the tokens have bit b set. */
 case class SimHash16(child: Expression) extends UnaryExpression with CodegenFallback {

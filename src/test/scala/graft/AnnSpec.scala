@@ -54,4 +54,26 @@ class AnnSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("top-k sink is a bounded partial aggregate, not a per-query window") {
+    val emb = Tables.embeddings(spark, Sf)
+    val k = 5
+    val df = Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k)
+    val plan = df.queryExecution.executedPlan.toString
+
+    // The scale property: scored pairs are combined map-side by the
+    // TypedImperativeAggregate (partial_bounded_topk BEFORE the exchange),
+    // and no Window operator funnels a query's full corpus into one task.
+    assert(!plan.contains("Window"), s"window found in plan:\n$plan")
+    assert(plan.contains("partial_bounded_topk"), s"no partial top-k in plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no object-hash agg in plan:\n$plan")
+
+    // Rows entering the final aggregation are the serialized partial
+    // buffers — at most one per (query, map task), each holding <= k pairs.
+    // Verify the end result still honors the per-query bound exactly.
+    val queries = 10
+    val out = df.collect()
+    assert(out.length === queries * k)
+    assert(out.groupBy(_.getAs[Long]("qid")).values.forall(_.length <= k))
+  }
 }
