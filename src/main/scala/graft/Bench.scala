@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at the given scale factor
+  * and prints ONE JSON line. Each query is forced via
+  * `queryExecution.toRdd.foreach` — full materialization of every output
+  * column, so projection work is actually measured (a bare `.count()` lets
+  * Catalyst prune computed columns out of projection-only queries and
+  * under-reports them). A failing query is never silently timed as success:
+  * it is reported in `errors` and its wall time excluded from `value`. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,15 +25,25 @@ object Bench {
     // timed query measures the query rather than JVM cold start.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def jsonSafe(s: String): String =
+      s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
+        catch {
+          case e: Throwable =>
+            Some(jsonSafe(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = outcomes.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val errs = outcomes.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = outcomes.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -494,8 +494,10 @@ object SparkEntry {
         .withColumn("fake_w", (lit(1L) + pmod(h60, lit(640L))).as("fake_w"))
         .withColumn("fake_h", (lit(1L) + pmod(expr(
           "cast(conv(substring(md5(text),1,15),16,10) as bigint) div 640"), lit(480L))))
-        .withColumn("frame_idx",
-          explode(sequence(lit(0L), expr("least(4, (byte_len + 99) div 100) - 1"))))
+        .withColumn("frame_idx", // gated: empty payload -> zero frames, not sequence(0,-1)
+          explode(when(col("byte_len") > 0,
+            sequence(lit(0L), expr("least(4, (byte_len + 99) div 100) - 1")))
+            .otherwise(expr("array()").cast("array<bigint>"))))
         .withColumn("frame_text", expr("substring(text, cast(frame_idx*100 + 1 as int), 32)"))
         .withColumn("frame_sha", sha2(col("frame_text").cast("binary"), 256))
         .select("doc_id", "frame_idx", "byte_len", "sha_hex", "fake_w", "fake_h",
@@ -656,12 +658,12 @@ object SparkEntry {
     "convert_decimal" ->
       """SELECT o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_str,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS unscaled,
-        |  upper(to_hex(CAST(round(o_totalprice * 100) AS BIGINT))) AS unscaled_hex
+        |  CAST(CAST(o_totalprice AS DECIMAL(26,2)) * 100 AS BIGINT) AS unscaled,
+        |  upper(to_hex(CAST(CAST(o_totalprice AS DECIMAL(26,2)) * 100 AS BIGINT))) AS unscaled_hex
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "convert_money" ->
-      """WITH t AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) u FROM orders),
+      """WITH t AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(26,2)) * 100 AS BIGINT) u FROM orders),
         |g AS (SELECT o_orderkey, u // 100 AS d, u % 100 AS c FROM t)
         |SELECT o_orderkey,
         |  '$' || CASE WHEN d < 1000 THEN CAST(d AS VARCHAR)

@@ -50,12 +50,18 @@ object Converters {
   def decimalString(c: Column, precision: Int = 12, scale: Int = 2): Column =
     toDecimal(c, precision, scale).cast("string")
 
-  /** Kafka-connect unscaled integer for a scale-2 decimal (decimal.go
-    * encodes big-endian bytes of the unscaled value; we surface the integer
-    * itself, which is the information content). */
+  /** Kafka-connect unscaled integer for a decimal (decimal.go encodes
+    * big-endian bytes of the unscaled value; we surface the integer itself,
+    * which is the information content). Arithmetic stays in DECIMAL space
+    * end-to-end — a double multiply + round would lose integer precision
+    * above ~2^53/10^scale, diverging from Debezium's exact unscaled
+    * encoding. The value is pinned to `scale` by the decimal cast (HALF_UP,
+    * matching Debezium/Kafka-connect), then the power-of-ten shift is an
+    * exact decimal multiply. */
   def unscaledLong(c: Column, scale: Int = 2): Column = {
     require(scale >= 0 && scale <= 6, "scale out of supported range")
-    round(c * pow(lit(10), lit(scale))).cast("long")
+    val p10 = math.pow(10, scale).toLong
+    (toDecimal(c, 24 + scale, scale) * lit(p10).cast("decimal(7,0)")).cast("long")
   }
 
   /** Money parse (money.go:39-60): strip currency symbol + grouping commas,

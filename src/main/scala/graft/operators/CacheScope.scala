@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Scoped caching for multi-consumer intermediates.
+  *
+  * LSH-style pipelines persist a sketch DataFrame because it feeds several
+  * joins of one logical result; without a hook on "the result was computed",
+  * a plain `.persist` leaks its blocks for the life of the session — across
+  * a 38-query battery the leaked caches compound. This ties the cache's
+  * lifetime to the first completed ACTION whose plan contains the cached
+  * subtree: the blocks exist exactly while they are being reused, then go.
+  *
+  * Unpersist-before-action is harmless by construction (Spark would just
+  * recompute), so a listener miss degrades to performance, never
+  * correctness.
+  */
+object CacheScope {
+
+  /** Returns `result` unchanged; registers a one-shot session listener that
+    * unpersists `cached` (and deregisters itself) after the first
+    * success/failure of a query whose analyzed plan contains the cached
+    * subtree. */
+  def unpersistAfterUse(result: DataFrame, cached: DataFrame): DataFrame = {
+    val session = cached.sparkSession
+    val target = cached.queryExecution.analyzed
+    val done = new AtomicBoolean(false)
+    val listener = new QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val hit =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Throwable => true } // when in doubt, release
+        if (hit && done.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          session.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    session.listenerManager.register(listener)
+    result
+  }
+}

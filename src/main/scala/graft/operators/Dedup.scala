@@ -136,13 +136,16 @@ object Dedup {
     val shSets = withSig.select(col("id"), col("sh"))
     val inter = Sketch.column(SortedIntersectCount(
       Sketch.expr(col("sa.sh")), Sketch.expr(col("sb.sh"))))
-    plausible
+    val verified = plausible
       .join(shSets.as("sa"), col("id_a") === col("sa.id"))
       .join(shSets.as("sb"), col("id_b") === col("sb.id"))
       .select(
         col("id_a"), col("id_b"),
         (inter.cast("double") / (size(col("sa.sh")) + size(col("sb.sh")) - inter)).as("jacc"))
       .where(col("jacc") >= cfg.threshold)
+    // release the sketch cache once the consuming action finishes — a
+    // session running many queries must not accumulate orphaned blocks
+    CacheScope.unpersistAfterUse(verified, withSig)
   }
 
   /** SimHash fingerprints: one 16-bit content hash per doc; docs whose

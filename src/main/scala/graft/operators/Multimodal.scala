@@ -56,13 +56,18 @@ object Multimodal {
 
   /** Frame sampling over a binary payload: fixed-stride offsets, one row
     * per frame — the shape of a video frame-extraction stage. Pure
-    * expressions (no stub needed: slicing bytes is real work). */
+    * expressions (no stub needed: slicing bytes is real work). An empty
+    * payload yields ZERO frames: the sequence upper bound would be -1 there
+    * and Spark's `sequence(0, -1)` generates the descending [0, -1], so the
+    * explode is gated on byte_len > 0. */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
       stride: Int, maxFrames: Int, frameLen: Int): DataFrame =
     df.select(col(idCol), col(payloadCol),
       octet_length(col(payloadCol)).cast("long").as("byte_len"))
-      .withColumn("frame_idx", explode(sequence(lit(0L),
-        expr(s"least($maxFrames, (byte_len + ${stride - 1}) div $stride) - 1"))))
+      .withColumn("frame_idx", explode(when(col("byte_len") > 0,
+        sequence(lit(0L),
+          expr(s"least($maxFrames, (byte_len + ${stride - 1}) div $stride) - 1")))
+        .otherwise(expr("array()").cast("array<bigint>"))))
       .withColumn("frame_bytes",
         expr(s"substring($payloadCol, cast(frame_idx * $stride + 1 as int), $frameLen)"))
       .drop(payloadCol)

@@ -18,16 +18,22 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner-join `big` (skewed) with `small` (replicable) on `key`.
-    * `big`'s salt is derived from a per-row id (uniform within a hot key);
+    * `big`'s salt is derived deterministically from row CONTENT
+    * (xxhash64 over `saltCols`, or all of `big`'s columns when empty) —
+    * never from monotonically_increasing_id or rand, which recompute
+    * differently on shuffle map-task retry / speculative execution and
+    * silently drop or duplicate rows (the SPARK-23207 hazard).
     * `small` is exploded saltFactor times. */
   def saltedInnerJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
-      saltFactor: Int): DataFrame = {
+      saltFactor: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(saltFactor > 0)
+    val basis = (if (saltCols.nonEmpty) saltCols else big.columns.toSeq).map(col)
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
+      pmod(xxhash64(basis: _*), lit(saltFactor.toLong)))
     val repl = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     saltedBig

@@ -22,6 +22,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("minhash sketch cache is released after the consuming action") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " * 8),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta " * 8))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    pairs.collect() // the consuming action — listener should release the cache
+    val deadline = System.currentTimeMillis() + 15000
+    var empty = spark.sharedState.cacheManager.isEmpty
+    while (!empty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200) // listener bus is async
+      empty = spark.sharedState.cacheManager.isEmpty
+    }
+    assert(empty, "sketch DataFrame still cached after action completed")
+  }
+
   test("minhash candidate generation has no cartesian product in the plan") {
     val docs = Tables.documents(spark, Sf)
     val plan = Dedup.minhashNearDupPairs(docs, "doc_id", "text")

@@ -31,4 +31,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(per.agg(max("count")).head().getLong(0) <= 4)
     assert(frames.where(octet_length(col("frame_bytes")) > 32).count() === 0)
   }
+
+  test("frame sampling of an empty payload emits zero frames, not [0,-1]") {
+    val df = Seq((1L, Array.emptyByteArray), (2L, "0123456789" * 25 getBytes "UTF-8"))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload",
+      stride = 100, maxFrames = 4, frameLen = 32)
+    assert(frames.where(col("doc_id") === 1L).count() === 0)
+    assert(frames.where(col("doc_id") === 2L).count() === 3) // ceil(250/100)
+    assert(frames.where(col("frame_idx") < 0).count() === 0)
+  }
 }
