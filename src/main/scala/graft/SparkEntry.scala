@@ -73,6 +73,42 @@ object SparkEntry {
         .orderBy("chunk_id")
     },
 
+    "snapshot_scan_composite" -> { (s, dir) =>
+      // Composite-PK scan (primary_keys.go:14-97): lexicographic start/end
+      // overrides on (l_orderkey, l_linenumber), then single-scan chunk
+      // assignment against boundary TUPLES — boundaries deliberately split
+      // mid-order (linenumber 4) to exercise real tuple comparison, the
+      // thing a single-column scanner cannot express.
+      val pk = Seq("l_orderkey", "l_linenumber")
+      val windowed = SnapshotScan.compositeRange(Tables.lineitem(s, dir), pk,
+        start = Some(Seq(500L, 3)), end = Some(Seq(5500L, 2)))
+      val boundaries = Seq(Seq(1750L, 4), Seq(3000L, 4), Seq(4250L, 4))
+      SnapshotScan.chunkedComposite(windowed, pk, boundaries)
+        .withColumn("ek", col("l_orderkey") * 10 + col("l_linenumber"))
+        .groupBy("chunk_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("ek")).cast("long").as("min_key"),
+          max(col("ek")).cast("long").as("max_key"))
+        .orderBy("chunk_id")
+    },
+
+    "snapshot_scan_string" -> { (s, dir) =>
+      // Non-numeric PK chunking: rank-derived lexicographic boundaries over
+      // a string key (the UUID/string-PK case a Long-only scanner can't
+      // touch). Boundary discovery is a separate step from assignment, so
+      // the sampled variant slots in at scale.
+      val part = Tables.part(s, dir)
+      val bs = SnapshotScan.rankBoundaries(part, "p_name", 4)
+      SnapshotScan.chunkedComposite(part, Seq("p_name"), bs.map(Seq(_)))
+        .groupBy("chunk_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("p_name")).as("min_key"),
+          max(col("p_name")).as("max_key"))
+        .orderBy("chunk_id")
+    },
+
     "dynamo_unmarshal" -> { (s, dir) =>
       // DynamoDB export/stream AttributeValue unmarshalling
       // (sources/dynamodb/snapshot.go, lib/dynamo): round-trip rows through

@@ -77,4 +77,94 @@ object SnapshotScan {
       base.where(pk >= lo && pk < hi).withColumn("chunk_id", lit(i.toLong))
     }.reduce(_.unionAll(_))
   }
+
+  /** Single-scan chunk assignment for an already-columnar source: ONE pass,
+    * chunk id as pure arithmetic `(pk - min) div width`. [[chunked]]'s
+    * union-of-range-scans exists to map chunks onto an external paging
+    * source (JDBC partitions); over parquet it re-plans the scan N times for
+    * something a projection computes — at thousands of chunks that is plan
+    * blowup for zero I/O benefit. */
+  def chunkedSingleScan(
+      base: DataFrame, pkCol: String, bounds: PkBounds, numChunks: Int): DataFrame = {
+    val w = chunkWidth(bounds, numChunks)
+    base
+      .where(col(pkCol) >= bounds.min && col(pkCol) <= bounds.max)
+      .withColumn("chunk_id", ((col(pkCol).cast("long") - bounds.min) / w).cast("long"))
+  }
+
+  // ---- composite / non-numeric primary keys ----
+  // Reference: lib/rdbms/primary_key/primary_keys.go:14-97 — Keys holds an
+  // ORDERED list of (name, startingValue, endingValue); scan progress and
+  // start/end overrides compare keys lexicographically (keyset pagination
+  // `WHERE (k1,k2) > (v1,v2)`). The Spark re-expression keeps the same
+  // tuple order semantics as composable Column predicates, so they push
+  // into the scan like any other filter.
+
+  /** Lexicographic (row-value) `(k1,...,kn) >= (v1,...,vn)`:
+    * k1 > v1 OR (k1 = v1 AND (k2,...) >= (v2,...)). */
+  def lexGte(pkCols: Seq[String], values: Seq[Any]): Column = {
+    require(pkCols.nonEmpty && pkCols.length == values.length)
+    val k = col(pkCols.head); val v = lit(values.head)
+    if (pkCols.length == 1) k >= v
+    else (k > v) || (k === v && lexGte(pkCols.tail, values.tail))
+  }
+
+  /** Lexicographic `(k1,...,kn) <= (v1,...,vn)`. */
+  def lexLte(pkCols: Seq[String], values: Seq[Any]): Column = {
+    require(pkCols.nonEmpty && pkCols.length == values.length)
+    val k = col(pkCols.head); val v = lit(values.head)
+    if (pkCols.length == 1) k <= v
+    else (k < v) || (k === v && lexLte(pkCols.tail, values.tail))
+  }
+
+  /** Start/end overrides on a composite key (primary_keys.go LoadValues):
+    * scan only the lexicographic window [start, end], both inclusive like
+    * the reference's StartingValue/EndingValue. */
+  def compositeRange(
+      base: DataFrame,
+      pkCols: Seq[String],
+      start: Option[Seq[Any]],
+      end: Option[Seq[Any]]): DataFrame = {
+    val lo = start.map(lexGte(pkCols, _)).getOrElse(lit(true))
+    val hi = end.map(lexLte(pkCols, _)).getOrElse(lit(true))
+    base.where(lo && hi)
+  }
+
+  /** Chunk id for ascending lexicographic boundary tuples: the number of
+    * boundaries at or below the row's key. A handful of boundaries unrolls
+    * to a when-chain the optimizer codegens — single scan, map-side only,
+    * no join and no window. Boundary k sends keys in
+    * [boundaries(k-1), boundaries(k)) to chunk k; keys below the first
+    * boundary land in chunk 0. */
+  def lexChunkId(pkCols: Seq[String], boundaries: Seq[Seq[Any]]): Column =
+    boundaries
+      .map(b => when(lexGte(pkCols, b), 1L).otherwise(0L))
+      .reduceOption(_ + _)
+      .getOrElse(lit(0L))
+
+  /** Single-scan chunked read on a composite (or any orderable) key. */
+  def chunkedComposite(
+      base: DataFrame, pkCols: Seq[String], boundaries: Seq[Seq[Any]]): DataFrame =
+    base.withColumn("chunk_id", lexChunkId(pkCols, boundaries))
+
+  /** Deterministic rank-based boundaries for a string/UUID (or any
+    * orderable) key: the key VALUES at ranks `1 + i*n/numChunks` of the
+    * total order — values at a rank are well-defined even under ties, so
+    * the assignment is exactly reproducible by an external oracle. This
+    * exact path sorts once; at 100 TB swap in sampled boundaries (the
+    * RangePartitioner contract — same downstream assignment, approximate
+    * balance), which is why boundary DISCOVERY is separated from chunk
+    * ASSIGNMENT. */
+  def rankBoundaries(df: DataFrame, keyCol: String, numChunks: Int): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val ranks = (1 until numChunks).map(i => 1L + i * n / numChunks).toSet
+    df.select(col(keyCol).cast("string").as("k"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+      .where(col("rn").isin(ranks.toSeq: _*))
+      .orderBy("rn")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+  }
 }
