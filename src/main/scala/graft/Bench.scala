@@ -26,8 +26,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
 
+    // \p{Cntrl} covers \n\r\t plus the rest of U+0000-U+001F (a \b or \f in
+    // an exception message would otherwise break the single-line JSON).
     def jsonSafe(s: String): String =
-      s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+      s.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
 
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -12,8 +12,9 @@ import graft.sinks.BatchedSink
 import graft.streaming.EventsIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query
-  * mapping. Every `queries` key has matching DuckDB `oracleSql` (except the
-  * approximate `ann_lsh`, which gets the driver's rows-only check).
+  * mapping. Every `queries` key has matching DuckDB `oracleSql` except the
+  * two approximate-by-design ANN variants (`ann_lsh`, `ann_ivf`), which get
+  * the driver's rows-only check plus recall unit tests in AnnSpec.
   *
   * Exactness conventions (so value hashes match the DuckDB oracle):
   *  - integer outputs are BIGINT on both sides;
@@ -273,6 +274,22 @@ object SparkEntry {
         .orderBy("user_id", "ts_ms")
     },
 
+    "cdc_schema" -> { (s, dir) =>
+      // The Schema/FieldsObject typing block (transformer.go:47-66) derived
+      // mechanically from the column types and shipped on every message.
+      // ts (MicroTimestamp), event_date (Date) and price (Kafka-connect
+      // Decimal with scale/precision parameters) exercise the semantic-type
+      // and parameter mapping; payload columns carry the converted wire
+      // values (epoch micros/days, unscaled decimal integer).
+      val src = Tables.events(s, dir)
+        .withColumnRenamed("ts_ntz", "ts")
+        .withColumn("event_date", col("ts").cast("date"))
+        .withColumn("price", col("value").cast("decimal(12,2)"))
+      Envelope.schemaEnvelope(src, "event_id", expr("ts_ns div 1000000"), "events",
+        Seq("user_id", "event_type", "value", "ts", "event_date", "price"))
+        .orderBy("event_id")
+    },
+
     "cdc_latest_state" -> { (s, dir) =>
       Envelope.latestState(Tables.events(s, dir), Seq("user_id"),
         Seq(col("ts_ns"), col("event_id")))
@@ -280,6 +297,47 @@ object SparkEntry {
           col("event_type").as("last_event_type"), col("value").as("last_value"),
           expr("ts_ns div 1000000").as("last_ts_ms"))
         .orderBy("user_id")
+    },
+
+    "mongo_change" -> { (s, dir) =>
+      // Mongo change-stream analogue (lib/mongo/change_event.go:8-60): rows
+      // are round-tripped through the raw change-event shape (operationType,
+      // ns, documentKey, fullDocument in extended JSON — $oid, $numberLong,
+      // canonical $date) and parsed back with ONE typed from_json pass.
+      // Deletes carry no fullDocument, matching ToMessage's documentKey-only
+      // payload (change_event.go:120-127).
+      import graft.cdc.MongoChange
+      val opType = when(col("event_type") === "error", lit("delete"))
+        .when(col("event_type") === "purchase", lit("insert"))
+        .otherwise(lit("update"))
+      val oidHex = substring(md5(col("event_id").cast("string")), 1, 24)
+      val fullDoc = concat(
+        lit(""","fullDocument":{"_id":{"$oid":""""), oidHex,
+        lit(""""},"user_id":{"$numberLong":""""), col("user_id").cast("string"),
+        lit(""""},"event_type":""""), col("event_type"),
+        lit("""","value":"""), col("value").cast("string"),
+        lit(""","ts":{"$date":{"$numberLong":""""), expr("ts_ns div 1000000").cast("string"),
+        lit(""""}}}"""))
+      val raw = concat(
+        lit("""{"operationType":""""), opType,
+        lit("""","ns":{"db":"graft","coll":"events"},"documentKey":{"_id":{"$oid":""""),
+        oidHex, lit(""""}}"""),
+        when(opType === "delete", lit("")).otherwise(fullDoc),
+        lit("}"))
+      Tables.events(s, dir)
+        .select(col("event_id"), raw.as("mongo_json"))
+        .withColumn("ce", MongoChange.parse(col("mongo_json")))
+        .select(
+          col("event_id"),
+          col("mongo_json"),
+          MongoChange.opCode(col("ce").getField("operationType")).as("op"),
+          col("ce").getField("ns").getField("coll").as("coll"),
+          MongoChange.oid(col("ce")).as("oid"),
+          MongoChange.docLong(col("ce"), "user_id").as("doc_user_id"),
+          col("ce").getField("fullDocument").getField("event_type").as("doc_event_type"),
+          col("ce").getField("fullDocument").getField("value").as("doc_value"),
+          MongoChange.docDateMs(col("ce"), "ts").as("doc_ts_ms"))
+        .orderBy("event_id")
     },
 
     "convert_temporal" -> { (s, dir) =>
@@ -290,6 +348,29 @@ object SparkEntry {
         expr("ts_ns div 1000").as("ts_us_epoch"),
         Cv.microsSinceMidnight(expr("ts_ns div 1000")).as("micros_of_day"),
         Cv.isoDate(col("ts_ntz")).as("iso_date"))
+        .orderBy("event_id")
+    },
+
+    "convert_duration" -> { (s, dir) =>
+      // time_duration.go time-of-day durations (ms int32 / µs / ns) plus
+      // int.go checked-width semantics: iv spans ±50k (some overflow int16),
+      // iv_wide spans ±5e9 (some overflow int32).
+      // µs-truncated clock (same convention as ts_ntz): DuckDB reads the
+      // nano-timestamp at µs precision, so sub-µs nanos are pinned to 0 on
+      // both sides.
+      val clockNs = expr("(ts_ns div 1000) * 1000")
+      Tables.events(s, dir)
+        .withColumn("iv", (col("event_id") % 100000) - 50000)
+        .withColumn("iv_wide", ((col("event_id") % 100000) - 50000) * 100000)
+        .select(
+          col("event_id"),
+          Cv.timeOfDayMillis(clockNs).as("dur_ms"),
+          Cv.timeOfDayMicros(clockNs).as("dur_us"),
+          Cv.timeOfDayNanos(clockNs).as("dur_ns"),
+          Cv.checkedInt16(col("iv")).as("i16"),
+          Cv.fitsInt16(col("iv")).as("i16_ok"),
+          Cv.checkedInt32(col("iv_wide")).as("i32"),
+          Cv.fitsInt32(col("iv_wide")).as("i32_ok"))
         .orderBy("event_id")
     },
 
@@ -325,12 +406,19 @@ object SparkEntry {
     },
 
     "convert_json" -> { (s, dir) =>
-      val k = Cv.jsonFieldLong(col("props"), "$.k")
-      Tables.events(s, dir).select(
-        col("event_id"),
-        k.as("k_val"),
-        length(col("props")).cast("long").as("props_len"),
-        (k * k).as("k_sq"))
+      // Parse the JSON ONCE in a lower projection, then reference the
+      // extracted column: Catalyst does not subexpression-eliminate repeated
+      // get_json_object calls across a single Project, so inlining `k` into
+      // `k_sq` re-parses the document per use (3x parse, measured as the #1
+      // bench cost in r3). CollapseProject keeps the two-level shape because
+      // k_val is referenced more than once and is non-cheap.
+      Tables.events(s, dir)
+        .withColumn("k_val", Cv.jsonFieldLong(col("props"), "$.k"))
+        .select(
+          col("event_id"),
+          col("k_val"),
+          length(col("props")).cast("long").as("props_len"),
+          (col("k_val") * col("k_val")).as("k_sq"))
         .orderBy("event_id")
     },
 
@@ -367,6 +455,25 @@ object SparkEntry {
     },
 
     // ---- streaming + sink (#19-20) ----
+
+    "schema_evolution" -> { (s, dir) =>
+      // DDL events (alter_table.go:12-235) parsed from statement strings
+      // and replayed over the data: rename + type-modify + add-with-default
+      // + add-nullable + drop. Every step is a narrow projection (map-only
+      // at any scale); the streaming conformTo twin is spec-tested.
+      import graft.cdc.SchemaEvolution
+      val ddl = Seq(
+        "ALTER TABLE events RENAME COLUMN value TO amount",
+        "ALTER TABLE events MODIFY COLUMN amount DECIMAL(12,2)",
+        "ALTER TABLE events ADD COLUMN flag STRING DEFAULT 'new'",
+        "ALTER TABLE events ADD COLUMN amount_cents BIGINT",
+        "ALTER TABLE events DROP COLUMN props")
+      val events = ddl.map(st => SchemaEvolution.parse(st).getOrElse(
+        sys.error(s"unparsed DDL: $st")))
+      val base = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "props")
+      SchemaEvolution.replay(base, events).orderBy("event_id")
+    },
 
     "stream_events" -> { (s, dir) =>
       val landed = EventsIngest.freshIngest(s, s"$dir/events.parquet", workDir("stream", dir))
@@ -559,6 +666,38 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 8999
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "snapshot_scan_composite" ->
+      // lexGte/lexLte expanded to explicit boolean form; chunk_id = number
+      // of boundary tuples at or below (l_orderkey, l_linenumber)
+      """WITH w AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE (l_orderkey > 500 OR (l_orderkey = 500 AND l_linenumber >= 3))
+        |    AND (l_orderkey < 5500 OR (l_orderkey = 5500 AND l_linenumber <= 2))),
+        |c AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS ek,
+        |    CAST(
+        |      (CASE WHEN l_orderkey > 1750 OR (l_orderkey = 1750 AND l_linenumber >= 4) THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_orderkey > 3000 OR (l_orderkey = 3000 AND l_linenumber >= 4) THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_orderkey > 4250 OR (l_orderkey = 4250 AND l_linenumber >= 4) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS chunk_id
+        |  FROM w)
+        |SELECT chunk_id, count(*) AS n_rows,
+        |  CAST(min(ek) AS BIGINT) AS min_key, CAST(max(ek) AS BIGINT) AS max_key
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "snapshot_scan_string" ->
+      // boundary VALUES at ranks 1 + i*n/4 of the p_name total order (ties:
+      // the value at a rank is well-defined); chunk_id = boundaries <= key
+      """WITH n AS (SELECT count(*) AS n FROM part),
+        |r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rn FROM part),
+        |b AS (SELECT p_name AS bk FROM r, n
+        |      WHERE rn IN (1 + (1*n)//4, 1 + (2*n)//4, 1 + (3*n)//4)),
+        |c AS (SELECT p.p_name,
+        |        CAST((SELECT count(*) FROM b WHERE p.p_name >= b.bk) AS BIGINT) AS chunk_id
+        |      FROM part p)
+        |SELECT chunk_id, count(*) AS n_rows, min(p_name) AS min_key, max(p_name) AS max_key
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dynamo_unmarshal" ->
       """WITH t AS (SELECT event_id,
         |  '{"user_id":{"N":"' || CAST(user_id AS VARCHAR) || '"},"event_type":{"S":"' || event_type ||
@@ -675,12 +814,50 @@ object SparkEntry {
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS before_value
         |FROM events ORDER BY user_id, ts_ms""".stripMargin,
 
+    "cdc_schema" ->
+      """SELECT event_id, 'r' AS op, epoch_ms(ts) AS ts_ms, 'events' AS source_table,
+        |  '{"type":"struct","fields":[{"type":"struct","fields":[{"type":"int64","optional":true,"field":"user_id"},{"type":"string","optional":true,"field":"event_type"},{"type":"double","optional":true,"field":"value"},{"type":"int64","optional":true,"field":"ts","name":"io.debezium.time.MicroTimestamp"},{"type":"int32","optional":true,"field":"event_date","name":"io.debezium.time.Date"},{"type":"bytes","optional":true,"field":"price","name":"org.apache.kafka.connect.data.Decimal","parameters":{"scale":"2","connect.decimal.precision":"12"}}],"optional":false,"field":"after"}]}' AS schema_json,
+        |  user_id AS after_user_id, event_type AS after_event_type, value AS after_value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS after_ts,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS after_event_date,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS after_price
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "cdc_latest_state" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         |  value AS last_value, epoch_ms(ts) AS last_ts_ms
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "mongo_change" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |         WHEN event_type = 'purchase' THEN 'insert' ELSE 'update' END AS op_type,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 24) AS oid,
+        |    user_id, event_type, value, epoch_ms(ts) AS ms
+        |  FROM events),
+        |j AS (
+        |  SELECT event_id,
+        |    '{"operationType":"' || op_type || '","ns":{"db":"graft","coll":"events"},"documentKey":{"_id":{"$oid":"' || oid || '"}}' ||
+        |    CASE WHEN op_type = 'delete' THEN '' ELSE
+        |      ',"fullDocument":{"_id":{"$oid":"' || oid || '"},"user_id":{"$numberLong":"' || CAST(user_id AS VARCHAR) ||
+        |      '"},"event_type":"' || event_type || '","value":' || CAST(value AS VARCHAR) ||
+        |      ',"ts":{"$date":{"$numberLong":"' || CAST(ms AS VARCHAR) || '"}}}' END
+        |    || '}' AS mongo_json
+        |  FROM t)
+        |SELECT event_id, mongo_json,
+        |  CASE json_extract_string(mongo_json, '$.operationType')
+        |    WHEN 'insert' THEN 'c' WHEN 'update' THEN 'u' WHEN 'replace' THEN 'u'
+        |    WHEN 'delete' THEN 'd' END AS op,
+        |  json_extract_string(mongo_json, '$.ns.coll') AS coll,
+        |  json_extract_string(mongo_json, '$.documentKey._id."$oid"') AS oid,
+        |  CAST(json_extract_string(mongo_json, '$.fullDocument.user_id."$numberLong"') AS BIGINT) AS doc_user_id,
+        |  json_extract_string(mongo_json, '$.fullDocument.event_type') AS doc_event_type,
+        |  CAST(json_extract_string(mongo_json, '$.fullDocument.value') AS DOUBLE) AS doc_value,
+        |  CAST(json_extract_string(mongo_json, '$.fullDocument.ts."$date"."$numberLong"') AS BIGINT) AS doc_ts_ms
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "convert_temporal" ->
       """SELECT event_id,
@@ -690,6 +867,21 @@ object SparkEntry {
         |  epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS micros_of_day,
         |  CAST(CAST(ts AS DATE) AS VARCHAR) AS iso_date
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "convert_duration" ->
+      """WITH t AS (SELECT event_id, (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) * 1000 AS tod,
+        |    (event_id % 100000) - 50000 AS iv,
+        |    ((event_id % 100000) - 50000) * 100000 AS iv_wide
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(tod // 1000000 AS INTEGER) AS dur_ms,
+        |  tod // 1000 AS dur_us,
+        |  tod AS dur_ns,
+        |  CASE WHEN iv BETWEEN -32768 AND 32767 THEN CAST(iv AS SMALLINT) END AS i16,
+        |  iv BETWEEN -32768 AND 32767 AS i16_ok,
+        |  CASE WHEN iv_wide BETWEEN -2147483648 AND 2147483647 THEN CAST(iv_wide AS INTEGER) END AS i32,
+        |  iv_wide BETWEEN -2147483648 AND 2147483647 AS i32_ok
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "convert_decimal" ->
       """SELECT o_orderkey,
@@ -740,6 +932,13 @@ object SparkEntry {
         |  CAST(regexp_extract('POINT(' || CAST(c_nationkey AS VARCHAR) || ' ' || CAST(c_custkey AS VARCHAR) || ')',
         |    'POINT\(([0-9]+) ([0-9]+)\)', 2) AS BIGINT) AS geom_y
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "schema_evolution" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(value AS DECIMAL(12,2)) AS amount,
+        |  'new' AS flag,
+        |  CAST(NULL AS BIGINT) AS amount_cents
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_events" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,

@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 
 /** Debezium envelope + latest-state compaction, as Catalyst expressions.
   *
@@ -70,6 +71,97 @@ object Envelope {
       lit(table).as("source_table")) ++
       valueCols.map(c => col(c).as(s"after_$c")) ++
       valueCols.map(c => lag(col(c), 1).over(w).as(s"before_$c"))
+    df.select(flat: _*)
+  }
+
+  // ---- schema descriptor (the Debezium Schema/FieldsObject typing block) ----
+  // Reference: lib/debezium/transformer/transformer.go:47-66 — the
+  // transformer builds `debezium.Schema{FieldsObject: [{Fields, Optional:
+  // false, FieldLabel: "after"}]}` from every column's
+  // `ValueConverter.ToField(name)`, and every payload ships with it
+  // (createPayload → SchemaEventPayload{Schema, Payload},
+  // transformer.go:108-127). That block is what makes the envelope
+  // self-describing to downstream consumers. The Spark analogue derives the
+  // same (wire type, semantic type, parameters) triple from the column's
+  // Catalyst DataType — the engine-side mapping each converter's ToField
+  // hardcodes (converters/time.go:15-97, decimal.go:38-53, passthrough.go).
+
+  /** Debezium wire type + optional semantic type/parameters for a Spark
+    * type. Mirrors the converter→Field table: temporal types land on
+    * io.debezium.time.* over int32/int64, decimals on the Kafka-connect
+    * Decimal logical type over bytes with scale/precision parameters, and
+    * primitives pass through. */
+  def debeziumFieldSpec(dt: DataType): (String, Option[String], Seq[(String, String)]) =
+    dt match {
+      case BooleanType => ("boolean", None, Nil)
+      case ShortType => ("int16", None, Nil)
+      case IntegerType => ("int32", None, Nil)
+      case LongType => ("int64", None, Nil)
+      case FloatType => ("float", None, Nil)
+      case DoubleType => ("double", None, Nil)
+      case StringType => ("string", None, Nil)
+      case BinaryType => ("bytes", None, Nil)
+      case DateType => ("int32", Some("io.debezium.time.Date"), Nil)
+      case TimestampType | TimestampNTZType =>
+        ("int64", Some("io.debezium.time.MicroTimestamp"), Nil)
+      case d: DecimalType =>
+        ("bytes", Some("org.apache.kafka.connect.data.Decimal"),
+          Seq("scale" -> d.scale.toString,
+            "connect.decimal.precision" -> d.precision.toString))
+      case other =>
+        throw new IllegalArgumentException(s"no Debezium field mapping for $other")
+    }
+
+  private def fieldJson(name: String, dt: DataType, nullable: Boolean): String = {
+    val (wire, sem, params) = debeziumFieldSpec(dt)
+    val base = s""""type":"$wire","optional":$nullable,"field":"$name""""
+    val semPart = sem.map(n => s""","name":"$n"""").getOrElse("")
+    val paramPart =
+      if (params.isEmpty) ""
+      else params.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString(""","parameters":{""", ",", "}")
+    s"{$base$semPart$paramPart}"
+  }
+
+  /** JSON rendering of the full Schema block for an `after` row of the given
+    * fields — transformer.go:56-62's FieldsObject list with the single
+    * "after" entry, rendered in Debezium's wire shape. */
+  def schemaJson(fields: Seq[(String, DataType, Boolean)]): String = {
+    val inner = fields.map { case (n, dt, nl) => fieldJson(n, dt, nl) }.mkString(",")
+    s"""{"type":"struct","fields":[{"type":"struct","fields":[$inner],"optional":false,"field":"after"}]}"""
+  }
+
+  /** Convert a column to its Debezium wire value (convertRow analogue,
+    * transformer.go:131-149): temporals to epoch int32/int64 per their
+    * semantic type, decimals to the unscaled integer (the information
+    * content of decimal.go's big-endian bytes), primitives pass through. */
+  def wireValue(name: String, dt: DataType): Column = dt match {
+    case DateType =>
+      datediff(col(name), to_date(lit("1970-01-01"))).cast("int")
+    case TimestampType | TimestampNTZType => unix_micros(col(name).cast("timestamp"))
+    case d: DecimalType =>
+      val p10 = math.pow(10, d.scale).toLong
+      (col(name) * lit(p10).cast("decimal(7,0)")).cast("long")
+    case _ => col(name)
+  }
+
+  /** Snapshot envelope WITH the schema descriptor: op='r' payload columns
+    * converted to wire values, plus the `schema_json` typing block every
+    * message carries (SchemaEventPayload = {Schema, Payload}). */
+  def schemaEnvelope(
+      df: DataFrame,
+      pkCol: String,
+      tsMs: Column,
+      table: String,
+      afterCols: Seq[String]): DataFrame = {
+    val specs = afterCols.map(c => (c, df.schema(c).dataType, df.schema(c).nullable))
+    val flat = Seq(
+      col(pkCol),
+      lit("r").as("op"),
+      tsMs.cast("long").as("ts_ms"),
+      lit(table).as("source_table"),
+      lit(schemaJson(specs)).as("schema_json")) ++
+      afterCols.map(c => wireValue(c, df.schema(c).dataType).as(s"after_$c"))
     df.select(flat: _*)
   }
 

@@ -37,6 +37,52 @@ object Converters {
   /** ISO date string (reader renders dates via time.Format downstream). */
   def isoDate(c: Column): Column = c.cast("date").cast("string")
 
+  // ---- duration (reference: lib/debezium/converters/time_duration.go) ----
+  // getTimeDuration(t, unit) = (hours + minutes + seconds + nanos) / unit:
+  // the time-of-day expressed in the given unit. TimeConverter emits int32
+  // milliseconds, MicroTimeConverter int64 micros, NanoTimeConverter int64
+  // nanos (time.go:15-77). Input here is raw epoch nanoseconds (the events
+  // table's physical clock); day truncation is the pmod.
+
+  private val DayNanos = 86400000000000L
+
+  /** Exact floor division for |a| < 2^53: subtract the remainder first so
+    * the double divide has an integer quotient (no rounding hazard). */
+  private def longDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** Debezium `Time`: int32 milliseconds past midnight. */
+  def timeOfDayMillis(epochNanos: Column): Column =
+    longDiv(pmod(epochNanos, lit(DayNanos)), 1000000L).cast("int")
+
+  /** Debezium `MicroTime`: int64 microseconds past midnight. */
+  def timeOfDayMicros(epochNanos: Column): Column =
+    longDiv(pmod(epochNanos, lit(DayNanos)), 1000L)
+
+  /** Debezium `NanoTime`: int64 nanoseconds past midnight. */
+  def timeOfDayNanos(epochNanos: Column): Column =
+    pmod(epochNanos, lit(DayNanos))
+
+  // ---- checked integer widths (reference: lib/debezium/converters/int.go) ----
+  // asInt16/asInt32 REJECT values that overflow the declared width instead
+  // of silently wrapping (int.go:8-51). The columnar analogue of the error
+  // return is NULL-on-overflow plus an explicit fits flag, so a pipeline can
+  // route overflows to a dead-letter side instead of aborting the batch.
+
+  /** int16 downcast, NULL when the value overflows (asInt16, int.go:8-30). */
+  def checkedInt16(c: Column): Column =
+    when(c.between(Short.MinValue.toLong, Short.MaxValue.toLong), c.cast("smallint"))
+
+  def fitsInt16(c: Column): Column =
+    c.between(Short.MinValue.toLong, Short.MaxValue.toLong)
+
+  /** int32 downcast, NULL when the value overflows (asInt32, int.go:33-51). */
+  def checkedInt32(c: Column): Column =
+    when(c.between(Int.MinValue.toLong, Int.MaxValue.toLong), c.cast("int"))
+
+  def fitsInt32(c: Column): Column =
+    c.between(Int.MinValue.toLong, Int.MaxValue.toLong)
+
   // ---- decimal / money (reference: lib/debezium/converters/decimal.go, money.go) ----
 
   /** Scale-pinned exact decimal: the Spark analogue of
@@ -65,11 +111,10 @@ object Converters {
   }
 
   /** Money parse (money.go:39-60): strip currency symbol + grouping commas,
-    * then pin to scale 2. */
-  def moneyToDecimal(c: Column, currencySymbol: String = "$"): Column = {
-    val stripped = regexp_replace(c, lit("[,\\" + currencySymbol + "]"), lit(""))
-    stripped.cast("decimal(12,2)")
-  }
+    * then pin to scale 2. `translate` (per-char table lookup) over a regex
+    * engine: the stripped set is a fixed character list, not a pattern. */
+  def moneyToDecimal(c: Column, currencySymbol: String = "$"): Column =
+    translate(c, currencySymbol + ",", "").cast("decimal(12,2)")
 
   // ---- json (reference: lib/debezium/converters/json.go) ----
 

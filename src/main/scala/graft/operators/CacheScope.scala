@@ -21,11 +21,38 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheScope {
 
+  /** A registered scope awaiting its releasing action. */
+  private final case class Scope(createdAtMs: Long, release: () => Unit)
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Scope]()
+
+  /** Fallback TTL: a scope whose result was never executed would otherwise
+    * hold its blocks (and its listener registration) for the session's
+    * life. Stale scopes are swept on the next unpersistAfterUse call —
+    * amortized cleanup, no background thread. */
+  private val staleTtlMs: Long = sys.env.getOrElse("GRAFT_CACHE_TTL_MS", "600000").toLong
+
+  private def sweepStale(): Unit = {
+    val now = System.currentTimeMillis()
+    val it = pending.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      if (now - s.createdAtMs > staleTtlMs) { s.release(); it.remove() }
+    }
+  }
+
   /** Returns `result` unchanged; registers a one-shot session listener that
     * unpersists `cached` (and deregisters itself) after the first
     * success/failure of a query whose analyzed plan contains the cached
-    * subtree. */
+    * subtree.
+    *
+    * Caller contract: execute the returned result exactly once, promptly.
+    * The FIRST completed action anywhere in the session whose plan contains
+    * the cached subtree (sameResult match) releases the cache — a
+    * concurrent identical query releases it early, which degrades to
+    * recompute, never to wrong results. If the result is never executed,
+    * the TTL sweep above reclaims the blocks on a later scope creation. */
   def unpersistAfterUse(result: DataFrame, cached: DataFrame): DataFrame = {
+    sweepStale()
     val session = cached.sparkSession
     val target = cached.queryExecution.analyzed
     val done = new AtomicBoolean(false)
@@ -45,6 +72,11 @@ object CacheScope {
         maybeRelease(qe)
     }
     session.listenerManager.register(listener)
+    pending.add(Scope(System.currentTimeMillis(), () =>
+      if (done.compareAndSet(false, true)) {
+        cached.unpersist(blocking = false)
+        session.listenerManager.unregister(listener)
+      }))
     result
   }
 }

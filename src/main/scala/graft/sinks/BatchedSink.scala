@@ -29,7 +29,14 @@ object BatchedSink {
     * re-reading the written output: it needs only (batch_id, pk), so
     * Catalyst prunes the recompute down to a narrow scan of the key column —
     * versus re-reading every written byte, which doubles the job's I/O at
-    * 100 TB. */
+    * 100 TB.
+    *
+    * Determinism precondition: `df` must be deterministic and the source
+    * immutable between the write and the manifest recompute (true for the
+    * snapshot scans this sink serves — a snapshot is by definition a frozen
+    * keyspace). For a mutating or nondeterministic source, ack from
+    * `spark.read.parquet(outDir).select("batch_id", pkCol)` instead — still
+    * a narrow key-column scan of the written files, not a full re-read. */
   def writeBatched(
       df: DataFrame,
       pkCol: String,

@@ -89,7 +89,10 @@ object SnapshotScan {
     val w = chunkWidth(bounds, numChunks)
     base
       .where(col(pkCol) >= bounds.min && col(pkCol) <= bounds.max)
-      .withColumn("chunk_id", ((col(pkCol).cast("long") - bounds.min) / w).cast("long"))
+      // integer `div`, not `/`+cast: double division loses exactness near
+      // 2^53 and can round a quotient across an integer boundary, assigning
+      // the wrong chunk for extreme key offsets
+      .withColumn("chunk_id", expr(s"(cast($pkCol as bigint) - ${bounds.min}L) div ${w}L"))
   }
 
   // ---- composite / non-numeric primary keys ----
@@ -150,21 +153,45 @@ object SnapshotScan {
   /** Deterministic rank-based boundaries for a string/UUID (or any
     * orderable) key: the key VALUES at ranks `1 + i*n/numChunks` of the
     * total order — values at a rank are well-defined even under ties, so
-    * the assignment is exactly reproducible by an external oracle. This
-    * exact path sorts once; at 100 TB swap in sampled boundaries (the
-    * RangePartitioner contract — same downstream assignment, approximate
-    * balance), which is why boundary DISCOVERY is separated from chunk
-    * ASSIGNMENT. */
-  def rankBoundaries(df: DataFrame, keyCol: String, numChunks: Int): Seq[String] = {
-    import org.apache.spark.sql.expressions.Window
-    val n = df.count()
-    val ranks = (1 until numChunks).map(i => 1L + i * n / numChunks).toSet
-    df.select(col(keyCol).cast("string").as("k"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
-      .where(col("rn").isin(ranks.toSeq: _*))
-      .orderBy("rn")
-      .collect()
-      .map(_.getString(0))
-      .toSeq
+    * the assignment is exactly reproducible by an external oracle.
+    *
+    * Scale shape (no global sort, no unpartitioned window): distinct-key
+    * counts (one keyed shuffle with map-side partials) are range-partitioned
+    * and sorted per partition; phase 1 ships ONE long per partition to the
+    * driver (partition totals → exact global rank offsets), phase 2 walks
+    * each partition's sorted keys with its known starting rank and emits
+    * only the keys covering a target rank. Driver traffic is P longs +
+    * numChunks-1 boundary keys — the same merge RangePartitioner performs,
+    * but on exact counts, so the result is byte-reproducible by a SQL
+    * oracle's row_number. */
+  def rankBoundaries(
+      df: DataFrame, keyCol: String, numChunks: Int, numPartitions: Int = 32): Seq[String] = {
+    import df.sparkSession.implicits._
+    val cnts = df.select(col(keyCol).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(numPartitions, col("k"))
+      .sortWithinPartitions("k")
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = cnts.mapPartitions { it =>
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.map(_._2).sum))
+      }.collect().toMap
+      val n = partTotals.valuesIterator.sum
+      if (n == 0L) return Seq.empty
+      val maxPid = if (partTotals.isEmpty) -1 else partTotals.keysIterator.max
+      val offsets = new Array[Long](maxPid + 2)
+      (0 to maxPid).foreach(p => offsets(p + 1) = offsets(p) + partTotals.getOrElse(p, 0L))
+      val targets = (1 until numChunks).map(i => 1L + i * n / numChunks).distinct.sorted.toArray
+      cnts.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = offsets(pid)
+        it.flatMap { case (k, c) =>
+          val lo = cum + 1
+          cum += c
+          targets.iterator.filter(t => t >= lo && t <= cum).map(t => (t, k))
+        }
+      }.collect().sortBy(_._1).map(_._2).toSeq
+    } finally cnts.unpersist(blocking = false)
   }
 }
