@@ -51,10 +51,13 @@ object SchemaEvolution {
     * yield None so callers can dead-letter them. */
   def parse(ddl: String): Option[DdlEvent] = ddl.trim match {
     case AddRe(name, typ, dflt) =>
-      Some(AddColumn(name, DataType.fromDDL(typ.trim),
-        Option(dflt).map(_.trim.stripPrefix("'").stripSuffix("'"))))
+      // an unparsable type (e.g. "ADD PRIMARY KEY (id)" shapes that slip
+      // past the column regex) is not a column event — dead-letter it
+      scala.util.Try(DataType.fromDDL(typ.trim)).toOption.map(dt =>
+        AddColumn(name, dt, Option(dflt).map(_.trim.stripPrefix("'").stripSuffix("'"))))
     case RenameRe(from, to) => Some(RenameColumn(from, to))
-    case ModifyRe(name, typ) => Some(ModifyColumn(name, DataType.fromDDL(typ.trim)))
+    case ModifyRe(name, typ) =>
+      scala.util.Try(DataType.fromDDL(typ.trim)).toOption.map(ModifyColumn(name, _))
     case DropRe(name) => Some(DropColumn(name))
     case _ => None
   }

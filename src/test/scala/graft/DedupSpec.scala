@@ -45,6 +45,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("embedding LSH finds planted near-duplicate vectors") {
+    // perturbation of 0.05 sigma per dim gives cos ~ 0.9987 >> 0.9; with
+    // 256 bands x 16 bits the analytic miss probability at cos 0.9 is
+    // ~1.9e-10 (see Dedup.embeddingNearDupPairs doc), so this must be
+    // deterministic in practice. Unrelated random 64-dim pairs sit near
+    // cos 0 and must be absent (exact verify).
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 20).map(_ => vec())
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      base.take(5).zipWithIndex.map { case (v, i) =>
+        ((100 + i).toLong, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", dim = 64, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(found.contains((i.toLong, (100 + i).toLong)), s"planted pair $i missed")
+    }
+    assert(found.size === 5, s"unexpected extra pairs: $found")
+  }
+
   test("exactLatest keeps exactly one row per key") {
     val ev = Tables.events(spark, Sf)
     val out = Dedup.exactLatest(ev, Seq("user_id", "event_type"),

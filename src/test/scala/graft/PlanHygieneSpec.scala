@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+
+/** Cross-cutting plan assertions over EVERY driver query: defects that are
+  * invisible at test scale but fatal at 100 TB must be structurally absent,
+  * not just currently fast. */
+class PlanHygieneSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("no query plans an unpartitioned Window (single-partition global sort)") {
+    // A Window with an empty partitionSpec pulls the whole input through ONE
+    // task — the r3 rankBoundaries defect. Checked on the optimized logical
+    // plan so AQE re-planning can't hide it.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, Sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in: ${offenders.distinct.mkString(", ")}")
+  }
+
+  test("no query plans a cartesian product or broadcast nested loop join") {
+    // ann_topk is the ONE deliberate broadcast nested loop: a tiny broadcast
+    // query set scored against every corpus row map-side (its scale story is
+    // the bounded top-k sink, asserted in AnnSpec). Everything else must be
+    // keyed joins. CartesianProduct is banned everywhere.
+    val nljAllowed = Set("ann_topk")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val s = fn(spark, Sf).queryExecution.executedPlan.toString
+      if (s.contains("CartesianProduct") ||
+        (s.contains("BroadcastNestedLoopJoin") && !nljAllowed(name)))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"cross-product join in: ${offenders.mkString(", ")}")
+  }
+
+  // This spec CONSTRUCTS every query without executing it, which persists
+  // the LSH sketch intermediates whose release listener only fires on a
+  // consuming action. Drop them so later suites can assert on global cache
+  // state.
+  override def withFixture(test: NoArgTest) = {
+    val out = super.withFixture(test)
+    spark.sharedState.cacheManager.clearCache()
+    out
+  }
+}
