@@ -184,13 +184,20 @@ object Dedup {
     val base = embeddings.select(
       col(idCol).as("id"),
       VectorFunctions.toDouble(col(vecCol)).as("v"))
+
+    // Materialize the band table once: it feeds BOTH sides of the self-join,
+    // and without the persist each side re-runs the 4096-projection kernel
+    // over the full corpus (same "persist the signatures" rule as the
+    // MinHash pipeline). The cached table is (id, band_id, band_key) longs —
+    // ~24 B x bands per row — released by CacheScope after the consuming
+    // action.
+    val bandTable = base
       .withColumn("bkeys", Sketch.column(
         HyperplaneBandKeys(Sketch.expr(col("v")), numBands, bitsPerBand, dim)))
-
-    val bandTable = base
       .select(col("id"), posexplode(col("bkeys")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = bandTable.as("x")
       .join(bandTable.as("y"), Seq("band_id", "band_key"))
@@ -198,12 +205,14 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
+    // exact-verify branch prunes to (id, v) — no kernel re-eval
     val vecs = base.select(col("id"), col("v"))
-    candidates
+    val verified = candidates
       .join(vecs.as("va"), col("id_a") === col("va.id"))
       .join(vecs.as("vb"), col("id_b") === col("vb.id"))
       .select(col("id_a"), col("id_b"),
         Sketch.column(CosineSim(Sketch.expr(col("va.v")), Sketch.expr(col("vb.v")))).as("cos"))
       .where(col("cos") >= threshold)
+    CacheScope.unpersistAfterUse(verified, bandTable)
   }
 }
