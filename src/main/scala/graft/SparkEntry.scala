@@ -347,7 +347,9 @@ object SparkEntry {
         expr("ts_ns div 1000000").as("ts_ms_epoch"),
         expr("ts_ns div 1000").as("ts_us_epoch"),
         Cv.microsSinceMidnight(expr("ts_ns div 1000")).as("micros_of_day"),
-        Cv.isoDate(col("ts_ntz")).as("iso_date"))
+        Cv.isoDate(col("ts_ntz")).as("iso_date"),
+        Cv.zonedTimestamp(col("ts_ntz")).as("zoned_ts"),
+        Cv.yearInt(col("ts_ntz")).as("yr"))
         .orderBy("event_id")
     },
 
@@ -865,7 +867,9 @@ object SparkEntry {
         |  epoch_ms(ts) AS ts_ms_epoch,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us_epoch,
         |  epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS micros_of_day,
-        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS iso_date
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS iso_date,
+        |  regexp_replace(regexp_replace(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f'), '0+$', ''), '\.$', '') || 'Z' AS zoned_ts,
+        |  CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS yr
         |FROM events ORDER BY event_id""".stripMargin,
 
     "convert_duration" ->

@@ -37,6 +37,21 @@ object Converters {
   /** ISO date string (reader renders dates via time.Format downstream). */
   def isoDate(c: Column): Column = c.cast("date").cast("string")
 
+  /** Debezium `ZonedTimestamp` (ZonedTimestampConverter, time.go:180-208):
+    * GMT ISO-8601 string with up-to-µs precision, TRAILING FRACTIONAL
+    * ZEROS TRIMMED (Go's ".999999" layout drops them, and the dot when the
+    * fraction is zero). Years outside [0, 9999] convert to NULL, mirroring
+    * the reference's skip-on-marshal-error guard. */
+  def zonedTimestamp(c: Column): Column = {
+    val ts = c.cast("timestamp")
+    val fixed = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    val trimmed = regexp_replace(regexp_replace(fixed, lit("0+$"), lit("")), lit("\\.$"), lit(""))
+    when(year(ts).between(0, 9999), concat(trimmed, lit("Z")))
+  }
+
+  /** Debezium `Year` (YearConverter, time.go:210-223): int32 year. */
+  def yearInt(c: Column): Column = year(c.cast("timestamp")).cast("int")
+
   // ---- duration (reference: lib/debezium/converters/time_duration.go) ----
   // getTimeDuration(t, unit) = (hours + minutes + seconds + nanos) / unit:
   // the time-of-day expressed in the given unit. TimeConverter emits int32
