@@ -424,6 +424,29 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "convert_interval_hstore" -> { (s, dir) =>
+      // PG interval + hstore text round-trip (parse.go:68-80,112-126):
+      // build canonical wire strings, parse back to typed components.
+      val iv = concat(
+        (col("user_id") % 30).cast("string"), lit(" days "),
+        lpad((col("event_id") % 24).cast("string"), 2, "0"), lit(":"),
+        lpad((col("user_id") % 60).cast("string"), 2, "0"), lit(":"),
+        lpad((col("event_id") % 60).cast("string"), 2, "0"))
+      val hs = concat(lit(""""lang"=>"en", "score"=>""""),
+        col("value").cast("string"), lit("\""))
+      Tables.events(s, dir)
+        .select(col("event_id"), iv.as("iv"), hs.as("hs"))
+        .select(
+          col("event_id"), col("iv"), col("hs"),
+          Cv.intervalDays(col("iv")).as("iv_days"),
+          Cv.intervalTimeMicros(col("iv")).as("iv_micros"),
+          Cv.intervalMicroDuration(col("iv")).as("iv_total_us"),
+          Cv.hstoreValue(col("hs"), "lang").as("hs_lang"),
+          Cv.hstoreValue(col("hs"), "score").cast("double").as("hs_score"),
+          Cv.hstoreValue(col("hs"), "missing").as("hs_missing"))
+        .orderBy("event_id")
+    },
+
     "convert_uuid_bits" -> { (s, dir) =>
       Tables.customer(s, dir).select(
         col("c_custkey"),
@@ -457,6 +480,22 @@ object SparkEntry {
     },
 
     // ---- streaming + sink (#19-20) ----
+
+    "gtid_resume" -> { (s, dir) =>
+      // GTID replay guard (lib/mysql/gtid.go:11-52): rows tagged sid:txid,
+      // checkpointed watermarks (sid -> highest txid) broadcast against the
+      // stream; unseen sids pass, seen sids pass iff txid >= highest.
+      import s.implicits._
+      val tagged = Tables.events(s, dir)
+        .select(col("event_id"),
+          concat((col("user_id") % 8).cast("string"), lit(":"),
+            col("event_id").cast("string")).as("gtid"))
+      val seen = Seq(("0", 5000L), ("1", 2500L), ("2", 9999999L), ("3", 1L))
+        .toDF("sid", "highest")
+      graft.streaming.GtidResume.shouldProcess(tagged, "gtid", seen)
+        .select("event_id", "gtid", "sid", "txid")
+        .orderBy("event_id")
+    },
 
     "schema_evolution" -> { (s, dir) =>
       // DDL events (alter_table.go:12-235) parsed from statement strings
@@ -911,6 +950,27 @@ object SparkEntry {
         |    CAST(len(props) AS BIGINT) AS props_len
         |  FROM events) t ORDER BY event_id""".stripMargin,
 
+    "convert_interval_hstore" ->
+      """WITH t AS (SELECT event_id,
+        |    CAST(user_id % 30 AS VARCHAR) || ' days ' ||
+        |    lpad(CAST(event_id % 24 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(user_id % 60 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') AS iv,
+        |    '"lang"=>"en", "score"=>"' || CAST(value AS VARCHAR) || '"' AS hs
+        |  FROM events),
+        |p AS (SELECT event_id, iv, hs,
+        |    CAST(regexp_extract(iv, '(\d+) days?', 1) AS BIGINT) AS iv_days,
+        |    (CAST(regexp_extract(iv, '(\d{2}):(\d{2}):(\d{2})', 1) AS BIGINT) * 3600 +
+        |     CAST(regexp_extract(iv, '(\d{2}):(\d{2}):(\d{2})', 2) AS BIGINT) * 60 +
+        |     CAST(regexp_extract(iv, '(\d{2}):(\d{2}):(\d{2})', 3) AS BIGINT)) * 1000000 AS iv_micros
+        |  FROM t)
+        |SELECT event_id, iv, hs, iv_days, iv_micros,
+        |  iv_days * 86400000000 + iv_micros AS iv_total_us,
+        |  regexp_extract(hs, '"lang"=>"([^"]*)"', 1) AS hs_lang,
+        |  CAST(regexp_extract(hs, '"score"=>"([^"]*)"', 1) AS DOUBLE) AS hs_score,
+        |  CAST(NULL AS VARCHAR) AS hs_missing
+        |FROM p ORDER BY event_id""".stripMargin,
+
     "convert_uuid_bits" ->
       """SELECT c_custkey,
         |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
@@ -936,6 +996,19 @@ object SparkEntry {
         |  CAST(regexp_extract('POINT(' || CAST(c_nationkey AS VARCHAR) || ' ' || CAST(c_custkey AS VARCHAR) || ')',
         |    'POINT\(([0-9]+) ([0-9]+)\)', 2) AS BIGINT) AS geom_y
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "gtid_resume" ->
+      """WITH g AS (SELECT event_id,
+        |    CAST(user_id % 8 AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS gtid
+        |  FROM events),
+        |p AS (SELECT event_id, gtid, string_split(gtid, ':')[1] AS sid,
+        |    CAST(string_split(gtid, ':')[2] AS BIGINT) AS txid FROM g),
+        |seen(sid, highest) AS (SELECT * FROM (VALUES
+        |  ('0', 5000), ('1', 2500), ('2', 9999999), ('3', 1)) v)
+        |SELECT p.event_id, p.gtid, p.sid, p.txid
+        |FROM p LEFT JOIN seen ON p.sid = seen.sid
+        |WHERE seen.highest IS NULL OR p.txid >= seen.highest
+        |ORDER BY p.event_id""".stripMargin,
 
     "schema_evolution" ->
       """SELECT event_id, user_id, event_type,

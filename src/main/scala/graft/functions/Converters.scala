@@ -131,6 +131,40 @@ object Converters {
   def moneyToDecimal(c: Column, currencySymbol: String = "$"): Column =
     translate(c, currencySymbol + ",", "").cast("decimal(12,2)")
 
+  // ---- postgres interval / hstore parse (lib/postgres/parse/parse.go) ----
+  // parse.go:68-80 scans interval strings into pgtype.Interval{Days,
+  // Microseconds} (components kept separate, not normalized); parse.go:
+  // 112-126 scans hstore '"k"=>"v"' text into a string map. Both arrive
+  // from the wire as text, so the columnar analogue is anchored regex
+  // extraction — codegen'd, no per-row driver.
+
+  /** Days component of a 'D days HH:MM:SS' interval string (0 if absent). */
+  def intervalDays(c: Column): Column = {
+    val d = regexp_extract(c, "(\\d+) days?", 1)
+    when(d === "", 0L).otherwise(d.cast("long"))
+  }
+
+  /** Time-of-day component of an interval string, in microseconds. */
+  def intervalTimeMicros(c: Column): Column = {
+    def part(g: Int): Column = {
+      val v = regexp_extract(c, "(\\d{2}):(\\d{2}):(\\d{2})", g)
+      when(v === "", 0L).otherwise(v.cast("long"))
+    }
+    (part(1) * 3600L + part(2) * 60L + part(3)) * 1000000L
+  }
+
+  /** Debezium MicroDuration: the whole interval collapsed to microseconds
+    * (days at 24h — the same convention Debezium's interval.go uses). */
+  def intervalMicroDuration(c: Column): Column =
+    intervalDays(c) * 86400000000L + intervalTimeMicros(c)
+
+  /** Value for `key` in an hstore text rendering; NULL when the key is
+    * absent (parse.go drops NULL-valued keys from the map). */
+  def hstoreValue(c: Column, key: String): Column = {
+    val v = regexp_extract(c, "\"" + key + "\"=>\"([^\"]*)\"", 1)
+    when(v === "", lit(null).cast("string")).otherwise(v)
+  }
+
   // ---- json (reference: lib/debezium/converters/json.go) ----
 
   /** Extract a JSON field as string (JSONB passthrough analogue). */
