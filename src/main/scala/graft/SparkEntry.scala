@@ -130,6 +130,46 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "dynamo_unmarshal_deep" -> { (s, dir) =>
+      // Full AttributeValue surface (message.go:32-83): BOOL, SS, NS,
+      // nested M, heterogeneous L — marshalled shape round-tripped and
+      // unmarshalled with one typed from_json pass.
+      import graft.functions.DynamoAttr
+      val flag = when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("false"))
+      val raw = concat(
+        lit("""{"pk":{"N":""""), col("event_id").cast("string"),
+        lit(""""},"flag":{"BOOL":"""), flag,
+        lit("""},"tags":{"SS":[""""), col("event_type"),
+        lit("""","u"""), (col("user_id") % 5).cast("string"),
+        lit(""""]},"scores":{"NS":[""""), col("value").cast("string"),
+        lit("""",""""), col("user_id").cast("string"),
+        lit(""""]},"meta":{"M":{"u":{"N":""""), col("user_id").cast("string"),
+        lit(""""},"t":{"S":""""), col("event_type"),
+        lit(""""}}},"items":{"L":[{"N":""""), col("user_id").cast("string"),
+        lit(""""},{"S":""""), col("event_type"), lit(""""}]}}"""))
+      Tables.events(s, dir)
+        .select(col("event_id"), raw.as("dyn_json"))
+        .withColumn("av", DynamoAttr.parseDeep(col("dyn_json")))
+        .select(
+          col("event_id"),
+          col("dyn_json"),
+          col("av").getField("pk").getField("N").cast("long").as("pk"),
+          col("av").getField("flag").getField("BOOL").as("flag"),
+          element_at(col("av").getField("tags").getField("SS"), 1).as("tag_0"),
+          element_at(col("av").getField("tags").getField("SS"), 2).as("tag_1"),
+          (element_at(col("av").getField("scores").getField("NS"), 1).cast("double") +
+            element_at(col("av").getField("scores").getField("NS"), 2).cast("double"))
+            .as("score_sum"),
+          col("av").getField("meta").getField("M").getField("u").getField("N")
+            .cast("long").as("meta_u"),
+          col("av").getField("meta").getField("M").getField("t").getField("S").as("meta_t"),
+          element_at(col("av").getField("items").getField("L"), 1).getField("N")
+            .cast("double").as("item_0_n"),
+          element_at(col("av").getField("items").getField("L"), 2).getField("S")
+            .as("item_1_s"))
+        .orderBy("event_id")
+    },
+
     "scan_pushdown" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
@@ -748,6 +788,30 @@ object SparkEntry {
         |  CAST(json_extract_string(dyn_json, '$.user_id.N') AS BIGINT) AS user_id_parsed,
         |  json_extract_string(dyn_json, '$.event_type.S') AS event_type_parsed,
         |  CAST(json_extract_string(dyn_json, '$.value.N') AS DOUBLE) AS value_parsed
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "dynamo_unmarshal_deep" ->
+      """WITH t AS (SELECT event_id,
+        |  '{"pk":{"N":"' || CAST(event_id AS VARCHAR) ||
+        |  '"},"flag":{"BOOL":' || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+        |  '},"tags":{"SS":["' || event_type || '","u' || CAST(user_id % 5 AS VARCHAR) ||
+        |  '"]},"scores":{"NS":["' || CAST(value AS VARCHAR) || '","' || CAST(user_id AS VARCHAR) ||
+        |  '"]},"meta":{"M":{"u":{"N":"' || CAST(user_id AS VARCHAR) ||
+        |  '"},"t":{"S":"' || event_type ||
+        |  '"}}},"items":{"L":[{"N":"' || CAST(user_id AS VARCHAR) ||
+        |  '"},{"S":"' || event_type || '"}]}}' AS dyn_json
+        |  FROM events)
+        |SELECT event_id, dyn_json,
+        |  CAST(json_extract_string(dyn_json, '$.pk.N') AS BIGINT) AS pk,
+        |  CAST(json_extract_string(dyn_json, '$.flag.BOOL') AS BOOLEAN) AS flag,
+        |  json_extract_string(dyn_json, '$.tags.SS[0]') AS tag_0,
+        |  json_extract_string(dyn_json, '$.tags.SS[1]') AS tag_1,
+        |  CAST(json_extract_string(dyn_json, '$.scores.NS[0]') AS DOUBLE) +
+        |    CAST(json_extract_string(dyn_json, '$.scores.NS[1]') AS DOUBLE) AS score_sum,
+        |  CAST(json_extract_string(dyn_json, '$.meta.M.u.N') AS BIGINT) AS meta_u,
+        |  json_extract_string(dyn_json, '$.meta.M.t.S') AS meta_t,
+        |  CAST(json_extract_string(dyn_json, '$.items.L[0].N') AS DOUBLE) AS item_0_n,
+        |  json_extract_string(dyn_json, '$.items.L[1].S') AS item_1_s
         |FROM t ORDER BY event_id""".stripMargin,
 
     "scan_pushdown" ->
