@@ -2,12 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the given scale factor
-  * and prints ONE JSON line. Each query is forced via
-  * `queryExecution.toRdd.foreach` — full materialization of every output
-  * column, so projection work is actually measured (a bare `.count()` lets
-  * Catalyst prune computed columns out of projection-only queries and
-  * under-reports them). A failing query is never silently timed as success:
-  * it is reported in `errors` and its wall time excluded from `value`. */
+  * and prints ONE JSON line. Each query is forced via the `noop` batch
+  * writer — a real Dataset action that materializes every output column
+  * (a bare `.count()` lets Catalyst prune computed columns out of
+  * projection-only queries and under-reports them) AND fires
+  * QueryExecutionListener, so CacheScope-scoped LSH caches are released
+  * between queries instead of leaking across the battery (raw
+  * `toRdd.foreach` bypassed the listener). A failing query is never
+  * silently timed as success: it is reported in `errors` and its wall time
+  * excluded from `value`. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,7 +37,7 @@ object Bench {
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
         catch {
           case e: Throwable =>
             Some(jsonSafe(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))

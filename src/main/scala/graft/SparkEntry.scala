@@ -163,8 +163,8 @@ object SparkEntry {
           col("av").getField("meta").getField("M").getField("u").getField("N")
             .cast("long").as("meta_u"),
           col("av").getField("meta").getField("M").getField("t").getField("S").as("meta_t"),
-          element_at(col("av").getField("items").getField("L"), 1).getField("N")
-            .cast("double").as("item_0_n"),
+          DynamoAttr.num(element_at(col("av").getField("items").getField("L"), 1))
+            .as("item_0_n"),
           element_at(col("av").getField("items").getField("L"), 2).getField("S")
             .as("item_1_s"))
         .orderBy("event_id")

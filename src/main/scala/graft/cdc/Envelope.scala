@@ -140,8 +140,13 @@ object Envelope {
       datediff(col(name), to_date(lit("1970-01-01"))).cast("int")
     case TimestampType | TimestampNTZType => unix_micros(col(name).cast("timestamp"))
     case d: DecimalType =>
-      val p10 = math.pow(10, d.scale).toLong
-      (col(name) * lit(p10).cast("decimal(7,0)")).cast("long")
+      // the long analogue of decimal.go's big-endian unscaled bytes: exact
+      // for unscaled values < 2^63 (precision <= 18). Wider decimals would
+      // need the byte encoding itself — reject loudly rather than overflow.
+      require(d.precision <= 18,
+        s"unscaled-long wire value overflows for $dt; precision must be <= 18")
+      val p10 = BigDecimal(10).pow(d.scale)
+      (col(name) * lit(p10).cast(s"decimal(${d.scale + 1},0)")).cast("long")
     case _ => col(name)
   }
 

@@ -82,13 +82,24 @@ object SchemaEvolution {
     events.foldLeft(schema)(evolve)
 
   /** Apply one event to data: every case is a narrow projection (no
-    * shuffle), so a DDL replay over a 100 TB table is map-only. */
+    * shuffle), so a DDL replay over a 100 TB table is map-only. Enforces
+    * the SAME preconditions as [[evolve]] — withColumnRenamed/drop would
+    * otherwise silently no-op on a missing column and a duplicate add
+    * would overwrite data, letting the schema cache and the data disagree
+    * about which events applied. */
   def applyEvent(df: DataFrame, e: DdlEvent): DataFrame = e match {
     case AddColumn(n, dt, dflt) =>
+      require(!df.columns.contains(n), s"column $n already exists")
       df.withColumn(n, dflt.map(d => lit(d).cast(dt)).getOrElse(lit(null).cast(dt)))
-    case DropColumn(n) => df.drop(n)
-    case RenameColumn(from, to) => df.withColumnRenamed(from, to)
-    case ModifyColumn(n, dt) => df.withColumn(n, col(n).cast(dt))
+    case DropColumn(n) =>
+      require(df.columns.contains(n), s"column $n not found")
+      df.drop(n)
+    case RenameColumn(from, to) =>
+      require(df.columns.contains(from), s"column $from not found")
+      df.withColumnRenamed(from, to)
+    case ModifyColumn(n, dt) =>
+      require(df.columns.contains(n), s"column $n not found")
+      df.withColumn(n, col(n).cast(dt))
   }
 
   def replay(df: DataFrame, events: Seq[DdlEvent]): DataFrame =

@@ -159,10 +159,13 @@ object Converters {
     intervalDays(c) * 86400000000L + intervalTimeMicros(c)
 
   /** Value for `key` in an hstore text rendering; NULL when the key is
-    * absent (parse.go drops NULL-valued keys from the map). */
+    * absent (parse.go drops NULL-valued keys from the map). Key presence
+    * is tested separately from value extraction so a present-but-EMPTY
+    * value stays "" rather than collapsing into NULL. */
   def hstoreValue(c: Column, key: String): Column = {
-    val v = regexp_extract(c, "\"" + key + "\"=>\"([^\"]*)\"", 1)
-    when(v === "", lit(null).cast("string")).otherwise(v)
+    val quoted = java.util.regex.Pattern.quote(key)
+    val present = c.rlike("\"" + quoted + "\"=>")
+    when(present, regexp_extract(c, "\"" + quoted + "\"=>\"([^\"]*)\"", 1))
   }
 
   // ---- json (reference: lib/debezium/converters/json.go) ----

@@ -21,8 +21,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheScope {
 
-  /** A registered scope awaiting its releasing action. */
-  private final case class Scope(createdAtMs: Long, release: () => Unit)
+  /** A registered scope awaiting its releasing action. `done` is shared
+    * with the listener so the sweep can drop already-released scopes (and
+    * their captured plan/DataFrame references) immediately instead of
+    * holding them until TTL. */
+  private final case class Scope(createdAtMs: Long, done: AtomicBoolean, release: () => Unit)
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Scope]()
 
   /** Fallback TTL: a scope whose result was never executed would otherwise
@@ -36,7 +39,8 @@ object CacheScope {
     val it = pending.iterator()
     while (it.hasNext) {
       val s = it.next()
-      if (now - s.createdAtMs > staleTtlMs) { s.release(); it.remove() }
+      if (s.done.get()) it.remove()
+      else if (now - s.createdAtMs > staleTtlMs) { s.release(); it.remove() }
     }
   }
 
@@ -72,7 +76,7 @@ object CacheScope {
         maybeRelease(qe)
     }
     session.listenerManager.register(listener)
-    pending.add(Scope(System.currentTimeMillis(), () =>
+    pending.add(Scope(System.currentTimeMillis(), done, () =>
       if (done.compareAndSet(false, true)) {
         cached.unpersist(blocking = false)
         session.listenerManager.unregister(listener)

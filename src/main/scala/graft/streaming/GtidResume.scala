@@ -22,24 +22,30 @@ import org.apache.spark.sql.functions._
 object GtidResume {
 
   /** Split a `sid:txid` GTID string into typed columns. Malformed strings
-    * (no single ':') yield NULL txid — surfaced, not silently dropped,
-    * mirroring the reference's error return. */
+    * (wrong arity or non-numeric txid) yield NULLs — `try_cast` so a bad
+    * row cannot abort the batch under ANSI mode, mirroring the reference's
+    * per-row error return (gtid.go:29-40). */
   def parseGtid(gtid: Column): (Column, Column) = {
     val parts = split(gtid, ":")
     val ok = size(parts) === 2
-    (when(ok, element_at(parts, 1)), when(ok, element_at(parts, 2).cast("long")))
+    (when(ok, element_at(parts, 1)),
+      when(ok, element_at(parts, 2)).try_cast("long"))
   }
 
   /** Keep the rows a resumed stream must process. `seen` carries
     * (sid string, highest long); an empty `seen` passes everything
-    * (gtid.go:12-25). */
+    * (gtid.go:12-25). Malformed GTIDs (NULL sid/txid after parse) are
+    * EXCLUDED — the reference errors on them rather than replaying them;
+    * a dead-letter path can recover them as
+    * `rows.where(parseGtid(col(gtidCol))._2.isNull)`. */
   def shouldProcess(rows: DataFrame, gtidCol: String, seen: DataFrame): DataFrame = {
     val (sid, txid) = parseGtid(col(gtidCol))
     rows
       .withColumn("sid", sid)
       .withColumn("txid", txid)
       .join(broadcast(seen.select(col("sid"), col("highest"))), Seq("sid"), "left")
-      .where(col("highest").isNull || col("txid") >= col("highest"))
+      .where(col("sid").isNotNull && col("txid").isNotNull &&
+        (col("highest").isNull || col("txid") >= col("highest")))
       .drop("highest")
   }
 }

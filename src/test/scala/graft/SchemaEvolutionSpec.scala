@@ -53,6 +53,14 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SE.evolve(schema, RenameColumn("nope", "x")))
   }
 
+  test("applyEvent enforces the same preconditions as evolve (schema/data stay twins)") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    intercept[IllegalArgumentException](SE.applyEvent(df, AddColumn("id", LongType)))
+    intercept[IllegalArgumentException](SE.applyEvent(df, DropColumn("nope")))
+    intercept[IllegalArgumentException](SE.applyEvent(df, RenameColumn("nope", "x")))
+    intercept[IllegalArgumentException](SE.applyEvent(df, ModifyColumn("nope", LongType)))
+  }
+
   test("conformTo lets pre- and post-DDL batches coexist in one stream") {
     // old batch predates the ADD COLUMN and still has the pre-rename name
     val target = SE.evolveAll(
