@@ -571,6 +571,39 @@ object SparkEntry {
         .orderBy("batch_id")
     },
 
+    "stream_watermark_agg" -> { (s, dir) =>
+      // append-mode watermarked daily windows: emitted set = windows whose
+      // end <= max(ts) - 1h, deterministic arithmetic the oracle replays
+      graft.streaming.WatermarkAgg.dailyCountsAvailableNow(
+        s, s"$dir/events.parquet", workDir("wmagg", dir))
+        .orderBy("event_type", "day")
+    },
+
+    "stream_evolve" -> { (s, dir) =>
+      // streaming ingest across a migration: epoch-0 rows predate the DDL
+      // (old column name `amount`, no `flag`), epoch-2 rows carry the final
+      // shape; the schema history replays per epoch inside foreachBatch
+      import org.apache.spark.sql.types.StructType
+      val work = workDir("evolve", dir)
+      val ddlLog = Seq(
+        "ALTER TABLE events RENAME COLUMN amount TO value",
+        "ALTER TABLE events ADD COLUMN flag STRING")
+      val v1 = StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, amount DECIMAL(12,2)")
+      val ev = Tables.events(s, dir)
+      val e0 = ev.where(col("event_id") % 2 === 0)
+        .select(lit(0).as("epoch"), to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), dec2(col("value")).as("amount"))).as("payload"))
+      val e2 = ev.where(col("event_id") % 2 === 1)
+        .select(lit(2).as("epoch"), to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), dec2(col("value")).as("value"),
+          col("props").as("flag"))).as("payload"))
+      val staged = s"$work/staged"
+      e0.unionByName(e2).write.mode("overwrite").parquet(staged)
+      graft.streaming.EvolvingIngest.ingestAcrossMigration(s, staged, work, v1, ddlLog)
+        .orderBy("event_id")
+    },
+
     "stream_sessions" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("user_id"), expr("ts_ns div 1000000").as("ts_ms"), col("value"))
@@ -1090,6 +1123,21 @@ object SparkEntry {
       """SELECT l_orderkey // 2048 AS batch_id, COUNT(*) AS n_rows,
         |  CAST(MIN(l_orderkey) AS BIGINT) AS min_pk, CAST(MAX(l_orderkey) AS BIGINT) AS max_pk
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_watermark_agg" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+        |  <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "stream_evolve" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(value AS DECIMAL(12,2)) AS value,
+        |  CASE WHEN event_id % 2 = 1 THEN props END AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
