@@ -497,6 +497,20 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    "convert_guid_msgkey" -> { (s, dir) =>
+      // MSSQL uniqueidentifier mixed-endian bytes -> canonical GUID
+      // (lib/mssql/parse/parse.go:55-61) + the Kafka message key
+      // PrimaryKeyPayload JSON (kafkalib/message.go:33-41,
+      // transformer.go:150-179); wire bytes derived from md5 so the oracle
+      // reproduces them
+      val src = Tables.customer(s, dir)
+      src.select(
+        col("c_custkey"),
+        Cv.mssqlGuid(unhex(md5(col("c_custkey").cast("string")))).as("guid"),
+        Envelope.messageKeyJson(src, Seq("c_custkey")).as("msg_key"))
+        .orderBy("c_custkey")
+    },
+
     "convert_enum_array" -> { (s, dir) =>
       // enum.go (index into the declared value set), array.go / map.go
       // (collection rendering), geometry.go (POINT text parse)
@@ -1079,6 +1093,18 @@ object SparkEntry {
         |  CAST((c_custkey >> 3) & 1 AS BIGINT) AS bit3,
         |  CAST(bit_count(c_custkey) AS BIGINT) AS pop
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "convert_guid_msgkey" ->
+      """WITH g AS (SELECT c_custkey,
+        |    upper(md5(CAST(c_custkey AS VARCHAR))) AS h FROM customer)
+        |SELECT c_custkey,
+        |  substr(h,7,2)||substr(h,5,2)||substr(h,3,2)||substr(h,1,2) || '-' ||
+        |  substr(h,11,2)||substr(h,9,2) || '-' ||
+        |  substr(h,15,2)||substr(h,13,2) || '-' ||
+        |  substr(h,17,4) || '-' || substr(h,21,12) AS guid,
+        |  '{"schema":{"type":"struct","fields":[{"type":"int64","optional":true,"field":"c_custkey"}]},"payload":{"c_custkey":'
+        |    || CAST(c_custkey AS VARCHAR) || '}}' AS msg_key
+        |FROM g ORDER BY c_custkey""".stripMargin,
 
     "convert_enum_array" ->
       """SELECT c_custkey,

@@ -131,6 +131,24 @@ object Envelope {
     s"""{"type":"struct","fields":[{"type":"struct","fields":[$inner],"optional":false,"field":"after"}]}"""
   }
 
+  /** Kafka message key for a row: the PrimaryKeyPayload JSON — schema = a
+    * FieldsObject struct over the PK columns' Debezium fields, payload =
+    * their wire values (reference: lib/kafkalib/message.go:33-41,
+    * lib/debezium/transformer/transformer.go:150-179). The schema half is a
+    * per-table constant folded into a literal; only the payload half is
+    * per-row work (one to_json of the key struct) — so keying 100 TB of
+    * messages costs one codegen'd projection, no shuffle. */
+  def messageKeyJson(df: DataFrame, pkCols: Seq[String]): Column = {
+    val fields = pkCols.map { n =>
+      val f = df.schema(n)
+      fieldJson(n, f.dataType, f.nullable)
+    }.mkString(",")
+    concat(
+      lit(s"""{"schema":{"type":"struct","fields":[$fields]},"payload":"""),
+      to_json(struct(pkCols.map(n => wireValue(n, df.schema(n).dataType).as(n)): _*)),
+      lit("}"))
+  }
+
   /** Convert a column to its Debezium wire value (convertRow analogue,
     * transformer.go:131-149): temporals to epoch int32/int64 per their
     * semantic type, decimals to the unscaled integer (the information

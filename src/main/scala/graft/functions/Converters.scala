@@ -195,4 +195,21 @@ object Converters {
 
   /** Population count (bit_varying.go analogue). */
   def popCount(c: Column): Column = bit_count(c.cast("long")).cast("long")
+
+  /** MSSQL `uniqueidentifier` wire bytes → canonical uppercase GUID string.
+    * The wire layout is mixed-endian (reference: lib/mssql/parse/parse.go:
+    * 55-61 delegates to go-mssqldb UniqueIdentifier.Scan/String): the first
+    * three groups are little-endian, the last two big-endian, so the
+    * canonical rendering reads bytes 3·2·1·0 - 5·4 - 7·6 - 8·9 - 10..15.
+    * Pure string/byte arithmetic — codegen'd, map-only at any scale. */
+  def mssqlGuid(bytes: Column): Column = {
+    val h = hex(bytes) // uppercase hex, 2 chars per byte
+    def b(i: Int): Column = substring(h, i * 2 + 1, 2)
+    concat_ws("-",
+      concat(b(3), b(2), b(1), b(0)),
+      concat(b(5), b(4)),
+      concat(b(7), b(6)),
+      concat(b(8), b(9)),
+      concat(b(10), b(11), b(12), b(13), b(14), b(15)))
+  }
 }

@@ -50,6 +50,14 @@ class ConvertersSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 0L, 3L)))
   }
 
+  test("mssql GUID mixed-endian byte order (go-mssqldb String() pinning)") {
+    // wire bytes 00112233 4455 6677 8899AABBCCDDEEFF: first three groups
+    // little-endian -> 33221100-5544-7766, last two big-endian
+    val r = Seq("00112233445566778899AABBCCDDEEFF").toDF("h")
+      .select(Cv.mssqlGuid(unhex(col("h"))).as("g")).head().getString(0)
+    assert(r === "33221100-5544-7766-8899-AABBCCDDEEFF")
+  }
+
   test("hash60 is 60-bit non-negative and stable") {
     val r = Seq("abc", "abc").toDF("s").select(Tf.hash60(col("s")).as("h"))
       .collect().map(_.getLong(0))
