@@ -246,6 +246,24 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    "join_asof" -> { (s, dir) =>
+      // point-in-time enrichment: each click gets the user's most recent
+      // prior-or-simultaneous purchase; union+keyed-window, no join node
+      // (plan-asserted in PlanHygieneSpec), one shuffle at any scale
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("p_event_id"),
+          dec2(col("value")).as("p_value"))
+      graft.operators.AsOfJoin.lastMatch(clicks, purchases,
+        keyCols = Seq("user_id"), ordCol = "ts_us", tieCol = "p_event_id",
+        carry = Seq("p_event_id", "p_value"))
+        .orderBy("event_id")
+    },
+
     "agg_distinct" -> { (s, dir) =>
       Tables.customer(s, dir)
         .groupBy("c_mktsegment")
@@ -750,6 +768,40 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_tfidf" -> { (s, dir) =>
+      // corpus-relative term weighting: tf x (N/df) with exact integer
+      // numerators so the score (one IEEE division of two integers) is
+      // bit-reproducible in any engine; top-3 terms per doc by score.
+      // Shape at 100 TB: explode -> two keyed aggs -> vocab join (AQE
+      // decides broadcast vs shuffle) -> per-doc window, all partitioned.
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tokens = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .where(length(col("term")) >= 2)
+      val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "term")
+    },
+
+    "sample_split" -> { (s, dir) =>
+      // reproducible hash-based train/valid/test assignment (randomSplit
+      // reassigns rows under repartition/backfill -> eval leakage)
+      import graft.operators.Sampling
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        Sampling.hashBucket(col("doc_id"), 100).as("bucket"),
+        Sampling.assignSplit(col("doc_id"),
+          Seq(("train", 80), ("valid", 90), ("test", 100))).as("split"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing (#32) ----
 
     "multimodal_meta" -> { (s, dir) =>
@@ -915,6 +967,21 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM events e
         |  WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(value AS DECIMAL(12,2)) AS value FROM events),
+        |w AS (SELECT event_id, user_id, ts_us, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER win AS p_event_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER win AS p_value
+        |  FROM e WHERE event_type IN ('click', 'purchase')
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts_us, (event_type = 'purchase') DESC, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, ts_us, event_id, p_event_id, p_value
+        |FROM w WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "agg_distinct" ->
       """SELECT c_mktsegment, COUNT(*) AS n_cust,
@@ -1274,6 +1341,29 @@ object SparkEntry {
         |  CAST(len(list_distinct(list_transform(range(1, len(toks) - 3),
         |    i -> array_to_string(toks[i:i+4], ' ')))) AS BIGINT) AS n_shingles
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok0 AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term FROM documents),
+        |tok AS (SELECT doc_id, term FROM tok0 WHERE length(term) >= 2),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df DESC, tf.term) AS rk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score FROM sc WHERE rk <= 3
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "sample_split" ->
+      """SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS bl,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each left row the most recent right row with the
+  * same key whose ordering value is <= the left row's (time-series point-in-
+  * time lookup; the streaming-CDC "state at this position" question reader
+  * answers per key with its latest-state map, writers/transfer/writer.go).
+  *
+  * Spark has no native as-of join, and the declarative encodings are
+  * scale-traps: a `left.join(right, key && r.ts <= l.ts)` + groupBy-max
+  * plans the range predicate as a BroadcastNestedLoopJoin (quadratic per
+  * key), and range-bucketing explodes storage by the bucket fanout. The
+  * scalable re-expression needs no join operator at all: union both sides,
+  * hash-partition ONCE by key, sort within partitions by (ord, side, tie),
+  * and carry the last non-null right-side image forward with an
+  * ignore-nulls running window — O(n log n) per partition, one shuffle,
+  * no candidate blowup, AQE-skew-splittable. At equal ord values the right
+  * row sorts first, giving <= (inclusive) semantics; ties among right rows
+  * resolve to the greatest tie-break column (last writer wins, the same
+  * rule as latest-state compaction).
+  */
+object AsOfJoin {
+
+  /** @param left    rows to enrich (all its columns are kept)
+    * @param right   rows carrying the looked-up image
+    * @param keyCols equality key shared by both sides
+    * @param ordCol  ordering column (same name on both sides, e.g. event ts)
+    * @param tieCol  right-side total tie-break within equal ord values
+    * @param carry   right-side columns to attach (null when no right row
+    *                precedes the left row)
+    */
+  def lastMatch(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      tieCol: String,
+      carry: Seq[String]): DataFrame = {
+    require(carry.forall(c => !left.columns.contains(c)),
+      s"carry columns ${carry.mkString(",")} must not collide with left columns — rename the right side first")
+    val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == ordCol)
+
+    // normalize both sides onto one schema: keys + ord + side + tie +
+    // left payload (null on right rows) + carried right columns (null on
+    // left rows). unionByName keeps this robust to column order.
+    val lNorm = left
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast(right.schema(tieCol).dataType))
+      .select((keyCols.map(col) :+ col(ordCol) :+ col("_side") :+ col("_tie")) ++
+        leftPayload.map(col) ++
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val rNorm = right
+      .withColumn("_side", lit(0))
+      .withColumn("_tie", col(tieCol))
+      .select((keyCols.map(col) :+ col(ordCol) :+ col("_side") :+ col("_tie")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carry.map(c => col(c).as(s"_r_$c")): _*)
+
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol).asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = carry.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
+      df.withColumn(c, last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .where(col("_side") === 1)
+      .select(keyCols.map(col) ++ Seq(col(ordCol)) ++ leftPayload.map(col) ++
+        carry.map(col): _*)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/validation/test splitting for dataset curation.
+  *
+  * `df.randomSplit` is the wrong tool for a 100 TB corpus: its assignment
+  * depends on partition layout and seed plumbing, so a backfill, a
+  * repartition, or AQE re-planning silently reassigns rows between splits —
+  * leakage between train and eval. A content hash of the stable row id is
+  * reproducible anywhere: the same row lands in the same split on every
+  * rerun, engine, and partitioning, and strata (language, source) can be
+  * split independently by hashing within the stratum. Map-only — no
+  * shuffle, no state; the md5 is codegen'd.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the row id: first 60 bits of
+    * md5(id) mod buckets (the same construction both DuckDB and any other
+    * SQL engine can replay for audit — see the `sample_split` oracle). */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Assign a named split per row: `cut` points are cumulative percents,
+    * e.g. Seq(("train", 80), ("valid", 90), ("test", 100)). */
+  def assignSplit(id: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must be cumulative percents ending at 100")
+    val b = hashBucket(id, 100)
+    cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, upTo), rest) =>
+      when(b < upTo, lit(name)).otherwise(rest)
+    }
+  }
+}

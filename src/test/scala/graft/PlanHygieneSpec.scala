@@ -24,11 +24,13 @@ class PlanHygieneSpec extends AnyFunSuite {
   }
 
   test("no query plans a cartesian product or broadcast nested loop join") {
-    // ann_topk is the ONE deliberate broadcast nested loop: a tiny broadcast
-    // query set scored against every corpus row map-side (its scale story is
-    // the bounded top-k sink, asserted in AnnSpec). Everything else must be
-    // keyed joins. CartesianProduct is banned everywhere.
-    val nljAllowed = Set("ann_topk")
+    // Two deliberate broadcast nested loops: ann_topk (tiny broadcast query
+    // set scored against every corpus row map-side; its scale story is the
+    // bounded top-k sink, asserted in AnnSpec) and text_tfidf (a ONE-ROW
+    // corpus-count broadcast attached to every term — O(n) map-side, the
+    // cheapest way to ship a scalar). Everything else must be keyed joins.
+    // CartesianProduct is banned everywhere.
+    val nljAllowed = Set("ann_topk", "text_tfidf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
