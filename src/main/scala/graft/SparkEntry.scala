@@ -246,6 +246,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    "join_bucketed" -> { (s, dir) =>
+      // fact-fact join with the shuffle paid once at write time: both
+      // sides bucketed+sorted on the join key -> exchange-free SMJ, and
+      // the follow-on groupBy on the same key reuses the bucketing too
+      // (plan asserted in BucketedJoinSpec)
+      import graft.operators.BucketedJoin
+      val work = workDir("bkt", dir)
+      val h = work.substring(work.length - 6)
+      BucketedJoin.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        s"graft_bko_$h", "o_orderkey", 8, Some(s"$work/orders"))
+      BucketedJoin.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        s"graft_bkl_$h", "l_orderkey", 8, Some(s"$work/lineitem"))
+      BucketedJoin.colocatedJoin(s, s"graft_bko_$h", s"graft_bkl_$h",
+        "o_orderkey", "l_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), sumd(dec2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
     "join_asof" -> { (s, dir) =>
       // point-in-time enrichment: each click gets the user's most recent
       // prior-or-simultaneous purchase; union+keyed-window, no join node
@@ -967,6 +988,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM events e
         |  WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
         |ORDER BY c_custkey""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT o_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,

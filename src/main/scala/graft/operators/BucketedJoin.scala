@@ -28,14 +28,18 @@ object BucketedJoin {
     * files per bucket every downstream merge join re-sorts. Same hash both
     * places (Murmur3 mod n), so the repartition is also the write-side
     * half of the join shuffle being paid once. */
-  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int = 8): Unit =
-    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int = 8,
+      path: Option[String] = None): Unit = {
+    val w = df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
       .write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    // an explicit path makes the table external (data under the caller's
+    // work dir instead of the session warehouse)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket keys. With matching bucket
     * counts the physical plan is exchange-free (asserted in
