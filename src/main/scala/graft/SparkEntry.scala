@@ -267,6 +267,22 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    "join_skew_salted" -> { (s, dir) =>
+      // explicit salt fallback for the one-hot-key case AQE can't split:
+      // content-derived salt scatters the big side, the small side is
+      // replicated saltFactor ways; result provably equals the plain join
+      // (this oracle) — SkewJoinSpec pins retry-safety of the salt
+      import graft.operators.SkewJoin
+      val big = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val small = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      SkewJoin.saltedInnerJoin(big, small, "suppkey", saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sumd(dec2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+
     "join_asof" -> { (s, dir) =>
       // point-in-time enrichment: each click gets the user's most recent
       // prior-or-simultaneous purchase; union+keyed-window, no join node
@@ -823,6 +839,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "pipeline_curate" -> { (s, dir) =>
+      // the full curation funnel as ONE query: language-ID -> quality gate
+      // -> exact near-dup removal (normalized fingerprint, min-id survivor)
+      // -> reproducible split assignment. Shape at 100 TB: three map-only
+      // enrichments, one keyed window on the fingerprint, zero joins.
+      import graft.expressions.{Sketch, TokenStats}
+      import graft.operators.Sampling
+      def hits(stops: Seq[String]) = element_at(
+        Sketch.column(TokenStats(Sketch.expr(col("text")), stops, lowercase = true)), 3)
+      val nTok = element_at(col("st"), 1)
+      val nUniq = element_at(col("st"), 2)
+      val stopHits = element_at(col("st"), 3)
+      val score = lit(0.4) * (nUniq / nTok) + lit(0.4) * (lit(1.0) - stopHits / nTok) +
+        lit(0.2) * least(lit(1.0), nTok / lit(200.0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .withColumn("st", Sketch.column(
+          TokenStats(Sketch.expr(col("text")), Tf.EnStops, lowercase = true)))
+        .withColumn("lang_pred", Tf.langId(hits(Tf.EnStops), hits(Tf.EsStops), hits(Tf.DeStops)))
+        .withColumn("quality", score)
+        .where(col("lang_pred") === "en" && col("quality") >= 0.6)
+        .withColumn("fp", Tf.fingerprintHex(col("text")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("source"), col("quality"),
+          Sampling.assignSplit(col("doc_id"),
+            Seq(("train", 80), ("valid", 90), ("test", 100))).as("split"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing (#32) ----
 
     "multimodal_meta" -> { (s, dir) =>
@@ -994,6 +1040,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
@@ -1383,6 +1435,30 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score FROM sc WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin,
+
+    "pipeline_curate" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, source, text, len(toks) AS n,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS BIGINT) AS sh,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','en','que','los','un'], x))) AS BIGINT) AS hs,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','ein','zu'], x))) AS BIGINT) AS hd,
+        |    len(list_distinct(toks)) AS u
+        |  FROM t),
+        |scored AS (SELECT doc_id, source, text,
+        |    0.4 * (u / n) + 0.4 * (1.0 - sh / n) + 0.2 * least(1.0, n / 200.0) AS quality
+        |  FROM m
+        |  WHERE (sh >= hs AND sh >= hd AND sh > 0)
+        |    AND 0.4 * (u / n) + 0.4 * (1.0 - sh / n) + 0.2 * least(1.0, n / 200.0) >= 0.6),
+        |dedup AS (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rk
+        |  FROM scored)
+        |SELECT doc_id, source, quality,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM dedup WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "sample_split" ->
       """SELECT doc_id, source,
