@@ -385,6 +385,32 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "cdc_scd2" -> { (s, dir) =>
+      // history-table twin of latest-state: every change keeps a validity
+      // interval; ordering at µs resolution + event_id so the oracle's
+      // lead() sees the identical total order
+      Envelope.scd2History(Tables.events(s, dir),
+        Seq("user_id"), Seq(expr("ts_ns div 1000"), col("event_id")),
+        expr("ts_ns div 1000000"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    "stream_dedup" -> { (s, dir) =>
+      // replay-safe ingest: the whole snapshot is delivered TWICE (reader's
+      // resume-overlap case); stateful dropDuplicates on the PK lands it once
+      val work = workDir("sdedup", dir)
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.repartition(1).write.mode("overwrite").parquet(s"$work/staged")
+      raw.repartition(1).write.mode("append").parquet(s"$work/staged")
+      EventsIngest.ingestReplaySafe(s, s"$work/staged", s"$work/landing",
+        s"$work/ckpt", Seq("event_id"), raw.schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumd(dec2(col("value"))).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     "cdc_latest_state" -> { (s, dir) =>
       Envelope.latestState(Tables.events(s, dir), Seq("user_id"),
         Seq(col("ts_ns"), col("event_id")))
@@ -1127,6 +1153,19 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_scd2" ->
+      """SELECT user_id, event_id, event_type, epoch_ms(ts) AS valid_from,
+        |  lead(epoch_ms(ts)) OVER w AS valid_to,
+        |  lead(epoch_ms(ts)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "mongo_change" ->
       """WITH t AS (

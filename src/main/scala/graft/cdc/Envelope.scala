@@ -198,4 +198,24 @@ object Envelope {
       .where(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** SCD-2 history materialization — [[latestState]]'s history-table twin.
+    * Where latestState keeps only each key's newest image (what
+    * writers/transfer materializes downstream), SCD-2 keeps EVERY version
+    * with a validity interval: valid_from = this change's timestamp,
+    * valid_to = the next change's (NULL while current). Same single keyed
+    * shuffle + within-partition sort as latestState — the lead() is free
+    * once the window exists, so the history table costs no more than the
+    * compacted one. `orderCols` must totally order events within a key
+    * (e.g. ts + event id), or version intervals are ambiguous. */
+  def scd2History(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      validFrom: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("valid_from", validFrom.cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

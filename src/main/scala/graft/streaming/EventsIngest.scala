@@ -59,6 +59,47 @@ object EventsIngest {
     spark.read.parquet(landingDir).count()
   }
 
+  /** Replay-safe ingest: the same source data delivered MORE THAN ONCE
+    * (reader's resume path re-reads the binlog from the last checkpoint, so
+    * overlap is the normal case — sources/mysql/streaming/iterator.go
+    * re-enters at the stored offset) must land exactly once. The Spark-
+    * native guard is stateful streaming `dropDuplicates` on the primary
+    * key: first occurrence is emitted in its own micro-batch, every replay
+    * is absorbed by the state store. State is one key per row — for
+    * unbounded streams use `dropDuplicatesWithinWatermark` so keys older
+    * than the lateness allowance evict (the contract reader gets from
+    * monotonically increasing binlog positions).
+    *
+    * `stagedDir` holds the (possibly replayed) source files;
+    * maxFilesPerTrigger=1 makes each file its own micro-batch, the worst
+    * case for replay (the duplicate arrives AFTER its original committed).
+    */
+  def ingestReplaySafe(
+      spark: SparkSession,
+      stagedDir: String,
+      landingDir: String,
+      checkpointDir: String,
+      pkCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // fresh-run idempotent like the other ingests: the staged REPLAY is the
+    // input under test; landing/checkpoint are this run's outputs
+    deleteRecursive(landingDir); deleteRecursive(checkpointDir)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+      .dropDuplicates(pkCols)
+
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", landingDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(landingDir)
+  }
+
   /** Fresh-run wrapper: wipe landing+checkpoint, ingest, return the landed
     * DataFrame. Used by the correctness battery so re-runs are idempotent. */
   def freshIngest(spark: SparkSession, eventsPath: String, workDir: String): DataFrame = {
