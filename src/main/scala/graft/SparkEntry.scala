@@ -592,6 +592,23 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    "convert_pg_misc" -> { (s, dir) =>
+      // pg array text (JSON form) parsed with one from_json pass
+      // (parse.go:81-92) + geography hex-EWKB -> base64 WKB (geom.go:52-66);
+      // wire text constructed from row data so the oracle reproduces it
+      val arrTxt = concat(lit("["), col("c_custkey"), lit(","),
+        col("c_nationkey").cast("long"), lit("]"))
+      val wkbHex = upper(substring(md5(col("c_name")), 1, 16))
+      val arr = Cv.pgArray(arrTxt, "bigint")
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        element_at(arr, 1).as("arr_0"),
+        element_at(arr, 2).as("arr_1"),
+        size(arr).cast("long").as("arr_n"),
+        Cv.geographyWkbB64(wkbHex).as("wkb_b64"))
+        .orderBy("c_custkey")
+    },
+
     "convert_enum_array" -> { (s, dir) =>
       // enum.go (index into the declared value set), array.go / map.go
       // (collection rendering), geometry.go (POINT text parse)
@@ -1277,6 +1294,13 @@ object SparkEntry {
         |  CAST((c_custkey >> 0) & 1 AS BIGINT) AS bit0,
         |  CAST((c_custkey >> 3) & 1 AS BIGINT) AS bit3,
         |  CAST(bit_count(c_custkey) AS BIGINT) AS pop
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "convert_pg_misc" ->
+      """SELECT c_custkey,
+        |  c_custkey AS arr_0, CAST(c_nationkey AS BIGINT) AS arr_1,
+        |  CAST(2 AS BIGINT) AS arr_n,
+        |  to_base64(unhex(upper(substr(md5(c_name), 1, 16)))) AS wkb_b64
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "convert_guid_msgkey" ->

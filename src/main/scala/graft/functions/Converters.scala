@@ -196,6 +196,16 @@ object Converters {
   /** Population count (bit_varying.go analogue). */
   def popCount(c: Column): Column = bit_count(c.cast("long")).cast("long")
 
+  /** PG geography/geometry hex-EWKB → base64 WKB payload, the rendering
+    * reader ships to consumers (lib/postgres/parse/geom.go:52-66: hex
+    * decode then base64 encode). */
+  def geographyWkbB64(hexCol: Column): Column = base64(unhex(hexCol))
+
+  /** PG array column, delivered as JSON-array text, parsed to a typed Spark
+    * array (parse.go:81-92 json.Unmarshal). One from_json pass. */
+  def pgArray(c: Column, elementType: String): Column =
+    from_json(c, org.apache.spark.sql.types.DataType.fromDDL(s"array<$elementType>"))
+
   /** MSSQL `uniqueidentifier` wire bytes → canonical uppercase GUID string.
     * The wire layout is mixed-endian (reference: lib/mssql/parse/parse.go:
     * 55-61 delegates to go-mssqldb UniqueIdentifier.Scan/String): the first
