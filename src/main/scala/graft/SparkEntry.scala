@@ -914,6 +914,30 @@ object SparkEntry {
 
     // ---- multimodal plumbing (#32) ----
 
+    "multimodal_decode" -> { (s, dir) =>
+      // REAL pure-JVM decode of self-describing formats (PPM P6 raster,
+      // RIFF/WAV PCM16) with magic-byte dispatch in mapPartitions; payload
+      // bytes synthesized from row data so the oracle can replay the
+      // expected header fields and features arithmetically
+      import s.implicits._
+      import graft.operators.MediaCodecs
+      val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 2 == 0)
+              MediaCodecs.ppmEncode((1 + id % 8).toInt, (1 + id % 5).toInt,
+                ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+            else {
+              val n = (50 + id % 20).toInt
+              MediaCodecs.wavEncode(
+                Array.tabulate(n)(i => (((id * 31 + i * 17) % 65536) - 32768).toShort),
+                16000)
+            }
+          (id, bytes)
+        }
+      MediaCodecs.decodeMedia(payloads).toDF().orderBy("doc_id")
+    },
+
     "multimodal_meta" -> { (s, dir) =>
       // Binary-column plumbing: payload as bytes + typed metadata + frame
       // sampling. The "decode" is a deterministic stub (md5-derived fake
@@ -1529,6 +1553,20 @@ object SparkEntry {
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
         |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 5 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS BIGINT) AS mean_r,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS BIGINT) AS mean_g,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 13) % 256 END AS BIGINT) AS mean_b,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 50 + doc_id % 20 END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN list_max(list_transform(range(50 + doc_id % 20),
+        |    i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768))) END AS BIGINT) AS peak
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->

@@ -1,0 +1,170 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** REAL decoders for the self-describing media formats a JVM can parse with
+  * no external codec: PPM (P6) images and WAV (RIFF/PCM) audio. This is the
+  * codec body [[Multimodal.decodeStub]] declares a slot for — formats that
+  * need libjpeg/ffmpeg stay stubbed (honestly, per the brief), but binary
+  * parsing, feature extraction and the dead-letter path are real here and
+  * exercised end-to-end by the `multimodal_decode` oracle query.
+  *
+  * Scale shape: decode runs inside `mapPartitions` (one dispatch table per
+  * partition, streamed rows) and each row touches only its own payload —
+  * map-only, no shuffle, embarrassingly parallel over 100 TB of media.
+  */
+object MediaCodecs {
+
+  /** Unified decode record; format-specific fields are None for the other
+    * kind (image: width/height/mean RGB of the raster; audio: rate,
+    * sample count, peak amplitude). */
+  case class MediaInfo(
+      doc_id: Long,
+      format: String,
+      width: Option[Long],
+      height: Option[Long],
+      mean_r: Option[Long],
+      mean_g: Option[Long],
+      mean_b: Option[Long],
+      sample_rate: Option[Long],
+      n_samples: Option[Long],
+      peak: Option[Long])
+
+  // ---- PPM P6 (netpbm): "P6" <ws> width <ws> height <ws> maxval \n raster ----
+
+  def ppmEncode(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      raster(i * 3) = rgb._1.toByte
+      raster(i * 3 + 1) = rgb._2.toByte
+      raster(i * 3 + 2) = rgb._3.toByte
+      i += 1
+    }
+    header ++ raster
+  }
+
+  /** Parse a P6 payload: magic, whitespace/comment-tolerant header ints,
+    * 8-bit raster. Returns None on any malformation (dead-letter, the
+    * converter-error analogue of reader's per-row error returns). */
+  def ppmDecode(id: Long, bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def skipWsAndComments(): Unit = {
+      var going = true
+      while (going && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else going = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWsAndComments()
+      val start = pos
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
+      if (pos == start) None
+      else Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if maxval == 255 && w > 0 && h > 0
+      // exactly one whitespace byte separates header from raster
+      if pos < bytes.length && { pos += 1; bytes.length - pos >= w * h * 3 }
+    } yield {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < w * h) {
+        sr += bytes(pos + i * 3) & 0xff
+        sg += bytes(pos + i * 3 + 1) & 0xff
+        sb += bytes(pos + i * 3 + 2) & 0xff
+        i += 1
+      }
+      val n = (w * h).toLong
+      MediaInfo(id, "ppm", Some(w.toLong), Some(h.toLong),
+        Some(sr / n), Some(sg / n), Some(sb / n), None, None, None)
+    }
+  }
+
+  // ---- WAV (RIFF little-endian, PCM 16-bit) ----
+
+  def wavEncode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                    // PCM
+      .putShort(1)                    // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate
+      .putShort(2)                    // block align
+      .putShort(16)                   // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload: walk chunks to fmt + data (tolerating
+    * extra chunks in between), require PCM16 mono, extract sample count
+    * and peak amplitude. None on malformation. */
+  def wavDecode(id: Long, bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 12) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int) = new String(bytes, at, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var pos = 12
+    var rate = -1
+    var peak = -1L
+    var nSamples = -1L
+    while (pos + 8 <= bytes.length) {
+      val tag = tag4(pos)
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
+      tag match {
+        case "fmt " =>
+          if (len < 16) return None
+          val codec = buf.getShort(pos + 8)
+          val channels = buf.getShort(pos + 10)
+          val bits = buf.getShort(pos + 22)
+          if (codec != 1 || channels != 1 || bits != 16) return None
+          rate = buf.getInt(pos + 12)
+        case "data" =>
+          if (rate < 0) return None // fmt must precede data
+          nSamples = len / 2L
+          var i = 0
+          var p = 0L
+          while (i < len / 2) {
+            val s = buf.getShort(pos + 8 + i * 2).toLong
+            val a = math.abs(s)
+            if (a > p) p = a
+            i += 1
+          }
+          peak = p
+        case _ => // skip unknown chunk (LIST, fact, ...)
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (rate < 0 || nSamples < 0) None
+    else Some(MediaInfo(id, "wav", None, None, None, None, None,
+      Some(rate.toLong), Some(nSamples), Some(peak)))
+  }
+
+  /** Partition-batched decode with magic-byte dispatch; undecodable
+    * payloads drop to the dead-letter side (None). */
+  def decodeMedia(payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaInfo] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ppmDecode(id, bytes)
+        else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F') wavDecode(id, bytes)
+        else None
+      }
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MediaCodecs
+import graft.operators.MediaCodecs.MediaInfo
+
+/** The real codec half of the multimodal story: header parsing, chunk
+  * walking, feature extraction, and the dead-letter path on malformed
+  * payloads. */
+class MediaCodecsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ppm round-trip and comment/whitespace-tolerant header") {
+    val enc = MediaCodecs.ppmEncode(4, 3, (10, 20, 30))
+    val d = MediaCodecs.ppmDecode(1L, enc).get
+    assert((d.width, d.height, d.mean_r, d.mean_g, d.mean_b) ===
+      ((Some(4L), Some(3L), Some(10L), Some(20L), Some(30L))))
+
+    // netpbm allows comments and arbitrary whitespace inside the header
+    val commented = "P6\n# a comment\n 2\t1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 5, 6, 7)
+    val c = MediaCodecs.ppmDecode(2L, commented).get
+    assert((c.width, c.height, c.mean_r) === ((Some(2L), Some(1L), Some(3L))))
+  }
+
+  test("ppm malformed payloads dead-letter instead of throwing") {
+    val enc = MediaCodecs.ppmEncode(4, 3, (10, 20, 30))
+    assert(MediaCodecs.ppmDecode(1L, enc.dropRight(1)).isEmpty) // short raster
+    assert(MediaCodecs.ppmDecode(1L, "P6\n4 3\n65535\n".getBytes ++
+      new Array[Byte](36)).isEmpty)                             // 16-bit maxval unsupported
+    assert(MediaCodecs.ppmDecode(1L, "P5\n1 1\n255\nx".getBytes).isEmpty) // wrong magic
+  }
+
+  test("wav round-trip, extra chunk tolerated, odd-length alignment") {
+    val samples = Array[Short](100, -200, 32767, -32768, 0)
+    val enc = MediaCodecs.wavEncode(samples, 44100)
+    val d = MediaCodecs.wavDecode(1L, enc).get
+    assert((d.sample_rate, d.n_samples, d.peak) ===
+      ((Some(44100L), Some(5L), Some(32768L))))
+
+    // splice an odd-length LIST chunk between fmt and data: the walker must
+    // skip it (word-aligned) and still find data
+    val head = enc.take(36) // RIFF..fmt chunk
+    val tail = enc.drop(36) // data chunk
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte]('a', 'b', 'c', 0) // 3 bytes + pad
+    val spliced = head ++ listChunk ++ tail
+    val s2 = MediaCodecs.wavDecode(2L, spliced).get
+    assert(s2.peak === Some(32768L))
+  }
+
+  test("wav malformed payloads dead-letter") {
+    val enc = MediaCodecs.wavEncode(Array[Short](1, 2, 3), 8000)
+    assert(MediaCodecs.wavDecode(1L, enc.dropRight(2)).isEmpty) // truncated data
+    val stereo = enc.clone()
+    stereo(22) = 2 // channels=2 unsupported
+    assert(MediaCodecs.wavDecode(1L, stereo).isEmpty)
+    assert(MediaCodecs.wavDecode(1L, "RIFFxxxxNOPE".getBytes).isEmpty)
+  }
+
+  test("decodeMedia dispatches by magic and drops undecodables") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, MediaCodecs.ppmEncode(2, 2, (5, 5, 5))),
+      (2L, MediaCodecs.wavEncode(Array[Short](7, -9), 16000)),
+      (3L, Array[Byte](0x42, 0x4d, 1, 2, 3))) // BMP magic: not implemented -> dropped
+    val out: Seq[MediaInfo] = MediaCodecs.decodeMedia(rows.toDS()).collect().toSeq
+    assert(out.map(_.doc_id).sorted == Seq(1L, 2L))
+    assert(out.find(_.doc_id == 1L).get.format == "ppm")
+    assert(out.find(_.doc_id == 2L).get.peak == Some(9L))
+  }
+}
