@@ -1118,15 +1118,15 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
         |    CAST(value AS DECIMAL(12,2)) AS value FROM events),
         |w AS (SELECT event_id, user_id, ts_us, event_type,
-        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
-        |      OVER win AS p_event_id,
-        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-        |      OVER win AS p_value
+        |    last_value(CASE WHEN event_type = 'purchase'
+        |        THEN {'eid': event_id, 'val': value} END IGNORE NULLS)
+        |      OVER win AS img
         |  FROM e WHERE event_type IN ('click', 'purchase')
         |  WINDOW win AS (PARTITION BY user_id
         |    ORDER BY ts_us, (event_type = 'purchase') DESC, event_id
         |    ROWS UNBOUNDED PRECEDING))
-        |SELECT user_id, ts_us, event_id, p_event_id, p_value
+        |SELECT user_id, ts_us, event_id,
+        |  img.eid AS p_event_id, img.val AS p_value
         |FROM w WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "agg_distinct" ->
@@ -1200,7 +1200,7 @@ object SparkEntry {
         |  lead(epoch_ms(ts)) OVER w AS valid_to,
         |  lead(epoch_ms(ts)) OVER w IS NULL AS is_current
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "stream_dedup" ->

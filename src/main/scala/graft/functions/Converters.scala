@@ -159,12 +159,14 @@ object Converters {
     intervalDays(c) * 86400000000L + intervalTimeMicros(c)
 
   /** Value for `key` in an hstore text rendering; NULL when the key is
-    * absent (parse.go drops NULL-valued keys from the map). Key presence
-    * is tested separately from value extraction so a present-but-EMPTY
-    * value stays "" rather than collapsing into NULL. */
+    * absent OR carries hstore NULL (parse.go drops NULL-valued keys from
+    * the map — `"k"=>NULL` renders unquoted, so requiring the value's
+    * opening quote in the presence test treats it as absent). Presence is
+    * tested separately from extraction so a present-but-EMPTY value
+    * (`"k"=>""`) stays "" rather than collapsing into NULL. */
   def hstoreValue(c: Column, key: String): Column = {
     val quoted = java.util.regex.Pattern.quote(key)
-    val present = c.rlike("\"" + quoted + "\"=>")
+    val present = c.rlike("\"" + quoted + "\"=>\"")
     when(present, regexp_extract(c, "\"" + quoted + "\"=>\"([^\"]*)\"", 1))
   }
 

@@ -44,33 +44,37 @@ object AsOfJoin {
     val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == ordCol)
 
     // normalize both sides onto one schema: keys + ord + side + tie +
-    // left payload (null on right rows) + carried right columns (null on
-    // left rows). unionByName keeps this robust to column order.
+    // left payload (null on right rows) + the carried right-row IMAGE as
+    // ONE struct (null on left rows). A single struct under one
+    // ignore-nulls last() keeps the carried columns from the SAME right
+    // row — per-column lasts would tear rows apart whenever the most
+    // recent right row holds a null in one carried column (its value
+    // would then come from an older row). unionByName keeps this robust
+    // to column order.
+    val imgType = org.apache.spark.sql.types.StructType(
+      carry.map(c => right.schema(c)))
     val lNorm = left
       .withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast(right.schema(tieCol).dataType))
       .select((keyCols.map(col) :+ col(ordCol) :+ col("_side") :+ col("_tie")) ++
-        leftPayload.map(col) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(imgType).as("_r_img"): _*)
     val rNorm = right
       .withColumn("_side", lit(0))
       .withColumn("_tie", col(tieCol))
       .select((keyCols.map(col) :+ col(ordCol) :+ col("_side") :+ col("_tie")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carry.map(c => col(c).as(s"_r_$c")): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carry.map(col): _*).as("_r_img"): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(ordCol).asc, col("_side").asc, col("_tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = carry.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(c, last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-
-    carried
+    lNorm.unionByName(rNorm)
+      .withColumn("_img", last(col("_r_img"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
       .select(keyCols.map(col) ++ Seq(col(ordCol)) ++ leftPayload.map(col) ++
-        carry.map(col): _*)
+        carry.map(c => col(s"_img.$c").as(c)): _*)
   }
 }

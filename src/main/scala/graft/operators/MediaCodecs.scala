@@ -65,7 +65,9 @@ object MediaCodecs {
       skipWsAndComments()
       val start = pos
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
-      if (pos == start) None
+      // > 9 digits cannot be a sane dimension and would overflow toInt —
+      // dead-letter, never throw (the decoder faces arbitrary bytes)
+      if (pos == start || pos - start > 9) None
       else Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
     }
     for {
@@ -73,8 +75,9 @@ object MediaCodecs {
       h <- readInt()
       maxval <- readInt()
       if maxval == 255 && w > 0 && h > 0
-      // exactly one whitespace byte separates header from raster
-      if pos < bytes.length && { pos += 1; bytes.length - pos >= w * h * 3 }
+      // raster size math in Long: w*h*3 as Int can overflow (even to 0,
+      // which would "pass" a short payload and then divide by zero below)
+      if pos < bytes.length && { pos += 1; bytes.length - pos >= w.toLong * h * 3 }
     } yield {
       var (sr, sg, sb) = (0L, 0L, 0L)
       var i = 0
@@ -84,7 +87,7 @@ object MediaCodecs {
         sb += bytes(pos + i * 3 + 2) & 0xff
         i += 1
       }
-      val n = (w * h).toLong
+      val n = w.toLong * h
       MediaInfo(id, "ppm", Some(w.toLong), Some(h.toLong),
         Some(sr / n), Some(sg / n), Some(sb / n), None, None, None)
     }
@@ -124,7 +127,9 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length) {
       val tag = tag4(pos)
       val len = buf.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > bytes.length) return None
+      // bounds math in Long: a crafted len near Int.MaxValue wraps
+      // `pos + 8 + len` negative and would bypass the guard
+      if (len < 0 || pos + 8 + len.toLong > bytes.length) return None
       tag match {
         case "fmt " =>
           if (len < 16) return None

@@ -111,7 +111,8 @@ object EventsIngest {
     spark.read.parquet(landing)
   }
 
-  private def deleteRecursive(dir: String): Unit = {
+  /** Shared by the streaming ingests (EvolvingIngest, WatermarkAgg). */
+  private[streaming] def deleteRecursive(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -49,15 +49,19 @@ object EvolvingIngest {
     val target = epochSchemas(events.length)
 
     val landing = s"$workDir/landing"
+    val dead = s"$workDir/dead"
     val ckpt = s"$workDir/ckpt"
-    deleteRecursive(landing); deleteRecursive(ckpt)
+    EventsIngest.deleteRecursive(landing)
+    EventsIngest.deleteRecursive(dead)
+    EventsIngest.deleteRecursive(ckpt)
 
     val stream = spark.readStream
       .schema(new StructType().add("epoch", "int").add("payload", "string"))
       .parquet(stagedDir)
 
+    val knownEpochs = epochSchemas.keySet.toSeq.map(Integer.valueOf)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // epoch k rows are parsed with their historical schema, then the
         // REMAINING migration events are replayed over them (rename moves
         // the data, add fills typed NULL/default) — conformTo alone maps by
@@ -70,21 +74,40 @@ object EvolvingIngest {
           SchemaEvolution.conformTo(
             SchemaEvolution.replay(parsed, events.drop(k)), target)
         }.reduce(_.unionAll(_))
-        conformed.write.mode("append").parquet(landing)
+        // both writes are partitioned by batch id with DYNAMIC overwrite:
+        // a foreachBatch retry (crash between write and checkpoint commit)
+        // rewrites ONLY its own batch partition instead of appending the
+        // rows a second time
+        conformed.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").parquet(landing)
+        // rows whose epoch is outside the known schema history (producer
+        // ahead of this consumer's DDL log — the migration race this
+        // operator exists for) dead-letter verbatim instead of vanishing
+        val unknown = batch.where(!col("epoch").isin(knownEpochs: _*) ||
+          col("epoch").isNull)
+        if (!unknown.isEmpty) {
+          unknown.withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id").parquet(dead)
+        }
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
-    spark.read.parquet(landing)
+    spark.read.parquet(landing).drop("_batch_id")
   }
 
-  private def deleteRecursive(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
+  /** Dead-lettered rows (unknown/NULL epoch) from the last run, verbatim
+    * wire shape plus the batch id that carried them. Empty DataFrame when
+    * nothing dead-lettered. */
+  def deadLetters(spark: SparkSession, workDir: String): DataFrame = {
+    val dead = s"$workDir/dead"
+    if (Files.exists(Paths.get(dead))) spark.read.parquet(dead)
+    else spark.emptyDataFrame
   }
 }

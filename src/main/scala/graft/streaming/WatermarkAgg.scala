@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -44,7 +44,7 @@ object WatermarkAgg {
     val schema = spark.read.parquet(eventsPath).schema
     val landing = s"$workDir/landing"
     val ckpt = s"$workDir/ckpt"
-    deleteRecursive(landing); deleteRecursive(ckpt)
+    EventsIngest.deleteRecursive(landing); EventsIngest.deleteRecursive(ckpt)
 
     val dir = new java.io.File(eventsPath).getParent
     val fileName = new java.io.File(eventsPath).getName
@@ -73,11 +73,4 @@ object WatermarkAgg {
     spark.read.parquet(landing)
   }
 
-  private def deleteRecursive(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
-  }
 }

@@ -36,6 +36,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       (103L, null, null))) // key 2 has no right rows
   }
 
+  test("carried columns come from the SAME right row (no row tearing on nulls)") {
+    // most recent right row has a NULL payload: the output must carry that
+    // NULL, not splice in the older row's payload
+    val r = Seq((1L, 20L, Some(7L), Some("old")), (1L, 30L, Some(9L), None))
+      .toDF("k", "ts", "rid", "payload")
+    val l = Seq((1L, 40L, 100L)).toDF("k", "ts", "lid")
+    val out = AsOfJoin.lastMatch(l, r, Seq("k"), "ts", "rid",
+      Seq("rid", "payload")).head()
+    assert(out.getLong(3) === 9L)
+    assert(out.isNullAt(4), "payload torn from an older right row")
+  }
+
   test("plan has no join node — union + one keyed window") {
     val plan = AsOfJoin.lastMatch(left, right, Seq("k"), "ts", "rid",
       Seq("rid")).queryExecution.executedPlan.toString

@@ -37,6 +37,19 @@ class EvolvingIngestSpec extends AnyFunSuite {
       (3L, "c", "7.00", "x")))
   }
 
+  test("unknown-epoch rows dead-letter verbatim instead of vanishing") {
+    val work = java.nio.file.Files.createTempDirectory("evolve3").toString
+    val staged = s"$work/staged"
+    Seq((0, """{"id":1,"name":"a","amt":1.00}"""),
+      (9, """{"id":2,"name":"future","x":1}""")) // epoch 9: producer ahead
+      .toDF("epoch", "payload").write.parquet(staged)
+    val landed = EvolvingIngest.ingestAcrossMigration(spark, staged, work, v1, ddl)
+    assert(landed.count() == 1)
+    val dead = EvolvingIngest.deadLetters(spark, work)
+    assert(dead.count() == 1)
+    assert(dead.select("payload").head().getString(0).contains("future"))
+  }
+
   test("resume from checkpoint does not re-land processed epochs") {
     val work = java.nio.file.Files.createTempDirectory("evolve2").toString
     val staged = s"$work/staged"
