@@ -52,9 +52,14 @@ object SchemaEvolution {
   def parse(ddl: String): Option[DdlEvent] = ddl.trim match {
     case AddRe(name, typ, dflt) =>
       // an unparsable type (e.g. "ADD PRIMARY KEY (id)" shapes that slip
-      // past the column regex) is not a column event — dead-letter it
+      // past the column regex) is not a column event — dead-letter it.
+      // DEFAULT NULL is SQL null, not the four-character string "NULL"
+      // (which would be cast into every row, or throw under ANSI for
+      // non-string types).
       scala.util.Try(DataType.fromDDL(typ.trim)).toOption.map(dt =>
-        AddColumn(name, dt, Option(dflt).map(_.trim.stripPrefix("'").stripSuffix("'"))))
+        AddColumn(name, dt, Option(dflt).map(_.trim)
+          .filterNot(_.equalsIgnoreCase("NULL"))
+          .map(_.stripPrefix("'").stripSuffix("'"))))
     case RenameRe(from, to) => Some(RenameColumn(from, to))
     case ModifyRe(name, typ) =>
       scala.util.Try(DataType.fromDDL(typ.trim)).toOption.map(ModifyColumn(name, _))

@@ -186,10 +186,21 @@ object SnapshotScan {
       cnts.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var cum = offsets(pid)
+        // keys and targets are both sorted ascending, so a single advancing
+        // index merges them in O(keys + targets) — scanning all targets per
+        // key would be O(keys x targets), quadratic at 100 TB key counts
+        var ti = java.util.Arrays.binarySearch(targets, cum + 1) match {
+          case found if found >= 0 => found
+          case ins => -ins - 1
+        }
         it.flatMap { case (k, c) =>
-          val lo = cum + 1
           cum += c
-          targets.iterator.filter(t => t >= lo && t <= cum).map(t => (t, k))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          while (ti < targets.length && targets(ti) <= cum) {
+            out += ((targets(ti), k))
+            ti += 1
+          }
+          out
         }
       }.collect().sortBy(_._1).map(_._2).toSeq
     } finally cnts.unpersist(blocking = false)

@@ -23,6 +23,12 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       Some(ModifyColumn("c", VarcharType(10))))
     assert(SE.parse("TRUNCATE TABLE t") === None)
     assert(SE.parse("ALTER TABLE t ADD PRIMARY KEY (id)") === None)
+    // DEFAULT NULL is SQL null, not the string "NULL" (which would be cast
+    // into every row — or abort the replay under ANSI for numeric types)
+    assert(SE.parse("ALTER TABLE t ADD COLUMN c BIGINT DEFAULT NULL") ===
+      Some(AddColumn("c", LongType, None)))
+    assert(SE.parse("ALTER TABLE t ADD COLUMN c STRING DEFAULT null") ===
+      Some(AddColumn("c", StringType, None)))
   }
 
   test("replaying a DDL sequence evolves both schema and data consistently") {
