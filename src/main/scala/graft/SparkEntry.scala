@@ -691,6 +691,18 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "stream_join" -> { (s, dir) =>
+      // stream-stream interval join, both sides watermarked; inner-join
+      // emission is batch-equivalent so the oracle is the plain interval
+      // join
+      graft.streaming.StreamJoin.clicksWithRecentPurchases(
+        s, s"$dir/events.parquet", workDir("sjoin", dir))
+        .select(col("c_user").as("user_id"),
+          expr("unix_micros(c_ts)").as("c_ts_us"), col("c_id"),
+          expr("unix_micros(p_ts)").as("p_ts_us"), col("p_id"))
+        .orderBy("c_id", "p_id")
+    },
+
     "stream_evolve" -> { (s, dir) =>
       // streaming ingest across a migration: epoch-0 rows predate the DDL
       // (old column name `amount`, no `flag`), epoch-2 rows carry the final
@@ -1391,6 +1403,17 @@ object SparkEntry {
         |WHERE date_trunc('day', ts) + INTERVAL 1 DAY
         |  <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
         |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "stream_join" ->
+      """SELECT c.user_id, epoch_us(c.ts) AS c_ts_us, c.event_id AS c_id,
+        |  epoch_us(p.ts) AS p_ts_us, p.event_id AS p_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  -- compare at µs like the Spark side (ns-resolution bounds would
+        |  -- disagree on sub-µs boundary cases)
+        |  AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+        |ORDER BY c_id, p_id""".stripMargin,
 
     "stream_evolve" ->
       """SELECT event_id, user_id, event_type,

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream interval join: correlate two live CDC streams on a key
+  * within an event-time window — the streaming twin of [[graft.operators
+  * .AsOfJoin]]'s batch point-in-time lookup, and the remaining Structured-
+  * Streaming primitive the engine exercises (stateful dedup, watermarked
+  * aggregation, flatMapGroupsWithState sessions, and foreachBatch schema
+  * replay are covered by the other streaming queries).
+  *
+  * Scale contract: BOTH sides carry a watermark and the join condition
+  * bounds event-time distance, so each side's state store retains only the
+  * watermark horizon (Spark derives the eviction predicate from the
+  * interval bounds) — without the bounds, stream-stream state grows
+  * unboundedly. The join itself is a keyed exchange of both streams, the
+  * same shuffle the batch twin pays.
+  *
+  * Determinism contract (what lets a SQL oracle replay it): an INNER join
+  * emits every matched pair exactly once regardless of micro-batch
+  * boundaries — late-batch rows join against retained state — so under
+  * `AvailableNow` the emitted set equals the batch interval join verbatim.
+  */
+object StreamJoin {
+
+  /** Join clicks to the same user's purchases at most `window` before the
+    * click, both sides streamed. Fresh-run idempotent. */
+  def clicksWithRecentPurchases(
+      spark: SparkSession,
+      eventsPath: String,
+      workDir: String,
+      window: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val landing = s"$workDir/landing"
+    val ckpt = s"$workDir/ckpt"
+    EventsIngest.deleteRecursive(landing); EventsIngest.deleteRecursive(ckpt)
+
+    val dir = new java.io.File(eventsPath).getParent
+    val fileName = new java.io.File(eventsPath).getName
+    def side(evType: String, prefix: String) = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", fileName)
+      .parquet(dir)
+      .where(col("event_type") === evType)
+      .select(col("user_id").as(s"${prefix}_user"),
+        timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", window)
+
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr(s"c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL $window AND c_ts"))
+
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", landing)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(landing)
+  }
+}
