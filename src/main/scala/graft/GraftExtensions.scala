@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Catalyst Rule tier: top-one-per-key windows become min_by/max_by hash
+    // aggregates (no per-partition sort) — see TopOneWindowToMinMaxBy.
+    ext.injectOptimizerRule(_ => graft.plans.TopOneWindowToMinMaxBy)
+
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
