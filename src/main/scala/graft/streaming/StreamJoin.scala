@@ -53,13 +53,24 @@ object StreamJoin {
     val joined = side("click", "c").join(side("purchase", "p"),
       expr(s"c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL $window AND c_ts"))
 
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", landing)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stream-stream join keeps FOUR state stores per shuffle partition;
+    // the store count is pinned by the partition count at checkpoint
+    // creation, so scope a lower value to this query (the data volume per
+    // micro-batch is what the partition count should track, not the
+    // session-wide batch setting) and restore the session conf after
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", landing)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // restore only after termination: the stream clones the session conf
+      // on its own thread, so restoring right after start() would race
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(landing)
   }
 }
