@@ -5,9 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join: attach to each left row the most recent right row with the
-  * same key whose ordering value is <= the left row's (time-series point-in-
-  * time lookup; the streaming-CDC "state at this position" question reader
-  * answers per key with its latest-state map, writers/transfer/writer.go).
+  * same key whose ordering value is <= the left row's — the distributed
+  * re-expression of reader's MostRecentMap.GetItem(ts) (reference:
+  * lib/maputil/most_recent_map.go:23-46, binary search for the greatest
+  * entry at-or-before ts), which reader keeps per key for streaming-CDC
+  * "state at this position" lookups (writers/transfer/writer.go).
   *
   * Spark has no native as-of join, and the declarative encodings are
   * scale-traps: a `left.join(right, key && r.ts <= l.ts)` + groupBy-max
