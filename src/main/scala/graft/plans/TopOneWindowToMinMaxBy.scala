@@ -102,22 +102,21 @@ object TopOneWindowToMinMaxBy extends Rule[LogicalPlan] {
   private def rebuildFilter(rest: Seq[Expression], child: LogicalPlan): LogicalPlan =
     rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
 
+  private def tryRewrite(cond: Expression, w: Window,
+      wrap: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
+    topOneWindow(w).flatMap { case (rn, orderSpec, asc) =>
+      val (matched, rest) = splitRankOne(cond, rn)
+      if (matched)
+        rewrite(w, rn, orderSpec, asc).map(agg => rebuildFilter(rest, wrap(agg)))
+      else None
+    }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window) =>
-      topOneWindow(w).flatMap { case (rn, orderSpec, asc) =>
-        val (matched, rest) = splitRankOne(cond, rn)
-        if (matched) rewrite(w, rn, orderSpec, asc).map(rebuildFilter(rest, _))
-        else None
-      }.getOrElse(f)
+      tryRewrite(cond, w, identity).getOrElse(f)
 
-    case f @ Filter(cond, p @ Project(projList, w: Window))
+    case f @ Filter(cond, Project(projList, w: Window))
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      topOneWindow(w).flatMap { case (rn, orderSpec, asc) =>
-        val (matched, rest) = splitRankOne(cond, rn)
-        if (matched)
-          rewrite(w, rn, orderSpec, asc)
-            .map(agg => rebuildFilter(rest, Project(projList, agg)))
-        else None
-      }.getOrElse(f)
+      tryRewrite(cond, w, Project(projList, _)).getOrElse(f)
   }
 }

@@ -30,33 +30,15 @@ object EventsIngest {
       spark: SparkSession,
       eventsPath: String,
       landingDir: String,
-      checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): Long = {
+      checkpointDir: String): Long = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
-
-    // FileStreamSource wants a directory; point it at the parent with a
-    // glob filter for the one table file.
-    val dir = new java.io.File(eventsPath).getParent
-    val fileName = new java.io.File(eventsPath).getName
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", fileName)
-      .parquet(dir)
+    val stream = fileStream(spark, eventsPath, schema)
       // envelope the raw change rows exactly as the batch path does:
       // op 'r' + event-time millis (transformer.go:121)
       .withColumn("op", lit("r"))
       .withColumn("ts_ms", expr("ts div 1000000"))
-
-    val q = stream.writeStream
-      .format("parquet")
-      .option("path", landingDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    spark.read.parquet(landingDir).count()
+    runToParquet(stream, landingDir, checkpointDir).count()
   }
 
   /** Replay-safe ingest: the same source data delivered MORE THAN ONCE
@@ -89,15 +71,7 @@ object EventsIngest {
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
       .dropDuplicates(pkCols)
-
-    val q = stream.writeStream
-      .format("parquet")
-      .option("path", landingDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(landingDir)
+    runToParquet(stream, landingDir, checkpointDir)
   }
 
   /** Fresh-run wrapper: wipe landing+checkpoint, ingest, return the landed
@@ -109,6 +83,39 @@ object EventsIngest {
     deleteRecursive(ckpt)
     ingestAvailableNow(spark, eventsPath, landing, ckpt)
     spark.read.parquet(landing)
+  }
+
+  /** Stream a single parquet file: FileStreamSource wants a directory, so
+    * point it at the parent with a glob filter for the one table file.
+    * Shared by the streaming ingests. */
+  private[streaming] def fileStream(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dir = new java.io.File(path).getParent
+    val fileName = new java.io.File(path).getName
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", fileName)
+      .parquet(dir)
+  }
+
+  /** Run `stream` to a parquet landing zone with AvailableNow + checkpoint,
+    * block to completion, and return the landed data. Shared by the
+    * streaming ingests. */
+  private[streaming] def runToParquet(
+      stream: DataFrame,
+      landingDir: String,
+      checkpointDir: String,
+      outputMode: Option[org.apache.spark.sql.streaming.OutputMode] = None): DataFrame = {
+    val writer = stream.writeStream
+      .format("parquet")
+      .option("path", landingDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+    val q = outputMode.fold(writer)(writer.outputMode).start()
+    q.awaitTermination()
+    stream.sparkSession.read.parquet(landingDir)
   }
 
   /** Shared by the streaming ingests (EvolvingIngest, WatermarkAgg). */

@@ -59,40 +59,45 @@ object EvolvingIngest {
       .schema(new StructType().add("epoch", "int").add("payload", "string"))
       .parquet(stagedDir)
 
-    val knownEpochs = epochSchemas.keySet.toSeq.map(Integer.valueOf)
+    val knownEpochs = epochSchemas.keySet.toSeq
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // epoch k rows are parsed with their historical schema, then the
-        // REMAINING migration events are replayed over them (rename moves
-        // the data, add fills typed NULL/default) — conformTo alone maps by
-        // name and would NULL a renamed column. Final conformTo pins the
-        // target column order/types.
-        val conformed = epochSchemas.toSeq.sortBy(_._1).map { case (k, sch) =>
-          val parsed = batch.where(col("epoch") === k)
-            .select(from_json(col("payload"), sch).as("r"))
-            .select(col("r.*"))
-          SchemaEvolution.conformTo(
-            SchemaEvolution.replay(parsed, events.drop(k)), target)
-        }.reduce(_.unionAll(_))
-        // both writes are partitioned by batch id with DYNAMIC overwrite:
-        // a foreachBatch retry (crash between write and checkpoint commit)
-        // rewrites ONLY its own batch partition instead of appending the
-        // rows a second time
-        conformed.withColumn("_batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id").parquet(landing)
-        // rows whose epoch is outside the known schema history (producer
-        // ahead of this consumer's DDL log — the migration race this
-        // operator exists for) dead-letter verbatim instead of vanishing
-        val unknown = batch.where(!col("epoch").isin(knownEpochs: _*) ||
-          col("epoch").isNull)
-        if (!unknown.isEmpty) {
-          unknown.withColumn("_batch_id", lit(batchId))
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        // the micro-batch is scanned once per epoch slice plus the
+        // dead-letter pass — persist it for the duration of the batch
+        val batch = rawBatch.persist()
+        try {
+          // epoch k rows are parsed with their historical schema, then the
+          // REMAINING migration events are replayed over them (rename moves
+          // the data, add fills typed NULL/default) — conformTo alone maps by
+          // name and would NULL a renamed column. Final conformTo pins the
+          // target column order/types.
+          val conformed = epochSchemas.toSeq.sortBy(_._1).map { case (k, sch) =>
+            val parsed = batch.where(col("epoch") === k)
+              .select(from_json(col("payload"), sch).as("r"))
+              .select(col("r.*"))
+            SchemaEvolution.conformTo(
+              SchemaEvolution.replay(parsed, events.drop(k)), target)
+          }.reduce(_.unionAll(_))
+          // both writes are partitioned by batch id with DYNAMIC overwrite:
+          // a foreachBatch retry (crash between write and checkpoint commit)
+          // rewrites ONLY its own batch partition instead of appending the
+          // rows a second time
+          conformed.withColumn("_batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id").parquet(dead)
-        }
+            .partitionBy("_batch_id").parquet(landing)
+          // rows whose epoch is outside the known schema history (producer
+          // ahead of this consumer's DDL log — the migration race this
+          // operator exists for) dead-letter verbatim instead of vanishing
+          val unknown = batch.where(!col("epoch").isin(knownEpochs: _*) ||
+            col("epoch").isNull)
+          if (!unknown.isEmpty) {
+            unknown.withColumn("_batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_batch_id").parquet(dead)
+          }
+        } finally batch.unpersist(blocking = false)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

@@ -38,13 +38,9 @@ object StreamJoin {
     val ckpt = s"$workDir/ckpt"
     EventsIngest.deleteRecursive(landing); EventsIngest.deleteRecursive(ckpt)
 
-    val dir = new java.io.File(eventsPath).getParent
-    val fileName = new java.io.File(eventsPath).getName
-    def side(evType: String, prefix: String) = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", fileName)
-      .parquet(dir)
-      .where(col("event_type") === evType)
+    def side(evType: String, prefix: String) =
+      EventsIngest.fileStream(spark, eventsPath, schema)
+        .where(col("event_type") === evType)
       .select(col("user_id").as(s"${prefix}_user"),
         timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"),
         col("event_id").as(s"${prefix}_id"))
@@ -60,17 +56,9 @@ object StreamJoin {
     // session-wide batch setting) and restore the session conf after
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = joined.writeStream
-        .format("parquet")
-        .option("path", landing)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // restore only after termination: the stream clones the session conf
-      // on its own thread, so restoring right after start() would race
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.read.parquet(landing)
+    // restore only after termination: the stream clones the session conf
+    // on its own thread, so restoring right after start() would race
+    try EventsIngest.runToParquet(joined, landing, ckpt)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }

@@ -46,12 +46,7 @@ object WatermarkAgg {
     val ckpt = s"$workDir/ckpt"
     EventsIngest.deleteRecursive(landing); EventsIngest.deleteRecursive(ckpt)
 
-    val dir = new java.io.File(eventsPath).getParent
-    val fileName = new java.io.File(eventsPath).getName
-    val agg = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", fileName)
-      .parquet(dir)
+    val agg = EventsIngest.fileStream(spark, eventsPath, schema)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
       .withWatermark("ts", delay)
@@ -61,16 +56,7 @@ object WatermarkAgg {
       .select(col("event_type"), col("window.start").cast("date").as("day"),
         col("n"), col("sum_value"))
 
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", landing)
-      .option("checkpointLocation", ckpt)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    spark.read.parquet(landing)
+    EventsIngest.runToParquet(agg, landing, ckpt, Some(OutputMode.Append()))
   }
 
 }
