@@ -894,6 +894,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_chunks" -> { (s, dir) =>
+      // content-defined chunking: rolling-hash boundaries (ChunkBoundaries
+      // kernel), chunk fingerprints; boundary arithmetic is SQL-replayable
+      Dedup.contentChunks(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    "dedup_chunks" -> { (s, dir) =>
+      // sub-document exact dedup: chunk fingerprints duplicated across docs
+      Dedup.duplicatedChunks(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("chunk_md5")
+    },
+
     "pipeline_curate" -> { (s, dir) =>
       // the full curation funnel as ONE query: language-ID -> quality gate
       // -> exact near-dup removal (normalized fingerprint, min-id survivor)
@@ -1545,6 +1558,44 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score FROM sc WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |b AS (SELECT doc_id, text, n,
+        |   list_filter(range(8, n), i ->
+        |       list_sum(list_transform(range(0, 8), j ->
+        |         ord(substr(text, CAST(i - j AS INT), 1)) *
+        |         [1,31,961,29791,923521,28629151,887503681,27512614111][CAST(j+1 AS INT)])) % 256 = 0)
+        |   || [CAST(n AS BIGINT)] AS bounds
+        | FROM t),
+        |c AS (SELECT doc_id, text, bounds, unnest(range(1, len(bounds)+1)) AS i FROM b),
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |   CAST(CASE WHEN i = 1 THEN 1 ELSE bounds[CAST(i-1 AS INT)] + 1 END AS BIGINT) AS chunk_off,
+        |   CAST(bounds[CAST(i AS INT)] AS BIGINT) AS endp, text
+        | FROM c)
+        |SELECT doc_id, chunk_idx, chunk_off, endp - chunk_off + 1 AS chunk_len,
+        |  md5(substr(text, CAST(chunk_off AS INT), CAST(endp - chunk_off + 1 AS INT))) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "dedup_chunks" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |b AS (SELECT doc_id, text, n,
+        |   list_filter(range(8, n), i ->
+        |       list_sum(list_transform(range(0, 8), j ->
+        |         ord(substr(text, CAST(i - j AS INT), 1)) *
+        |         [1,31,961,29791,923521,28629151,887503681,27512614111][CAST(j+1 AS INT)])) % 256 = 0)
+        |   || [CAST(n AS BIGINT)] AS bounds
+        | FROM t),
+        |c AS (SELECT doc_id, text, bounds, unnest(range(1, len(bounds)+1)) AS i FROM b),
+        |ch AS (SELECT doc_id,
+        |   CAST(CASE WHEN i = 1 THEN 1 ELSE bounds[CAST(i-1 AS INT)] + 1 END AS BIGINT) AS chunk_off,
+        |   CAST(bounds[CAST(i AS INT)] AS BIGINT) AS endp, text
+        | FROM c)
+        |SELECT md5(substr(text, CAST(chunk_off AS INT), CAST(endp - chunk_off + 1 AS INT))) AS chunk_md5,
+        |  COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY chunk_md5""".stripMargin,
 
     "pipeline_curate" ->
       """WITH t AS (SELECT doc_id, source, text,

@@ -461,3 +461,52 @@ case class SimHash16(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
 }
+
+/** Content-defined chunk boundaries: 1-based END positions of every chunk,
+  * cut where the base-31 polynomial hash of the trailing `w` characters is
+  * divisible by `modulus` (Rabin-style rolling split, the construction
+  * sub-document dedup pipelines use so an insertion early in a document
+  * shifts ONE boundary instead of re-aligning every fixed-width block).
+  * The final position is always a boundary, so boundaries partition
+  * [1, len]; empty text yields an empty array. One native pass; the hash
+  * arithmetic (char * 31^j summed over the window, NO modular reduction —
+  * 255 * 31^7 fits comfortably in a long) is deliberately replayable in
+  * plain SQL, which is what lets the DuckDB oracle verify byte-identical
+  * chunking. Expected chunk length ~= modulus characters. */
+case class ChunkBoundaries(child: Expression, w: Int, modulus: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 0 && modulus > 1)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private val pow: Array[Long] = {
+    val p = new Array[Long](w)
+    p(0) = 1L
+    var j = 1
+    while (j < w) { p(j) = p(j - 1) * 31L; j += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.toString
+    val n = text.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = w // 1-based end position of the window
+    while (i <= n) {
+      var h = 0L
+      var j = 0
+      while (j < w) {
+        h += text.charAt(i - 1 - j).toLong * pow(j)
+        j += 1
+      }
+      if (h % modulus == 0 && i != n) out += i
+      i += 1
+    }
+    if (n > 0) out += n
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkBoundaries =
+    copy(child = newChild)
+}

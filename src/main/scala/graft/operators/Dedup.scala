@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.expressions.{CosineSim, EqualPositionCount, HyperplaneBandKeys, MinHashSig, ShingleHashes, SimHash16, Sketch, SortedIntersectCount}
+import graft.expressions.{ChunkBoundaries, CosineSim, EqualPositionCount, HyperplaneBandKeys, MinHashSig, ShingleHashes, SimHash16, Sketch, SortedIntersectCount}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -215,4 +215,40 @@ object Dedup {
       .where(col("cos") >= threshold)
     CacheScope.unpersistAfterUse(verified, bandTable)
   }
+
+  /** Content-defined chunks: split each document at rolling-hash boundaries
+    * ([[graft.expressions.ChunkBoundaries]]) and fingerprint every chunk.
+    * Unlike fixed-width blocks, an insertion early in a document moves ONE
+    * boundary — the same chunks re-align afterwards — so chunk fingerprints
+    * survive edits and sub-document duplication (boilerplate headers,
+    * quoted passages) becomes an exact groupBy instead of a fuzzy match.
+    * Map-only: kernel pass + posexplode + substring/md5 per chunk. */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Int = 256): DataFrame = {
+    val bounds = Sketch.column(ChunkBoundaries(Sketch.expr(col(textCol)), w, modulus))
+    df.select(col(idCol), col(textCol).as("__text"), bounds.as("__bounds"))
+      .select(col(idCol), col("__text"), col("__bounds"),
+        posexplode(col("__bounds")).as(Seq("__idx", "__end")))
+      .withColumn("chunk_idx", (col("__idx") + 1).cast("long"))
+      .withColumn("chunk_off", when(col("__idx") === 0, lit(1L))
+        .otherwise(element_at(col("__bounds"), col("__idx")) + 1L).cast("long"))
+      .withColumn("chunk_len", (col("__end") - col("chunk_off") + 1L).cast("long"))
+      .withColumn("chunk_md5",
+        md5(col("__text").substr(col("chunk_off").cast("int"), col("chunk_len").cast("int"))))
+      .select(col(idCol), col("chunk_idx"), col("chunk_off"), col("chunk_len"), col("chunk_md5"))
+  }
+
+  /** Cross-document duplicated chunks: every chunk fingerprint seen in more
+    * than one document, with its spread. One keyed shuffle over the chunk
+    * fingerprints (KB per doc), map-side partials — the sub-document twin
+    * of [[exactByFingerprint]]. */
+  def duplicatedChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, modulus: Int = 256): DataFrame =
+    contentChunks(df, idCol, textCol, w, modulus)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+      .where(col("n_docs") > 1)
 }

@@ -85,6 +85,31 @@ class DedupSpec extends AnyFunSuite {
     assert(fp(1L) === fp(2L))
   }
 
+  test("content-defined chunks partition the text and survive an early edit") {
+    val base = "abcdefgh" * 40
+    val docs = Seq((1L, base), (2L, "XYZ" + base), // insertion at the front
+      (3L, "ab"), (4L, "")).toDF("doc_id", "text")
+    val chunks = Dedup.contentChunks(docs, "doc_id", "text", w = 8, modulus = 16)
+      .collect().groupBy(_.getLong(0))
+
+    // chunks partition [1, len]: contiguous offsets, lengths sum to len
+    val c1 = chunks(1L).sortBy(_.getLong(1))
+    assert(c1.head.getLong(2) == 1L)
+    assert(c1.map(_.getLong(3)).sum == base.length.toLong)
+    c1.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) == a.getLong(2) + a.getLong(3))
+      case _ =>
+    }
+    // content-defined = the shifted doc re-aligns: most chunk fingerprints
+    // shared with the unshifted doc (a fixed-width splitter would share 0)
+    val f1 = c1.map(_.getString(4)).toSet
+    val f2 = chunks(2L).map(_.getString(4)).toSet
+    assert((f1 intersect f2).size >= f1.size - 2, s"${(f1 intersect f2).size} of ${f1.size}")
+    // shorter than the window -> one chunk; empty text -> no chunks
+    assert(chunks(3L).map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((1L, 2L)))
+    assert(!chunks.contains(4L))
+  }
+
   test("embedding near-dup finds a planted duplicate vector") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val v2 = v.clone(); v2(0) = (v2(0) * 1.001f) // ~identical direction
