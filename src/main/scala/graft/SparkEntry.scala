@@ -894,6 +894,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_repetition" -> { (s, dir) =>
+      // Gopher-style repetition filters, entirely map-only: the most
+      // frequent bigram's share (max multiplicity = longest equal-run of
+      // the SORTED bigram array — no explode/groupBy shuffle), duplicate
+      // trigram share, and the longest consecutive same-token run
+      val toks = split(col("text"), " ")
+      val bigrams = expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")
+      val trigrams = expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")
+      Tables.documents(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("bi", bigrams)
+        .withColumn("tri", trigrams)
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          Tf.maxEqualRun(array_sort(col("bi"))).as("top_bigram_count"),
+          (Tf.maxEqualRun(array_sort(col("bi"))).cast("double") / size(col("bi")))
+            .as("top_bigram_frac"),
+          ((size(col("tri")) - size(array_distinct(col("tri")))).cast("double")
+            / size(col("tri"))).as("dup_trigram_frac"),
+          Tf.maxEqualRun(col("toks")).as("max_token_run"))
+        .orderBy("doc_id")
+    },
+
     "text_chunks" -> { (s, dir) =>
       // content-defined chunking: rolling-hash boundaries (ChunkBoundaries
       // kernel), chunk fingerprints; boundary arithmetic is SQL-replayable
@@ -1558,6 +1584,37 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score FROM sc WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(1, len(toks)+1)) AS i FROM t),
+        |r AS (SELECT doc_id, i, tok,
+        |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i) = tok
+        |      THEN 0 ELSE 1 END AS brk FROM pos),
+        |g AS (SELECT doc_id, i,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM r),
+        |runs AS (SELECT doc_id, grp, COUNT(*) AS runlen FROM g GROUP BY 1, 2),
+        |maxrun AS (SELECT doc_id, MAX(runlen) AS max_token_run FROM runs GROUP BY 1),
+        |bi AS (SELECT doc_id, len(toks) - 1 AS n_bi,
+        |    unnest(list_transform(range(1, len(toks)), i ->
+        |      toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)])) AS bg FROM t),
+        |bc AS (SELECT doc_id, ANY_VALUE(n_bi) AS n_bi, bg, COUNT(*) AS c
+        |  FROM bi GROUP BY doc_id, bg),
+        |topb AS (SELECT doc_id, ANY_VALUE(n_bi) AS n_bi, MAX(c) AS top_bigram_count
+        |  FROM bc GROUP BY doc_id),
+        |tri AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), i ->
+        |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] || ' ' ||
+        |    toks[CAST(i+2 AS INT)]) AS tg FROM t),
+        |tstat AS (SELECT doc_id, len(tg) AS n_tri, len(list_distinct(tg)) AS d_tri FROM tri)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(topb.top_bigram_count AS BIGINT) AS top_bigram_count,
+        |  CAST(topb.top_bigram_count AS DOUBLE) / topb.n_bi AS top_bigram_frac,
+        |  CAST(tstat.n_tri - tstat.d_tri AS DOUBLE) / tstat.n_tri AS dup_trigram_frac,
+        |  CAST(maxrun.max_token_run AS BIGINT) AS max_token_run
+        |FROM t JOIN topb USING (doc_id) JOIN tstat USING (doc_id)
+        |  JOIN maxrun USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

@@ -137,4 +137,20 @@ object TextFunctions {
       .when(hitsEs >= hitsDe && hitsEs > 0, lit("es"))
       .when(hitsDe > 0, lit("de"))
       .otherwise(lit("und"))
+
+  /** Longest run of consecutive EQUAL elements in a string array (1 for a
+    * non-empty array with no repeats, 0 for an empty array). Over a SORTED
+    * array this is the maximum element multiplicity — which turns "count
+    * the most frequent n-gram" into a per-row expression instead of an
+    * explode + groupBy shuffle. Interpreted HOF (fine at ~100s of elements
+    * per row; a native kernel is the swap-in if a corpus has huge docs). */
+  def maxEqualRun(arr: Column): Column =
+    aggregate(arr,
+      struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, x) => {
+        val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1L).otherwise(1L)
+        struct(x.as("prev"), cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
 }
