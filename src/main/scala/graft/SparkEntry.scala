@@ -933,6 +933,16 @@ object SparkEntry {
         .orderBy("chunk_md5")
     },
 
+    "pack_sequences" -> { (s, dir) =>
+      // training-batch assembly: exact distributed prefix sum (two-phase,
+      // P longs to the driver) packs docs into 2048-token batches over a
+      // deterministic (length desc, id) order — no unpartitioned window
+      val withLen = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Packing.packByTokenBudget(withLen, "doc_id", "n_tokens", 2048L)
+        .orderBy("doc_id")
+    },
+
     "pipeline_curate" -> { (s, dir) =>
       // the full curation funnel as ONE query: language-ID -> quality gate
       // -> exact near-dup removal (normalized fingerprint, min-id survivor)
@@ -1653,6 +1663,16 @@ object SparkEntry {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY chunk_md5""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  (cum_tokens - 1) // 2048 AS batch_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "pipeline_curate" ->
       """WITH t AS (SELECT doc_id, source, text,
