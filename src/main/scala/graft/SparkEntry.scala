@@ -899,23 +899,33 @@ object SparkEntry {
       // frequent bigram's share (max multiplicity = longest equal-run of
       // the SORTED bigram array — no explode/groupBy shuffle), duplicate
       // trigram share, and the longest consecutive same-token run
+      // n-gram arrays guarded for short docs: sequence(1, 0) DESCENDS in
+      // Spark, so an unguarded transform would index toks[-1] (ANSI error)
       val toks = split(col("text"), " ")
-      val bigrams = expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")
-      val trigrams = expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")
+      val empty = expr("cast(array() as array<string>)")
+      val bigrams = when(size(col("toks")) >= 2, expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .otherwise(empty)
+      val trigrams = when(size(col("toks")) >= 3, expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
+        .otherwise(empty)
       Tables.documents(s, dir)
         .withColumn("toks", toks)
         .withColumn("bi", bigrams)
         .withColumn("tri", trigrams)
+        // single evaluation of the interpreted fold (HOFs aren't CSE'd)
+        .withColumn("top_bigram_count", Tf.maxEqualRun(array_sort(col("bi"))))
         .select(
           col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
-          Tf.maxEqualRun(array_sort(col("bi"))).as("top_bigram_count"),
-          (Tf.maxEqualRun(array_sort(col("bi"))).cast("double") / size(col("bi")))
+          col("top_bigram_count"),
+          when(size(col("bi")) > 0,
+            col("top_bigram_count").cast("double") / size(col("bi")))
             .as("top_bigram_frac"),
-          ((size(col("tri")) - size(array_distinct(col("tri")))).cast("double")
-            / size(col("tri"))).as("dup_trigram_frac"),
+          when(size(col("tri")) > 0,
+            (size(col("tri")) - size(array_distinct(col("tri")))).cast("double")
+              / size(col("tri")))
+            .as("dup_trigram_frac"),
           Tf.maxEqualRun(col("toks")).as("max_token_run"))
         .orderBy("doc_id")
     },
@@ -934,9 +944,10 @@ object SparkEntry {
     },
 
     "pack_sequences" -> { (s, dir) =>
-      // training-batch assembly: exact distributed prefix sum (two-phase,
-      // P longs to the driver) packs docs into 2048-token batches over a
-      // deterministic (length desc, id) order — no unpartitioned window
+      // training-batch assembly: algebraic prefix sum (per-length suffix
+      // totals broadcast + rank within length) packs docs into 2048-token
+      // batches over a deterministic (length desc, id) order — no
+      // unpartitioned window, no partitioning-dependent state
       val withLen = Tables.documents(s, dir).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       graft.operators.Packing.packByTokenBudget(withLen, "doc_id", "n_tokens", 2048L)
@@ -1606,34 +1617,37 @@ object SparkEntry {
         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM r),
         |runs AS (SELECT doc_id, grp, COUNT(*) AS runlen FROM g GROUP BY 1, 2),
         |maxrun AS (SELECT doc_id, MAX(runlen) AS max_token_run FROM runs GROUP BY 1),
-        |bi AS (SELECT doc_id, len(toks) - 1 AS n_bi,
+        |bi AS (SELECT doc_id,
         |    unnest(list_transform(range(1, len(toks)), i ->
         |      toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)])) AS bg FROM t),
-        |bc AS (SELECT doc_id, ANY_VALUE(n_bi) AS n_bi, bg, COUNT(*) AS c
-        |  FROM bi GROUP BY doc_id, bg),
-        |topb AS (SELECT doc_id, ANY_VALUE(n_bi) AS n_bi, MAX(c) AS top_bigram_count
-        |  FROM bc GROUP BY doc_id),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+        |topb AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bc GROUP BY doc_id),
         |tri AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), i ->
         |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] || ' ' ||
         |    toks[CAST(i+2 AS INT)]) AS tg FROM t),
         |tstat AS (SELECT doc_id, len(tg) AS n_tri, len(list_distinct(tg)) AS d_tri FROM tri)
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-        |  CAST(topb.top_bigram_count AS BIGINT) AS top_bigram_count,
-        |  CAST(topb.top_bigram_count AS DOUBLE) / topb.n_bi AS top_bigram_frac,
-        |  CAST(tstat.n_tri - tstat.d_tri AS DOUBLE) / tstat.n_tri AS dup_trigram_frac,
+        |  CAST(COALESCE(topb.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+        |  CASE WHEN len(t.toks) >= 2
+        |    THEN CAST(topb.top_bigram_count AS DOUBLE) / (len(t.toks) - 1) END
+        |    AS top_bigram_frac,
+        |  CASE WHEN len(t.toks) >= 3
+        |    THEN CAST(tstat.n_tri - tstat.d_tri AS DOUBLE) / tstat.n_tri END
+        |    AS dup_trigram_frac,
         |  CAST(maxrun.max_token_run AS BIGINT) AS max_token_run
-        |FROM t JOIN topb USING (doc_id) JOIN tstat USING (doc_id)
-        |  JOIN maxrun USING (doc_id)
+        |FROM t LEFT JOIN topb USING (doc_id) LEFT JOIN tstat USING (doc_id)
+        |  LEFT JOIN maxrun USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |b AS (SELECT doc_id, text, n,
-        |   list_filter(range(8, n), i ->
+        |   CASE WHEN n > 0 THEN
+        |     list_filter(range(8, n), i ->
         |       list_sum(list_transform(range(0, 8), j ->
         |         ord(substr(text, CAST(i - j AS INT), 1)) *
         |         [1,31,961,29791,923521,28629151,887503681,27512614111][CAST(j+1 AS INT)])) % 256 = 0)
-        |   || [CAST(n AS BIGINT)] AS bounds
+        |     || [CAST(n AS BIGINT)] ELSE [] END AS bounds
         | FROM t),
         |c AS (SELECT doc_id, text, bounds, unnest(range(1, len(bounds)+1)) AS i FROM b),
         |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
@@ -1647,11 +1661,12 @@ object SparkEntry {
     "dedup_chunks" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |b AS (SELECT doc_id, text, n,
-        |   list_filter(range(8, n), i ->
+        |   CASE WHEN n > 0 THEN
+        |     list_filter(range(8, n), i ->
         |       list_sum(list_transform(range(0, 8), j ->
         |         ord(substr(text, CAST(i - j AS INT), 1)) *
         |         [1,31,961,29791,923521,28629151,887503681,27512614111][CAST(j+1 AS INT)])) % 256 = 0)
-        |   || [CAST(n AS BIGINT)] AS bounds
+        |     || [CAST(n AS BIGINT)] ELSE [] END AS bounds
         | FROM t),
         |c AS (SELECT doc_id, text, bounds, unnest(range(1, len(bounds)+1)) AS i FROM b),
         |ch AS (SELECT doc_id,

@@ -489,15 +489,19 @@ case class ChunkBoundaries(child: Expression, w: Int, modulus: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.toString
-    val n = text.length
+    // positions and hash input are Unicode CODEPOINTS, not UTF-16 units:
+    // the chunk slicer downstream (Column.substr) and the SQL oracle
+    // (ord/substr) both count codepoints, so a surrogate pair counted as
+    // two here would shift every boundary after it
+    val cps = input.toString.codePoints().toArray
+    val n = cps.length
     val out = new scala.collection.mutable.ArrayBuffer[Int]()
     var i = w // 1-based end position of the window
     while (i <= n) {
       var h = 0L
       var j = 0
       while (j < w) {
-        h += text.charAt(i - 1 - j).toLong * pow(j)
+        h += cps(i - 1 - j).toLong * pow(j)
         j += 1
       }
       if (h % modulus == 0 && i != n) out += i

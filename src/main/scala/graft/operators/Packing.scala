@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: assemble documents into fixed-token-budget training
@@ -12,12 +13,19 @@ import org.apache.spark.sql.functions._
   *
   * The naive encoding — a running sum over an unpartitioned window — is the
   * single-partition scale-killer PlanHygieneSpec bans. The distributed form
-  * is an EXACT two-phase prefix sum (same pattern as
-  * [[graft.sources.SnapshotScan.rankBoundaries]]): range-partition by the
-  * global order, phase 1 ships ONE long per partition to the driver
-  * (partition token totals -> exact starting offset per partition), phase 2
-  * streams each partition once adding its offset. Driver traffic is P
-  * longs; no partition ever holds more than its slice.
+  * here decomposes the prefix sum ALGEBRAICALLY instead of relying on a
+  * physical partitioning:
+  *
+  *   cum(doc) = tokensInLongerDocs(len) + len * rankWithinLen(id)
+  *
+  * where the first term comes from a per-length aggregate (distinct length
+  * values are bounded by the longest document, so the suffix-sum table is
+  * KB-scale and broadcast), and the second is a window partitioned by
+  * length. Nothing depends on partition ids or cached physical layout, so
+  * the result is identical under recomputation, AQE re-planning, or any
+  * partition count — unlike a repartitionByRange+mapPartitions offset scheme,
+  * whose driver-collected offsets silently go stale if the range sampling
+  * re-runs.
   */
 object Packing {
 
@@ -27,38 +35,32 @@ object Packing {
       df: DataFrame,
       idCol: String,
       lenCol: String,
-      budget: Long,
-      numPartitions: Int = 32): DataFrame = {
+      budget: Long): DataFrame = {
     require(budget > 0)
+    val docs = df.select(col(idCol).cast("long").as(idCol),
+      col(lenCol).cast("long").as(lenCol))
+
+    // per-length totals (one keyed agg, map-side partials) -> driver-side
+    // suffix sums over length DESC = tokens packed before the first doc of
+    // each length. Distinct lengths are bounded by the longest document
+    // (same bounded-driver-state argument as Ann.trainCentroids), so the
+    // offset table is KB-scale: broadcast it back.
+    val perLen = docs.groupBy(col(lenCol))
+      .agg(sum(col(lenCol)).as("__len_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val before = perLen.scanLeft(0L)(_ + _._2)
     val spark = df.sparkSession
     import spark.implicits._
+    val offsets = perLen.map(_._1).zip(before).toSeq
+      .toDF(lenCol, "__before")
 
-    val sorted: Dataset[(Long, Long)] = df
-      .select(col(idCol).cast("long"), col(lenCol).cast("long"))
-      .as[(Long, Long)]
-      .repartitionByRange(numPartitions, col(lenCol).desc, col(idCol))
-      .sortWithinPartitions(col(lenCol).desc, col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // phase 1: one token-total long per partition -> exact global offsets
-    val partTotals = sorted.mapPartitions { it =>
-      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.map(_._2).sum))
-    }.collect().toMap
-    val maxPid = if (partTotals.isEmpty) -1 else partTotals.keysIterator.max
-    val offsets = new Array[Long](maxPid + 2)
-    (0 to maxPid).foreach(p => offsets(p + 1) = offsets(p) + partTotals.getOrElse(p, 0L))
-
-    // phase 2: stream each partition once with its known starting offset.
-    // The persist is released by the first action on the RESULT (phase 2 is
-    // lazy — an eager unpersist here would force a recompute of the sort).
-    val packed = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cum = offsets(pid)
-      it.map { case (id, len) =>
-        cum += len
-        (id, len, cum, (cum - 1) / budget)
-      }
-    }.toDF(idCol, lenCol, "cum_tokens", "batch_id")
-    CacheScope.unpersistAfterUse(packed, sorted.toDF())
+    val wRank = Window.partitionBy(col(lenCol)).orderBy(col(idCol))
+    docs
+      .join(broadcast(offsets), Seq(lenCol))
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("cum_tokens", col("__before") + col(lenCol) * col("__rn"))
+      .withColumn("batch_id", expr(s"(greatest(cum_tokens, 1L) - 1) div ${budget}L"))
+      .select(col(idCol), col(lenCol), col("cum_tokens"), col("batch_id"))
   }
 }

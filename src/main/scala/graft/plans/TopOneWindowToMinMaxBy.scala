@@ -78,14 +78,21 @@ object TopOneWindowToMinMaxBy extends Rule[LogicalPlan] {
 
   private def rewrite(w: Window, rn: Attribute, orderSpec: Seq[SortOrder],
       asc: Boolean): Option[Aggregate] = {
+    // empty partitionSpec: a global aggregate over EMPTY input emits one
+    // all-null row where the window form emits zero rows — bail (that shape
+    // is also the unpartitioned-window scale-killer PlanHygieneSpec bans)
+    if (w.partitionSpec.isEmpty) return None
     val partitionAttrs = w.partitionSpec.map {
       case a: Attribute => a
       case _ => return None
     }
     val groupingSet = AttributeSet(partitionAttrs)
-    val key =
-      if (orderSpec.length == 1) orderSpec.head.child
-      else CreateStruct(orderSpec.map(_.child))
+    // ALWAYS a struct key, even for one order column: min_by/max_by SKIP
+    // null ordering keys (and return null for an all-null group), which
+    // diverges from row_number's NullsFirst/NullsLast ranking — a struct is
+    // never null and its field ordering places null first, matching the
+    // window's default null ordering exactly
+    val key = CreateStruct(orderSpec.map(_.child))
     val rowStruct = CreateStruct(w.child.output)
     val pick = AggregateExpression(
       if (asc) MinBy(rowStruct, key) else MaxBy(rowStruct, key),

@@ -110,6 +110,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!chunks.contains(4L))
   }
 
+  test("chunk boundaries count codepoints, not UTF-16 units") {
+    // an emoji (surrogate pair) is ONE position: chunk lengths must still
+    // sum to the codepoint length and the md5'd slices must reassemble the
+    // original text
+    val text = "ab😀cd" * 30 // 5 codepoints, 6 UTF-16 units per rep
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Dedup.contentChunks(docs, "doc_id", "text", w = 8, modulus = 16)
+      .collect().sortBy(_.getLong(1))
+    assert(chunks.map(_.getLong(3)).sum == 150L) // codepoint count
+    val last = chunks.last
+    assert(last.getLong(2) + last.getLong(3) - 1 == 150L)
+  }
+
   test("embedding near-dup finds a planted duplicate vector") {
     val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val v2 = v.clone(); v2(0) = (v2(0) * 1.001f) // ~identical direction

@@ -78,6 +78,28 @@ class TopOneRewriteSpec extends AnyFunSuite {
     assert(out.collect().map(_.getString(3)).toSeq == Seq("keep"))
   }
 
+  test("single nullable order key keeps row_number's null ranking (struct key)") {
+    // asc NullsFirst: the null-ts row IS rank 1; a bare min_by key would
+    // skip it (MaxMinBy ignores null ordering keys) — the struct key must
+    // preserve it
+    val df = Seq((1L, Some(5L), "v5"), (1L, None, "vnull"))
+      .toDF("k", "ts", "v")
+    val w = Window.partitionBy("k").orderBy(col("ts").asc)
+    val out = df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    assert(out.select("v").head().getString(0) == "vnull")
+  }
+
+  test("empty partitionSpec does not rewrite (empty input must yield 0 rows)") {
+    // parquet-backed source: a statically-empty LocalRelation would be
+    // collapsed by PropagateEmptyRelation before our rule is reachable
+    val df = graft.sources.Tables.documents(spark, Sf).where(col("doc_id") === -1L)
+    val w = Window.orderBy("doc_id")
+    val out = df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    assert(out.queryExecution.optimizedPlan.toString.contains("Window"))
+    assert(out.count() == 0L)
+  }
+
   test("non-uniform direction or non-default null ordering bails out") {
     val df = Seq((1L, 2L, 3L, "a")).toDF("k", "o1", "o2", "v")
     val mixed = Window.partitionBy("k").orderBy(col("o1").asc, col("o2").desc)
