@@ -54,5 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_chunk_bounds"),
+      new ExpressionInfo(classOf[ChunkBoundaries].getName, "graft_chunk_bounds"),
+      (args: Seq[Expression]) =>
+        ChunkBoundaries(args(0), intArg(args(1), "w"), intArg(args(2), "modulus"))))
   }
 }

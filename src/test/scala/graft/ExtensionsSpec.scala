@@ -28,5 +28,9 @@ class ExtensionsSpec extends AnyFunSuite {
     val simhashEq = spark.sql(
       "SELECT graft_simhash16(cast(array(7, 7, 8) as array<bigint>)) AS h").head().getLong(0)
     assert(simhashEq === 7L) // majority bits of {7,7,8} = 0b111
+
+    // empty text -> no boundaries; short text -> one final boundary
+    val cb = spark.sql("SELECT graft_chunk_bounds('abc', 8, 64) AS b").head().getSeq[Int](0)
+    assert(cb == Seq(3))
   }
 }
