@@ -1010,6 +1010,28 @@ object SparkEntry {
       MediaCodecs.decodeMedia(payloads).toDF().orderBy("doc_id")
     },
 
+    "multimodal_resize" -> { (s, dir) =>
+      // the resize stage: nearest-neighbor downscale of real P6 payloads
+      // inside mapPartitions; output bytes compared verbatim (hex) against
+      // the oracle's arithmetic reconstruction
+      import s.implicits._
+      import graft.operators.MediaCodecs
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val src = MediaCodecs.ppmEncode((1 + id % 8).toInt, (1 + id % 5).toInt,
+            ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+          val w2 = (1 + id % 4).toInt
+          val h2 = (1 + id % 3).toInt
+          MediaCodecs.ppmResizeNearest(src, w2, h2)
+            .map(b => (id, w2.toLong, h2.toLong, b))
+        })
+        .toDF("doc_id", "new_w", "new_h", "resized")
+        .select(col("doc_id"), col("new_w"), col("new_h"),
+          octet_length(col("resized")).cast("long").as("out_len"),
+          hex(col("resized")).as("out_hex"))
+        .orderBy("doc_id")
+    },
+
     "multimodal_meta" -> { (s, dir) =>
       // Binary-column plumbing: payload as bytes + typed metadata + frame
       // sampling. The "decode" is a deterministic stub (md5-derived fake
@@ -1734,6 +1756,20 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN list_max(list_transform(range(50 + doc_id % 20),
         |    i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768))) END AS BIGINT) AS peak
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS new_w,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS new_h,
+        |  CAST(octet_length(blob) AS BIGINT) AS out_len, hex(blob) AS out_hex
+        |FROM (SELECT doc_id,
+        |  encode('P6' || chr(10) || CAST(1 + doc_id % 4 AS VARCHAR) || ' ' ||
+        |    CAST(1 + doc_id % 3 AS VARCHAR) || chr(10) || '255' || chr(10)) ||
+        |  repeat(unhex(lpad(to_hex(doc_id % 256), 2, '0') ||
+        |               lpad(to_hex((doc_id * 7) % 256), 2, '0') ||
+        |               lpad(to_hex((doc_id * 13) % 256), 2, '0')),
+        |    CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS INT)) AS blob
+        | FROM documents) ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS bl,

@@ -49,7 +49,49 @@ object MediaCodecs {
   /** Parse a P6 payload: magic, whitespace/comment-tolerant header ints,
     * 8-bit raster. Returns None on any malformation (dead-letter, the
     * converter-error analogue of reader's per-row error returns). */
-  def ppmDecode(id: Long, bytes: Array[Byte]): Option[MediaInfo] = {
+  def ppmDecode(id: Long, bytes: Array[Byte]): Option[MediaInfo] =
+    ppmHeader(bytes).map { case (w, h, pos) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < w * h) {
+        sr += bytes(pos + i * 3) & 0xff
+        sg += bytes(pos + i * 3 + 1) & 0xff
+        sb += bytes(pos + i * 3 + 2) & 0xff
+        i += 1
+      }
+      val n = w.toLong * h
+      MediaInfo(id, "ppm", Some(w.toLong), Some(h.toLong),
+        Some(sr / n), Some(sg / n), Some(sb / n), None, None, None)
+    }
+
+  /** Nearest-neighbor resize of a P6 payload (the "resize" stage of the
+    * multimodal pipeline): re-parses the header with the same tolerant
+    * reader as [[ppmDecode]], samples source pixels at
+    * floor(i * src/dst) and re-encodes. None on malformed input. */
+  def ppmResizeNearest(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    if (newW <= 0 || newH <= 0) return None
+    ppmHeader(bytes).map { case (w, h, rasterPos) =>
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * h / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * w / newW).toInt
+          val src = rasterPos + (sy * w + sx) * 3
+          val dst = (y * newW + x) * 3
+          out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      s"P6\n$newW $newH\n255\n".getBytes("US-ASCII") ++ out
+    }
+  }
+
+  /** (width, height, raster offset) of a valid P6 payload; None otherwise.
+    * Shared by decode and resize. */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var pos = 2
     def skipWsAndComments(): Unit = {
@@ -65,8 +107,6 @@ object MediaCodecs {
       skipWsAndComments()
       val start = pos
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
-      // > 9 digits cannot be a sane dimension and would overflow toInt —
-      // dead-letter, never throw (the decoder faces arbitrary bytes)
       if (pos == start || pos - start > 9) None
       else Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
     }
@@ -75,22 +115,8 @@ object MediaCodecs {
       h <- readInt()
       maxval <- readInt()
       if maxval == 255 && w > 0 && h > 0
-      // raster size math in Long: w*h*3 as Int can overflow (even to 0,
-      // which would "pass" a short payload and then divide by zero below)
       if pos < bytes.length && { pos += 1; bytes.length - pos >= w.toLong * h * 3 }
-    } yield {
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      var i = 0
-      while (i < w * h) {
-        sr += bytes(pos + i * 3) & 0xff
-        sg += bytes(pos + i * 3 + 1) & 0xff
-        sb += bytes(pos + i * 3 + 2) & 0xff
-        i += 1
-      }
-      val n = w.toLong * h
-      MediaInfo(id, "ppm", Some(w.toLong), Some(h.toLong),
-        Some(sr / n), Some(sg / n), Some(sb / n), None, None, None)
-    }
+    } yield (w, h, pos)
   }
 
   // ---- WAV (RIFF little-endian, PCM 16-bit) ----

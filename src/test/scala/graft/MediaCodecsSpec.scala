@@ -58,6 +58,26 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.wavDecode(1L, "RIFFxxxxNOPE".getBytes).isEmpty)
   }
 
+  test("nearest-neighbor resize samples floor(i*src/dst) on a gradient") {
+    // 4x2 raster with per-pixel distinct red channel: pixel (x,y) = (10x+y, 0, 0)
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    val raster = (for (y <- 0 until 2; x <- 0 until 4)
+      yield Seq((10 * x + y).toByte, 0.toByte, 0.toByte)).flatten.toArray
+    val src = header ++ raster
+
+    val out = MediaCodecs.ppmResizeNearest(src, 2, 1).get
+    // dst (0,0) <- src(0,0)=0; dst (1,0) <- src(2,0)=20
+    assert(out.startsWith("P6\n2 1\n255\n".getBytes("US-ASCII")))
+    val outRaster = out.drop("P6\n2 1\n255\n".length)
+    assert(outRaster.toSeq == Seq[Byte](0, 0, 0, 20, 0, 0))
+
+    // upscale also works (repeats source pixels), malformed input dead-letters
+    val up = MediaCodecs.ppmResizeNearest(src, 8, 2).get
+    assert(up.length == "P6\n8 2\n255\n".length + 8 * 2 * 3)
+    assert(MediaCodecs.ppmResizeNearest("nope".getBytes, 2, 2).isEmpty)
+    assert(MediaCodecs.ppmResizeNearest(src, 0, 2).isEmpty)
+  }
+
   test("decodeMedia dispatches by magic and drops undecodables") {
     import spark.implicits._
     val rows = Seq(
