@@ -69,7 +69,8 @@ object MediaCodecs {
     * reader as [[ppmDecode]], samples source pixels at
     * floor(i * src/dst) and re-encodes. None on malformed input. */
   def ppmResizeNearest(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
-    if (newW <= 0 || newH <= 0) return None
+    // allocation bound in Long: a huge target would overflow newW*newH*3
+    if (newW <= 0 || newH <= 0 || newW.toLong * newH * 3 >= Int.MaxValue - 64) return None
     ppmHeader(bytes).map { case (w, h, rasterPos) =>
       val out = new Array[Byte](newW * newH * 3)
       var y = 0
@@ -185,6 +186,46 @@ object MediaCodecs {
       Some(rate.toLong), Some(nSamples), Some(peak)))
   }
 
+  // ---- BMP (BITMAPINFOHEADER, 24bpp uncompressed) ----
+
+  /** Parse a BI_RGB 24bpp BMP: little-endian header fields, pixel rows
+    * padded to 4-byte multiples and stored bottom-up (negative biHeight =
+    * top-down). Emits the same image MediaInfo shape as [[ppmDecode]]
+    * (mean RGB; BMP stores BGR). None on malformation. */
+  def bmpDecode(id: Long, bytes: Array[Byte]): Option[MediaInfo] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val headerSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    val h = math.abs(hRaw)
+    if (headerSize < 40 || w <= 0 || h == 0 || planes != 1 || bpp != 24 ||
+      compression != 0) return None
+    val rowBytes = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte multiples
+    if (dataOffset < 54 || dataOffset.toLong + rowBytes * h > bytes.length) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      val rowStart = dataOffset + y * rowBytes.toInt
+      var x = 0
+      while (x < w) {
+        // pixel order on disk is B, G, R
+        sb += bytes(rowStart + x * 3) & 0xff
+        sg += bytes(rowStart + x * 3 + 1) & 0xff
+        sr += bytes(rowStart + x * 3 + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some(MediaInfo(id, "bmp", Some(w.toLong), Some(h.toLong),
+      Some(sr / n), Some(sg / n), Some(sb / n), None, None, None))
+  }
+
   /** Partition-batched decode with magic-byte dispatch; undecodable
     * payloads drop to the dead-letter side (None). */
   def decodeMedia(payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaInfo] = {
@@ -194,6 +235,7 @@ object MediaCodecs {
         if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ppmDecode(id, bytes)
         else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F') wavDecode(id, bytes)
+        else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') bmpDecode(id, bytes)
         else None
       }
     }

@@ -78,15 +78,46 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.ppmResizeNearest(src, 0, 2).isEmpty)
   }
 
+  private def bmp24(w: Int, h: Int, bgr: (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putInt(0).putInt(54)          // reserved, data offset
+      .putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (_ <- 0 until h) {
+      for (_ <- 0 until w) {
+        buf.put(bgr._1.toByte).put(bgr._2.toByte).put(bgr._3.toByte)
+      }
+      for (_ <- w * 3 until rowBytes) buf.put(0.toByte) // row padding
+    }
+    buf.array()
+  }
+
+  test("bmp decode: little-endian header, BGR order, padded rows") {
+    // w=3 -> 9 data bytes per row padded to 12: the padding must be skipped
+    val d = MediaCodecs.bmpDecode(1L, bmp24(3, 2, (10, 20, 30))).get
+    assert((d.format, d.width, d.height) === (("bmp", Some(3L), Some(2L))))
+    assert((d.mean_r, d.mean_g, d.mean_b) === ((Some(30L), Some(20L), Some(10L))))
+    // malformed: truncated raster, wrong bpp
+    assert(MediaCodecs.bmpDecode(1L, bmp24(3, 2, (1, 2, 3)).dropRight(4)).isEmpty)
+    val bpp8 = bmp24(2, 2, (1, 2, 3)); bpp8(28) = 8
+    assert(MediaCodecs.bmpDecode(1L, bpp8).isEmpty)
+  }
+
   test("decodeMedia dispatches by magic and drops undecodables") {
     import spark.implicits._
     val rows = Seq(
       (1L, MediaCodecs.ppmEncode(2, 2, (5, 5, 5))),
       (2L, MediaCodecs.wavEncode(Array[Short](7, -9), 16000)),
-      (3L, Array[Byte](0x42, 0x4d, 1, 2, 3))) // BMP magic: not implemented -> dropped
+      (3L, bmp24(2, 1, (9, 8, 7))),
+      (4L, Array[Byte](0x47, 0x49, 0x46, 1, 2))) // GIF magic: not implemented -> dropped
     val out: Seq[MediaInfo] = MediaCodecs.decodeMedia(rows.toDS()).collect().toSeq
-    assert(out.map(_.doc_id).sorted == Seq(1L, 2L))
+    assert(out.map(_.doc_id).sorted == Seq(1L, 2L, 3L))
     assert(out.find(_.doc_id == 1L).get.format == "ppm")
     assert(out.find(_.doc_id == 2L).get.peak == Some(9L))
+    assert(out.find(_.doc_id == 3L).get.mean_r == Some(7L))
   }
 }
