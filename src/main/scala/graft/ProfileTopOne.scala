@@ -32,14 +32,22 @@ object ProfileTopOne {
     def force(): Unit = // full materialization, as Bench does
       latestState.write.mode("overwrite").format("noop").save()
 
-    // warm the file scan once so both variants read cached file metadata
-    latestState.queryExecution // analyze only
-    (1 to 2).foreach { round =>
-      time(s"rule ON  (round $round)")(force())
+    def withRuleOff[T](f: => T): T = {
       spark.conf.set("spark.sql.optimizer.excludedRules",
         "graft.plans.TopOneWindowToMinMaxBy")
-      try time(s"rule OFF (round $round)")(force())
-      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+      try f finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+    // discarded warm-up of BOTH variants: JIT, parquet footers, page cache
+    force(); withRuleOff(force())
+    // alternate order so neither variant systematically inherits the warmth
+    (1 to 2).foreach { round =>
+      if (round % 2 == 1) {
+        time(s"rule ON  (round $round)")(force())
+        withRuleOff(time(s"rule OFF (round $round)")(force()))
+      } else {
+        withRuleOff(time(s"rule OFF (round $round)")(force()))
+        time(s"rule ON  (round $round)")(force())
+      }
     }
     spark.stop()
   }

@@ -996,9 +996,7 @@ object SparkEntry {
       val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { id =>
           val bytes =
-            if (id % 2 == 0)
-              MediaCodecs.ppmEncode((1 + id % 8).toInt, (1 + id % 5).toInt,
-                ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+            if (id % 2 == 0) MediaCodecs.syntheticPpm(id)
             else {
               val n = (50 + id % 20).toInt
               MediaCodecs.wavEncode(
@@ -1018,8 +1016,7 @@ object SparkEntry {
       import graft.operators.MediaCodecs
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.flatMap { id =>
-          val src = MediaCodecs.ppmEncode((1 + id % 8).toInt, (1 + id % 5).toInt,
-            ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+          val src = MediaCodecs.syntheticPpm(id)
           val w2 = (1 + id % 4).toInt
           val h2 = (1 + id % 3).toInt
           MediaCodecs.ppmResizeNearest(src, w2, h2)

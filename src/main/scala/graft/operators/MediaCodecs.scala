@@ -186,6 +186,14 @@ object MediaCodecs {
       Some(rate.toLong), Some(nSamples), Some(peak)))
   }
 
+  /** Deterministic synthetic P6 payload for a row id — the single source
+    * of the arithmetic the multimodal_decode/multimodal_resize oracles
+    * replay (dims 1+id%8 x 1+id%5, uniform color (id, 7id, 13id) mod 256).
+    * Any change here must update BOTH oracle SQL strings. */
+  def syntheticPpm(id: Long): Array[Byte] =
+    ppmEncode((1 + id % 8).toInt, (1 + id % 5).toInt,
+      ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+
   // ---- BMP (BITMAPINFOHEADER, 24bpp uncompressed) ----
 
   /** Parse a BI_RGB 24bpp BMP: little-endian header fields, pixel rows
@@ -202,9 +210,11 @@ object MediaCodecs {
     val planes = buf.getShort(26)
     val bpp = buf.getShort(28)
     val compression = buf.getInt(30)
-    val h = math.abs(hRaw)
-    if (headerSize < 40 || w <= 0 || h == 0 || planes != 1 || bpp != 24 ||
-      compression != 0) return None
+    // abs in Long: math.abs(Int.MinValue) stays negative and would slip
+    // through every guard below as h < 0
+    val h = math.abs(hRaw.toLong).toInt
+    if (headerSize < 40 || w <= 0 || h <= 0 || hRaw == Int.MinValue ||
+      planes != 1 || bpp != 24 || compression != 0) return None
     val rowBytes = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte multiples
     if (dataOffset < 54 || dataOffset.toLong + rowBytes * h > bytes.length) return None
     var (sr, sg, sb) = (0L, 0L, 0L)
