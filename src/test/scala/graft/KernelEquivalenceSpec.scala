@@ -52,6 +52,30 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("ChunkBoundaries equals a straightforward per-position specification") {
+    // independent reference: recompute every window hash from scratch in
+    // plain Scala over the real corpus and diff against the kernel
+    def spec(text: String, w: Int, m: Int): Seq[Int] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val pow = Array.iterate(1L, w)(_ * 31L)
+      val cuts = (w to n).filter { i =>
+        val h = (0 until w).map(j => cps(i - 1 - j).toLong * pow(j)).sum
+        h % m == 0 && i != n
+      }
+      if (n > 0) cuts :+ n else cuts
+    }
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+      .limit(100).collect()
+    docs.foreach { r =>
+      val got = spark.range(1).select(
+        graft.expressions.Sketch.column(graft.expressions.ChunkBoundaries(
+          org.apache.spark.sql.catalyst.expressions.Literal(r.getString(1)), 8, 256)))
+        .head().getSeq[Int](0)
+      assert(got == spec(r.getString(1), 8, 256), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("HyperplaneBandKeys equals hyperplaneBits+bandKeys composition") {
     val emb = Tables.embeddings(spark, Sf).limit(50)
       .select(Vf.toDouble(col("embedding")).as("v"))
