@@ -298,6 +298,10 @@ object SparkEntry {
       graft.operators.AsOfJoin.lastMatch(clicks, purchases,
         keyCols = Seq("user_id"), ordCol = "ts_us", tieCol = "p_event_id",
         carry = Seq("p_event_id", "p_value"))
+        // exactness convention: never emit bare DECIMAL output columns —
+        // the value is exact to 2 places, so the DOUBLE is bit-identical
+        // on both sides of the gate
+        .withColumn("p_value", col("p_value").cast("double"))
         .orderBy("event_id")
     },
 
@@ -665,7 +669,11 @@ object SparkEntry {
         sys.error(s"unparsed DDL: $st")))
       val base = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value", "props")
-      SchemaEvolution.replay(base, events).orderBy("event_id")
+      SchemaEvolution.replay(base, events)
+        // MODIFY COLUMN produced DECIMAL(12,2); emit DOUBLE (exactness
+        // convention — bare decimal outputs hash-diverge at the gate)
+        .withColumn("amount", col("amount").cast("double"))
+        .orderBy("event_id")
     },
 
     "stream_events" -> { (s, dir) =>
@@ -725,6 +733,9 @@ object SparkEntry {
       val staged = s"$work/staged"
       e0.unionByName(e2).write.mode("overwrite").parquet(staged)
       graft.streaming.EvolvingIngest.ingestAcrossMigration(s, staged, work, v1, ddlLog)
+        // schema history carries DECIMAL(12,2); emit DOUBLE (exactness
+        // convention — bare decimal outputs hash-diverge at the gate)
+        .withColumn("value", col("value").cast("double"))
         .orderBy("event_id")
     },
 
@@ -1217,7 +1228,7 @@ object SparkEntry {
         |    ORDER BY ts_us, (event_type = 'purchase') DESC, event_id
         |    ROWS UNBOUNDED PRECEDING))
         |SELECT user_id, ts_us, event_id,
-        |  img.eid AS p_event_id, img.val AS p_value
+        |  img.eid AS p_event_id, CAST(img.val AS DOUBLE) AS p_value
         |FROM w WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "agg_distinct" ->
@@ -1459,7 +1470,7 @@ object SparkEntry {
 
     "schema_evolution" ->
       """SELECT event_id, user_id, event_type,
-        |  CAST(value AS DECIMAL(12,2)) AS amount,
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS amount,
         |  'new' AS flag,
         |  CAST(NULL AS BIGINT) AS amount_cents
         |FROM events ORDER BY event_id""".stripMargin,
@@ -1496,7 +1507,7 @@ object SparkEntry {
 
     "stream_evolve" ->
       """SELECT event_id, user_id, event_type,
-        |  CAST(value AS DECIMAL(12,2)) AS value,
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
         |  CASE WHEN event_id % 2 = 1 THEN props END AS flag
         |FROM events ORDER BY event_id""".stripMargin,
 
