@@ -775,7 +775,20 @@ object SparkEntry {
     },
 
     "dedup_embedding" -> { (s, dir) =>
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      // The generated embeddings are near-orthogonal (max pairwise cos ~0.51
+      // at sf0.01), so a 0.9-threshold query over the raw table is vacuous —
+      // it proves nothing. Plant deterministic near-dup twins INSIDE the
+      // query (1 in 20 vectors gets a copy with odd coordinates scaled by
+      // 1.2 → cos(v, twin) >= 0.995 for any v), reproduced identically by
+      // the oracle. The margin between planted pairs (~0.995) and background
+      // pairs (<=0.51) is so wide that float rounding cannot flip membership.
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val twins = base.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.2) * (i % 2).cast("double"))).as("embedding"))
+      Dedup.embeddingNearDupPairs(base.unionByName(twins), "vec_id", "embedding",
         dim = 64, threshold = 0.9)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
         .orderBy("vec_a", "vec_b")
@@ -1561,9 +1574,14 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |twins AS (SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(v, (x, i) -> x * (1.0 + 0.2 * CAST((i - 1) % 2 AS DOUBLE))) AS v
+        |  FROM base WHERE vec_id % 20 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "ann_topk" ->
