@@ -784,8 +784,10 @@ object SparkEntry {
       // pairs (<=0.51) is so wide that float rounding cannot flip membership.
       val base = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      // twin-id offset 1e12 keeps planted ids disjoint from real vec_ids at
+      // any scale factor (1e6 would collide at >=1M embedding rows)
       val twins = base.where(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
           transform(col("embedding"),
             (x, i) => x * (lit(1.0) + lit(0.2) * (i % 2).cast("double"))).as("embedding"))
       Dedup.embeddingNearDupPairs(base.unionByName(twins), "vec_id", "embedding",
@@ -1575,7 +1577,7 @@ object SparkEntry {
 
     "dedup_embedding" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |twins AS (SELECT vec_id + 1000000 AS vec_id,
+        |twins AS (SELECT vec_id + 1000000000000 AS vec_id,
         |    list_transform(v, (x, i) -> x * (1.0 + 0.2 * CAST((i - 1) % 2 AS DOUBLE))) AS v
         |  FROM base WHERE vec_id % 20 = 0),
         |allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
