@@ -47,9 +47,13 @@ object SparkEntry {
     // ---- scan core (SURVEY §2 #1-2) ----
 
     "snapshot_scan" -> { (s, dir) =>
+      // Single-scan chunk assignment (chunk id = pure arithmetic) — over a
+      // columnar source the union-of-range-scans variant re-plans the scan
+      // once per chunk for zero I/O benefit (the file's own scaling note);
+      // `chunked` stays as the spec-covered mapping onto JDBC partitions.
       val li = Tables.lineitem(s, dir)
       val bounds = SnapshotScan.pkBounds(li, "l_orderkey")
-      SnapshotScan.chunked(li, "l_orderkey", bounds, 8)
+      SnapshotScan.chunkedSingleScan(li, "l_orderkey", bounds, 8)
         .groupBy("chunk_id")
         .agg(
           count(lit(1)).as("n_rows"),
@@ -922,37 +926,28 @@ object SparkEntry {
 
     "text_repetition" -> { (s, dir) =>
       // Gopher-style repetition filters, entirely map-only: the most
-      // frequent bigram's share (max multiplicity = longest equal-run of
-      // the SORTED bigram array — no explode/groupBy shuffle), duplicate
-      // trigram share, and the longest consecutive same-token run
-      // n-gram arrays guarded for short docs: sequence(1, 0) DESCENDS in
-      // Spark, so an unguarded transform would index toks[-1] (ANSI error)
-      val toks = split(col("text"), " ")
-      val empty = expr("cast(array() as array<string>)")
-      val bigrams = when(size(col("toks")) >= 2, expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
-        .otherwise(empty)
-      val trigrams = when(size(col("toks")) >= 3, expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
-        .otherwise(empty)
+      // frequent bigram's share (max multiplicity — no explode/groupBy
+      // shuffle), duplicate trigram share, and the longest consecutive
+      // same-token run. All four signals come from ONE native pass over the
+      // text (RepetitionStats kernel) — the prior interpreted formulation
+      // (two aggregate() HOF folds + interpreted array_sort over per-doc
+      // bigram arrays) was the battery's slowest query by 4x; the kernel is
+      // the same swap ShingleHashes made for the dedup sketches.
+      import graft.expressions.{RepetitionStats, Sketch}
+      val nTok = element_at(col("rs"), 1)
       Tables.documents(s, dir)
-        .withColumn("toks", toks)
-        .withColumn("bi", bigrams)
-        .withColumn("tri", trigrams)
-        // single evaluation of the interpreted fold (HOFs aren't CSE'd)
-        .withColumn("top_bigram_count", Tf.maxEqualRun(array_sort(col("bi"))))
+        .withColumn("rs", Sketch.column(RepetitionStats(Sketch.expr(col("text")))))
         .select(
           col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          col("top_bigram_count"),
-          when(size(col("bi")) > 0,
-            col("top_bigram_count").cast("double") / size(col("bi")))
+          nTok.as("n_tokens"),
+          element_at(col("rs"), 2).as("top_bigram_count"),
+          when(nTok >= 2,
+            element_at(col("rs"), 2).cast("double") / (nTok - 1))
             .as("top_bigram_frac"),
-          when(size(col("tri")) > 0,
-            (size(col("tri")) - size(array_distinct(col("tri")))).cast("double")
-              / size(col("tri")))
+          when(nTok >= 3,
+            element_at(col("rs"), 3).cast("double") / (nTok - 2))
             .as("dup_trigram_frac"),
-          Tf.maxEqualRun(col("toks")).as("max_token_run"))
+          element_at(col("rs"), 4).as("max_token_run"))
         .orderBy("doc_id")
     },
 

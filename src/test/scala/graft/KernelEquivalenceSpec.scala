@@ -85,4 +85,47 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       .where(col("ref") =!= col("fast")).count()
     assert(bad === 0)
   }
+
+  test("RepetitionStats equals the interpreted HOF formulation on real docs") {
+    // the readable specification text_repetition used through round 6:
+    // sorted-bigram longest equal-run (= max multiplicity), distinct
+    // trigram arithmetic, maxEqualRun over tokens
+    val toks = split(col("text"), " ")
+    val empty = expr("cast(array() as array<string>)")
+    val bigrams = when(size(col("toks")) >= 2, expr(
+      "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+      .otherwise(empty)
+    val trigrams = when(size(col("toks")) >= 3, expr(
+      "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
+      .otherwise(empty)
+    val bad = docs
+      .withColumn("toks", toks)
+      .withColumn("bi", bigrams)
+      .withColumn("tri", trigrams)
+      .select(
+        array(
+          size(col("toks")).cast("long"),
+          Tf.maxEqualRun(array_sort(col("bi"))),
+          (size(col("tri")) - size(array_distinct(col("tri")))).cast("long"),
+          Tf.maxEqualRun(col("toks"))).as("ref"),
+        Sketch.column(RepetitionStats(Sketch.expr(col("text")))).as("fast"))
+      .where(col("ref") =!= col("fast")).count()
+    assert(bad === 0)
+  }
+
+  test("RepetitionStats edge cases: empty text, one token, runs, multi-space") {
+    def stats(text: String): Seq[Long] =
+      spark.range(1).select(Sketch.column(RepetitionStats(
+        org.apache.spark.sql.catalyst.expressions.Literal(text)))).head().getSeq[Long](0)
+    // split("", " ") is ONE empty token, matching string_split semantics
+    assert(stats("") == Seq(1L, 0L, 0L, 1L))
+    assert(stats("a") == Seq(1L, 0L, 0L, 1L))
+    assert(stats("a a") == Seq(2L, 1L, 0L, 2L))
+    // "a a a a": bigrams [aa,aa,aa] top=3; trigrams [aaa,aaa] dup=1; run=4
+    assert(stats("a a a a") == Seq(4L, 3L, 1L, 4L))
+    // consecutive spaces create empty tokens ("a  a" -> [a, "", a])
+    assert(stats("a  a") == Seq(3L, 1L, 0L, 1L))
+    // distinct bigram max: "x y x y z" -> "x y" twice
+    assert(stats("x y x y z") == Seq(5L, 2L, 0L, 1L))
+  }
 }
