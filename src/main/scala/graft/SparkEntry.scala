@@ -658,22 +658,32 @@ object SparkEntry {
     },
 
     "schema_evolution" -> { (s, dir) =>
-      // DDL events (alter_table.go:12-235) parsed from statement strings
-      // and replayed over the data: rename + type-modify + add-with-default
-      // + add-nullable + drop. Every step is a narrow projection (map-only
-      // at any scale); the streaming conformTo twin is spec-tested.
+      // The FULL DDL event lifecycle routed through the schema-history
+      // cache (create_table.go columns+PK+defaults, drop_table.go,
+      // rename_table.go, alter_table.go, parse.go routing): the stream
+      // starts with CREATE TABLE — the event that seeds the history —
+      // column events keep applying across a RENAME TABLE, and an
+      // unrelated scratch table is created and dropped without touching
+      // the lineage. Every data step is a narrow projection (map-only at
+      // any scale); table routing is O(tables) driver state.
       import graft.cdc.SchemaEvolution
       val ddl = Seq(
+        "CREATE TABLE events (event_id BIGINT PRIMARY KEY, user_id BIGINT, " +
+          "event_type STRING, value DECIMAL(12,2), props STRING DEFAULT '{}')",
+        "CREATE TABLE scratch (k BIGINT, v STRING)",
         "ALTER TABLE events RENAME COLUMN value TO amount",
         "ALTER TABLE events MODIFY COLUMN amount DECIMAL(12,2)",
-        "ALTER TABLE events ADD COLUMN flag STRING DEFAULT 'new'",
-        "ALTER TABLE events ADD COLUMN amount_cents BIGINT",
-        "ALTER TABLE events DROP COLUMN props")
-      val events = ddl.map(st => SchemaEvolution.parse(st).getOrElse(
-        sys.error(s"unparsed DDL: $st")))
+        "RENAME TABLE events TO events_v2",
+        "ALTER TABLE events_v2 ADD COLUMN flag STRING DEFAULT 'new'",
+        "ALTER TABLE events_v2 ADD COLUMN amount_cents BIGINT",
+        "ALTER TABLE events_v2 DROP COLUMN props",
+        "DROP TABLE scratch")
       val base = Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value", "props")
-      SchemaEvolution.replay(base, events)
+      val tables = SchemaEvolution.replayTables(s, ddl, Map("events" -> base))
+      require(tables.keySet == Set("events_v2"), s"history left ${tables.keySet}")
+      tables("events_v2")
+        .withColumn("table_name", lit("events_v2"))
         // MODIFY COLUMN produced DECIMAL(12,2); emit DOUBLE (exactness
         // convention — bare decimal outputs hash-diverge at the gate)
         .withColumn("amount", col("amount").cast("double"))
@@ -724,8 +734,15 @@ object SparkEntry {
       val ddlLog = Seq(
         "ALTER TABLE events RENAME COLUMN amount TO value",
         "ALTER TABLE events ADD COLUMN flag STRING")
-      val v1 = StructType.fromDDL(
-        "event_id BIGINT, user_id BIGINT, event_type STRING, amount DECIMAL(12,2)")
+      // the schema history is SEEDED by the CREATE TABLE event (the first
+      // thing a real binlog stream replays), not a hand-built StructType
+      val v1 = graft.cdc.SchemaEvolution.parseStatement(
+        "CREATE TABLE events (event_id BIGINT PRIMARY KEY, user_id BIGINT, " +
+          "event_type STRING, amount DECIMAL(12,2))") match {
+        case Seq(ct: graft.cdc.TableDdlEvent.CreateTable) =>
+          graft.cdc.SchemaEvolution.createSchema(ct.columns)
+        case other => sys.error(s"unexpected CREATE TABLE parse: $other")
+      }
       val ev = Tables.events(s, dir)
       val e0 = ev.where(col("event_id") % 2 === 0)
         .select(lit(0).as("epoch"), to_json(struct(col("event_id"), col("user_id"),
@@ -1482,7 +1499,8 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS amount,
         |  'new' AS flag,
-        |  CAST(NULL AS BIGINT) AS amount_cents
+        |  CAST(NULL AS BIGINT) AS amount_cents,
+        |  'events_v2' AS table_name
         |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_events" ->

@@ -33,6 +33,34 @@ object DdlEvent {
   final case class ModifyColumn(name: String, newType: DataType) extends DdlEvent
 }
 
+/** Column descriptor carried by a CREATE TABLE event (types.go Column:
+  * name, data type, optional default, primary-key flag). The type
+  * vocabulary is Spark DDL — mapping source-native type names is the
+  * converters' concern, same split the reference makes between its parser
+  * events and lib/{mysql,postgres}/schema converters. */
+final case class ColumnSpec(
+    name: String,
+    dataType: DataType,
+    default: Option[String] = None,
+    primaryKey: Boolean = false)
+
+/** Table-LEVEL DDL events — the rest of the reference's event vocabulary
+  * (create_table.go:1-176 columns+PK+defaults, drop_table.go:1-33 multi-
+  * table, rename_table.go:1-44 pair list, processCopyTable for CREATE TABLE
+  * LIKE, routed from parse.go's visit). A real CDC stream STARTS with
+  * CreateTable: it is the event that seeds the schema history the stream
+  * replays. */
+sealed trait TableDdlEvent { def table: String }
+object TableDdlEvent {
+  final case class CreateTable(table: String, columns: Seq[ColumnSpec]) extends TableDdlEvent
+  /** CREATE TABLE t LIKE from (processCopyTable). */
+  final case class CopyTable(table: String, from: String) extends TableDdlEvent
+  final case class DropTable(table: String) extends TableDdlEvent
+  final case class RenameTable(table: String, newTable: String) extends TableDdlEvent
+  /** A column event routed to its owning table (alter_table.go events). */
+  final case class AlterTable(table: String, event: DdlEvent) extends TableDdlEvent
+}
+
 object SchemaEvolution {
   import DdlEvent._
 
@@ -109,6 +137,164 @@ object SchemaEvolution {
 
   def replay(df: DataFrame, events: Seq[DdlEvent]): DataFrame =
     events.foldLeft(df)(applyEvent)
+
+  // ---- table-level statements + schema history ----
+
+  private val CreateLikeRe =
+    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+LIKE\s+`?(\w+)`?\s*;?\s*$""".r
+  private val CreateRe =
+    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.+)\)\s*;?\s*$""".r
+  private val DropTableRe =
+    """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)\s*;?\s*$""".r
+  private val RenameTableRe =
+    """(?is)^RENAME\s+TABLE\s+(.+?)\s*;?\s*$""".r
+  private val RenamePairRe = """(?is)^`?(\w+)`?\s+TO\s+`?(\w+)`?$""".r
+  private val AlterTableNameRe = """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+.*$""".r
+  private val PkConstraintRe = """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)$""".r
+  // name, type (reluctant), then DEFAULT and/or PRIMARY KEY in either order
+  private val ColumnDefRe =
+    """(?is)^`?(\w+)`?\s+(.+?)(\s+PRIMARY\s+KEY)?(?:\s+DEFAULT\s+(.+?))?(\s+PRIMARY\s+KEY)?\s*$""".r
+
+  /** Split a CREATE TABLE body on top-level commas (parens nest: types like
+    * DECIMAL(12,2) and PRIMARY KEY (a, b) keep their commas). */
+  private def splitTopLevel(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    body.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.toSeq
+  }
+
+  private def parseCreateBody(table: String, body: String): Option[TableDdlEvent.CreateTable] = {
+    val items = splitTopLevel(body)
+    val cols = scala.collection.mutable.ArrayBuffer.empty[ColumnSpec]
+    val tablePks = scala.collection.mutable.ArrayBuffer.empty[String]
+    items.foreach {
+      case PkConstraintRe(names) =>
+        // table-level PRIMARY KEY (a, b) sets the flag on declared columns
+        // (processPrimaryKeyConstraintNode); a name with no column = reject
+        tablePks ++= names.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+      case ColumnDefRe(name, typ, pk1, dflt, pk2) =>
+        scala.util.Try(DataType.fromDDL(typ.trim)).toOption match {
+          case Some(dt) =>
+            cols += ColumnSpec(name, dt,
+              Option(dflt).map(_.trim)
+                .filterNot(_.equalsIgnoreCase("NULL"))
+                .map(_.stripPrefix("'").stripSuffix("'")),
+              primaryKey = pk1 != null || pk2 != null)
+          case None => return None // unparsable column type: reject the event
+        }
+      case _ => return None
+    }
+    if (cols.isEmpty) return None // failed to extract columns (create_table.go)
+    if (tablePks.exists(pk => !cols.exists(_.name == pk))) return None // unknown PK column
+    Some(TableDdlEvent.CreateTable(table,
+      cols.toSeq.map(c => c.copy(primaryKey = c.primaryKey || tablePks.contains(c.name)))))
+  }
+
+  /** Parse ONE statement into table-level events — the parse.go routing:
+    * CREATE (columns or LIKE), DROP (possibly multi-table), RENAME
+    * (possibly multi-pair), ALTER (wrapping the column-event parser).
+    * Unrecognized/malformed statements yield Nil so callers can
+    * dead-letter them. */
+  def parseStatement(ddl: String): Seq[TableDdlEvent] = ddl.trim match {
+    case CreateLikeRe(t, from) => Seq(TableDdlEvent.CopyTable(t, from))
+    case CreateRe(t, body) => parseCreateBody(t, body).toSeq
+    case RenameTableRe(pairs) =>
+      val parsed = splitTopLevel(pairs).map {
+        case RenamePairRe(from, to) => Some(TableDdlEvent.RenameTable(from, to))
+        case _ => None
+      }
+      // all-or-nothing like processRenameTable's pair validation
+      if (parsed.nonEmpty && parsed.forall(_.isDefined)) parsed.flatten else Nil
+    case DropTableRe(names) =>
+      val tables = splitTopLevel(names).map(_.stripPrefix("`").stripSuffix("`"))
+      if (tables.nonEmpty && tables.forall(_.matches("\\w+")))
+        tables.map(TableDdlEvent.DropTable)
+      else Nil
+    case s @ AlterTableNameRe(t) =>
+      parse(s).map(TableDdlEvent.AlterTable(t, _)).toSeq
+    case _ => Nil
+  }
+
+  /** One table's cached shape: schema + primary-key columns (the reference
+    * carries PrimaryKey per column through every event). */
+  final case class TableState(schema: StructType, primaryKeys: Seq[String])
+
+  /** The schema-history cache: table name -> current state. This is what
+    * the reference's in-memory table map is (parse.go events applied by the
+    * binlog consumer); O(tables) driver-side bytes, never row data. */
+  type History = Map[String, TableState]
+
+  /** The StructType a CREATE TABLE event declares. */
+  def createSchema(cols: Seq[ColumnSpec]): StructType =
+    StructType(cols.map(c => StructField(c.name, c.dataType, nullable = true)))
+
+  def applyTableEvent(h: History, e: TableDdlEvent): History = e match {
+    case TableDdlEvent.CreateTable(t, cols) =>
+      require(!h.contains(t), s"table $t already exists")
+      h + (t -> TableState(createSchema(cols), cols.filter(_.primaryKey).map(_.name)))
+    case TableDdlEvent.CopyTable(t, from) =>
+      require(h.contains(from), s"table $from not found")
+      require(!h.contains(t), s"table $t already exists")
+      h + (t -> h(from))
+    case TableDdlEvent.DropTable(t) =>
+      require(h.contains(t), s"table $t not found")
+      h - t
+    case TableDdlEvent.RenameTable(t, nt) =>
+      require(h.contains(t), s"table $t not found")
+      require(!h.contains(nt), s"table $nt already exists")
+      (h - t) + (nt -> h(t))
+    case TableDdlEvent.AlterTable(t, ev) =>
+      require(h.contains(t), s"table $t not found")
+      val st = h(t)
+      // a rename of a PK column renames the tracked key with it
+      val pks = ev match {
+        case DdlEvent.RenameColumn(from, to) =>
+          st.primaryKeys.map(k => if (k == from) to else k)
+        case DdlEvent.DropColumn(n) => st.primaryKeys.filterNot(_ == n)
+        case _ => st.primaryKeys
+      }
+      h.updated(t, TableState(evolve(st.schema, ev), pks))
+  }
+
+  def replayHistory(statements: Seq[String], initial: History = Map.empty): History =
+    statements.flatMap(parseStatement).foldLeft(initial)(applyTableEvent)
+
+  /** Data twin of the schema history: fold table-level DDL over actual
+    * DataFrames. CREATE registers the caller's landed snapshot conformed to
+    * the declared schema (or an empty typed table when none landed yet);
+    * ALTER projects (narrow, zero-shuffle), RENAME re-keys, DROP removes,
+    * COPY LIKE starts empty with the source's current schema. */
+  def replayTables(
+      spark: org.apache.spark.sql.SparkSession,
+      statements: Seq[String],
+      seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
+    def empty(schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val events = statements.flatMap(parseStatement)
+    val (_, data) = events.foldLeft((Map.empty: History, Map.empty[String, DataFrame])) {
+      case ((h, d), e) =>
+        val h2 = applyTableEvent(h, e)
+        val d2 = e match {
+          case TableDdlEvent.CreateTable(t, _) =>
+            d + (t -> seeds.get(t).map(conformTo(_, h2(t).schema)).getOrElse(empty(h2(t).schema)))
+          case TableDdlEvent.CopyTable(t, _) => d + (t -> empty(h2(t).schema))
+          case TableDdlEvent.DropTable(t) => d - t
+          case TableDdlEvent.RenameTable(t, nt) => (d - t) + (nt -> d(t))
+          case TableDdlEvent.AlterTable(t, ev) => d.updated(t, applyEvent(d(t), ev))
+        }
+        (h2, d2)
+    }
+    data
+  }
 
   /** Project a batch of ANY historical shape onto the evolved schema:
     * present columns are cast to the target type, columns the batch

@@ -3,12 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.cdc.{DdlEvent, SchemaEvolution => SE}
+import graft.cdc.{ColumnSpec, DdlEvent, TableDdlEvent, SchemaEvolution => SE}
 
 class SchemaEvolutionSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
   import DdlEvent._
+  import TableDdlEvent._
 
   test("parse handles the four ALTER TABLE shapes and rejects the rest") {
     assert(SE.parse("ALTER TABLE t ADD COLUMN c BIGINT") ===
@@ -65,6 +66,83 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SE.applyEvent(df, DropColumn("nope")))
     intercept[IllegalArgumentException](SE.applyEvent(df, RenameColumn("nope", "x")))
     intercept[IllegalArgumentException](SE.applyEvent(df, ModifyColumn("nope", LongType)))
+  }
+
+  test("parseStatement: CREATE TABLE with inline PK, table PK, defaults") {
+    val got = SE.parseStatement(
+      "CREATE TABLE t (id BIGINT PRIMARY KEY, name STRING, " +
+        "amt DECIMAL(12,2) DEFAULT '0.00', note STRING DEFAULT NULL)")
+    assert(got === Seq(CreateTable("t", Seq(
+      ColumnSpec("id", LongType, None, primaryKey = true),
+      ColumnSpec("name", StringType, None),
+      ColumnSpec("amt", DecimalType(12, 2), Some("0.00")),
+      ColumnSpec("note", StringType, None))))) // DEFAULT NULL = no default
+    // composite table-level constraint flags both columns
+    val comp = SE.parseStatement(
+      "create table if not exists u (a bigint, b string, c double, primary key (a, b));")
+    assert(comp === Seq(CreateTable("u", Seq(
+      ColumnSpec("a", LongType, None, primaryKey = true),
+      ColumnSpec("b", StringType, None, primaryKey = true),
+      ColumnSpec("c", DoubleType, None)))))
+    // PK constraint naming an undeclared column = rejected (create_table.go
+    // returns an error when the column lookup fails)
+    assert(SE.parseStatement("CREATE TABLE x (a BIGINT, PRIMARY KEY (zz))") === Nil)
+    // no columns = rejected
+    assert(SE.parseStatement("CREATE TABLE x ()") === Nil)
+  }
+
+  test("parseStatement: CREATE LIKE, multi-DROP, multi-RENAME, ALTER routing") {
+    assert(SE.parseStatement("CREATE TABLE copy1 LIKE src") ===
+      Seq(CopyTable("copy1", "src")))
+    assert(SE.parseStatement("DROP TABLE a, b, c;") ===
+      Seq(DropTable("a"), DropTable("b"), DropTable("c")))
+    assert(SE.parseStatement("RENAME TABLE a TO b, c TO d") ===
+      Seq(RenameTable("a", "b"), RenameTable("c", "d")))
+    // odd pair list is all-or-nothing rejected (rename_table.go)
+    assert(SE.parseStatement("RENAME TABLE a TO b, c") === Nil)
+    assert(SE.parseStatement("ALTER TABLE t ADD COLUMN c BIGINT") ===
+      Seq(AlterTable("t", AddColumn("c", LongType, None))))
+    assert(SE.parseStatement("SELECT 1") === Nil)
+  }
+
+  test("schema history: create/copy/alter/rename/drop fold; PK tracked through renames") {
+    val h = SE.replayHistory(Seq(
+      "CREATE TABLE t (id BIGINT PRIMARY KEY, v DOUBLE)",
+      "CREATE TABLE t2 LIKE t",
+      "ALTER TABLE t RENAME COLUMN id TO pk_id",
+      "ALTER TABLE t ADD COLUMN w STRING",
+      "RENAME TABLE t TO t3",
+      "DROP TABLE t2"))
+    assert(h.keySet === Set("t3"))
+    assert(h("t3").schema.fieldNames.toSeq === Seq("pk_id", "v", "w"))
+    assert(h("t3").primaryKeys === Seq("pk_id")) // rename followed the key
+    // contradictory events reject, same as the column-level twins
+    intercept[IllegalArgumentException](
+      SE.applyTableEvent(h, DropTable("nope")))
+    intercept[IllegalArgumentException](
+      SE.applyTableEvent(h, CreateTable("t3", Seq(ColumnSpec("x", LongType)))))
+    intercept[IllegalArgumentException](
+      SE.applyTableEvent(h, RenameTable("t3", "t3")))
+  }
+
+  test("replayTables folds DDL over data: seed conforms, lineage survives rename") {
+    val base = Seq((1L, 2.5), (2L, 3.5)).toDF("id", "v")
+    val out = SE.replayTables(spark, Seq(
+      "CREATE TABLE t (id BIGINT PRIMARY KEY, v DECIMAL(12,2))",
+      "CREATE TABLE scratch (k BIGINT)",
+      "ALTER TABLE t ADD COLUMN tag STRING DEFAULT 'x'",
+      "RENAME TABLE t TO t2",
+      "ALTER TABLE t2 RENAME COLUMN v TO amount",
+      "DROP TABLE scratch"),
+      seeds = Map("t" -> base))
+    assert(out.keySet === Set("t2"))
+    val rows = out("t2").orderBy("id").collect()
+    assert(out("t2").schema.fieldNames.toSeq === Seq("id", "amount", "tag"))
+    assert(rows(0).getDecimal(1).toPlainString === "2.50") // seed conformed to DDL type
+    assert(rows(0).getString(2) === "x")
+    // a CREATE with no landed seed is an empty typed table
+    val empty = SE.replayTables(spark, Seq("CREATE TABLE e (a BIGINT)"), Map.empty)
+    assert(empty("e").isEmpty && empty("e").schema.fieldNames.toSeq === Seq("a"))
   }
 
   test("conformTo lets pre- and post-DDL batches coexist in one stream") {
