@@ -470,15 +470,28 @@ object SparkEntry {
     },
 
     "convert_temporal" -> { (s, dir) =>
-      Tables.events(s, dir).select(
-        col("event_id"),
-        Cv.epochDays(col("ts_ntz")).as("epoch_days"),
-        expr("ts_ns div 1000000").as("ts_ms_epoch"),
-        expr("ts_ns div 1000").as("ts_us_epoch"),
-        Cv.microsSinceMidnight(expr("ts_ns div 1000")).as("micros_of_day"),
-        Cv.isoDate(col("ts_ntz")).as("iso_date"),
-        Cv.zonedTimestamp(col("ts_ntz")).as("zoned_ts"),
-        Cv.yearInt(col("ts_ntz")).as("yr"))
+      // plus MySQL non-strict-mode zero dates (convert.go:153-161,264-287):
+      // DATETIME strings with a zero year/month/day lane convert to NULL
+      // instead of erroring — two planted invalid shapes per 11 rows
+      val dtStr = when(col("event_id") % 11 === 0, lit("0000-00-00 00:00:00"))
+        .when(col("event_id") % 11 === 1,
+          concat(lit("2024-00-"), lpad((col("event_id") % 28 + 1).cast("string"), 2, "0"),
+            lit(" 10:30:00")))
+        .otherwise(date_format(col("ts_ntz"), "yyyy-MM-dd HH:mm:ss"))
+      Tables.events(s, dir)
+        .withColumn("dt_str", dtStr)
+        .select(
+          col("event_id"),
+          Cv.epochDays(col("ts_ntz")).as("epoch_days"),
+          expr("ts_ns div 1000000").as("ts_ms_epoch"),
+          expr("ts_ns div 1000").as("ts_us_epoch"),
+          Cv.microsSinceMidnight(expr("ts_ns div 1000")).as("micros_of_day"),
+          Cv.isoDate(col("ts_ntz")).as("iso_date"),
+          Cv.zonedTimestamp(col("ts_ntz")).as("zoned_ts"),
+          Cv.yearInt(col("ts_ntz")).as("yr"),
+          col("dt_str"),
+          Cv.nonStrictInvalidDate(col("dt_str")).as("dt_zero"),
+          unix_millis(Cv.mysqlDatetime(col("dt_str"))).as("dt_ms"))
         .orderBy("event_id")
     },
 
@@ -577,12 +590,24 @@ object SparkEntry {
     },
 
     "convert_uuid_bits" -> { (s, dir) =>
-      Tables.customer(s, dir).select(
-        col("c_custkey"),
-        Cv.uuidFromKey(col("c_custkey")).as("uuid"),
-        Cv.bitAt(col("c_custkey"), 0).as("bit0"),
-        Cv.bitAt(col("c_custkey"), 3).as("bit3"),
-        Cv.popCount(col("c_custkey")).as("pop"))
+      // bit varying wire strings (bit_varying.go:27-60): the row's key in
+      // binary, with planted invalid-char and over-length lanes that must
+      // dead-letter to NULL; valid ones pack little-endian (bit.go
+      // stringToByteA), hex-rendered
+      val bitsRaw = bin(col("c_custkey"))
+      val bits = when(col("c_custkey") % 97 === 0, concat(lit("2"), bitsRaw))
+        .when(col("c_custkey") % 89 === 0, lpad(bitsRaw, 40, "0"))
+        .otherwise(bitsRaw)
+      Tables.customer(s, dir)
+        .withColumn("bv_input", bits)
+        .select(
+          col("c_custkey"),
+          Cv.uuidFromKey(col("c_custkey")).as("uuid"),
+          Cv.bitAt(col("c_custkey"), 0).as("bit0"),
+          Cv.bitAt(col("c_custkey"), 3).as("bit3"),
+          Cv.popCount(col("c_custkey")).as("pop"),
+          col("bv_input"),
+          Cv.bitVaryingHex(col("bv_input"), 32).as("bv_hex"))
         .orderBy("c_custkey")
     },
 
@@ -631,6 +656,10 @@ object SparkEntry {
       Tables.customer(s, dir).select(
         col("c_custkey"),
         enumIdx.as("seg_idx"),
+        // SET (convert.go asSet:15-31): streaming int64 bitmask -> comma-
+        // joined declared options; key % 32 exercises every 5-bit subset
+        Cv.setString(col("c_custkey") % 32,
+          Seq("red", "green", "blue", "alpha", "beta")).as("set_str"),
         concat_ws(",", array(col("c_custkey"), col("c_nationkey").cast("long"))).as("arr_str"),
         lit(2L).as("arr_len"),
         pt.as("geom_wkt"),
@@ -1367,15 +1396,29 @@ object SparkEntry {
         |FROM j ORDER BY event_id""".stripMargin,
 
     "convert_temporal" ->
-      """SELECT event_id,
+      """WITH d AS (SELECT *,
+        |    CASE WHEN event_id % 11 = 0 THEN '0000-00-00 00:00:00'
+        |      WHEN event_id % 11 = 1 THEN '2024-00-' ||
+        |        lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0') || ' 10:30:00'
+        |      ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') END AS dt_str
+        |  FROM events),
+        |z AS (SELECT *, (length(dt_str) >= 10 AND (
+        |    regexp_matches(substr(dt_str, 1, 10), '^0+-[^-]*-[^-]*$') OR
+        |    regexp_matches(substr(dt_str, 1, 10), '^\d*[1-9]\d*-0+-[^-]*$') OR
+        |    regexp_matches(substr(dt_str, 1, 10), '^\d*[1-9]\d*-\d*[1-9]\d*-0+$'))) AS dt_zero
+        |  FROM d)
+        |SELECT event_id,
         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_days,
         |  epoch_ms(ts) AS ts_ms_epoch,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us_epoch,
         |  epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS micros_of_day,
         |  CAST(CAST(ts AS DATE) AS VARCHAR) AS iso_date,
         |  regexp_replace(regexp_replace(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f'), '0+$', ''), '\.$', '') || 'Z' AS zoned_ts,
-        |  CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS yr
-        |FROM events ORDER BY event_id""".stripMargin,
+        |  CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS yr,
+        |  dt_str,
+        |  dt_zero,
+        |  CASE WHEN NOT dt_zero THEN epoch_ms(CAST(dt_str AS TIMESTAMP)) END AS dt_ms
+        |FROM z ORDER BY event_id""".stripMargin,
 
     "convert_duration" ->
       """WITH t AS (SELECT event_id, (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) * 1000 AS tod,
@@ -1438,7 +1481,19 @@ object SparkEntry {
         |FROM p ORDER BY event_id""".stripMargin,
 
     "convert_uuid_bits" ->
-      """SELECT c_custkey,
+      """WITH b AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 97 = 0 THEN '2' || bin(c_custkey)
+        |      WHEN c_custkey % 89 = 0 THEN lpad(bin(c_custkey), 40, '0')
+        |      ELSE bin(c_custkey) END AS bv_input
+        |  FROM customer),
+        |v AS (SELECT c_custkey, bv_input,
+        |    CASE WHEN regexp_matches(bv_input, '^[01]+$') AND length(bv_input) <= 32 THEN
+        |      list_sum(list_transform(range(0, length(bv_input)), i ->
+        |        CASE WHEN substr(bv_input, CAST(length(bv_input) - i AS INT), 1) = '1'
+        |          THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+        |    END AS v
+        |  FROM b)
+        |SELECT c_custkey,
         |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
         |  substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4) || '-' ||
         |  substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4) || '-' ||
@@ -1446,8 +1501,15 @@ object SparkEntry {
         |  substr(md5(CAST(c_custkey AS VARCHAR)), 21, 12) AS uuid,
         |  CAST((c_custkey >> 0) & 1 AS BIGINT) AS bit0,
         |  CAST((c_custkey >> 3) & 1 AS BIGINT) AS bit3,
-        |  CAST(bit_count(c_custkey) AS BIGINT) AS pop
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |  CAST(bit_count(c_custkey) AS BIGINT) AS pop,
+        |  bv_input,
+        |  CASE WHEN v IS NOT NULL THEN
+        |    (CASE WHEN (v >> 0) > 0 THEN lpad(upper(to_hex(v & 255)), 2, '0') ELSE '' END) ||
+        |    (CASE WHEN (v >> 8) > 0 THEN lpad(upper(to_hex((v >> 8) & 255)), 2, '0') ELSE '' END) ||
+        |    (CASE WHEN (v >> 16) > 0 THEN lpad(upper(to_hex((v >> 16) & 255)), 2, '0') ELSE '' END) ||
+        |    (CASE WHEN (v >> 24) > 0 THEN lpad(upper(to_hex((v >> 24) & 255)), 2, '0') ELSE '' END)
+        |  END AS bv_hex
+        |FROM v ORDER BY c_custkey""".stripMargin,
 
     "convert_pg_misc" ->
       """SELECT c_custkey,
@@ -1473,6 +1535,12 @@ object SparkEntry {
         |  CAST(CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
         |    WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3 WHEN 'MACHINERY' THEN 4
         |    ELSE -1 END AS BIGINT) AS seg_idx,
+        |  concat_ws(',',
+        |    CASE WHEN ((c_custkey % 32) >> 0) & 1 = 1 THEN 'red' END,
+        |    CASE WHEN ((c_custkey % 32) >> 1) & 1 = 1 THEN 'green' END,
+        |    CASE WHEN ((c_custkey % 32) >> 2) & 1 = 1 THEN 'blue' END,
+        |    CASE WHEN ((c_custkey % 32) >> 3) & 1 = 1 THEN 'alpha' END,
+        |    CASE WHEN ((c_custkey % 32) >> 4) & 1 = 1 THEN 'beta' END) AS set_str,
         |  array_to_string([c_custkey, CAST(c_nationkey AS BIGINT)], ',') AS arr_str,
         |  CAST(2 AS BIGINT) AS arr_len,
         |  'POINT(' || CAST(c_nationkey AS VARCHAR) || ' ' || CAST(c_custkey AS VARCHAR) || ')' AS geom_wkt,

@@ -198,6 +198,64 @@ object Converters {
   /** Population count (bit_varying.go analogue). */
   def popCount(c: Column): Column = bit_count(c.cast("long")).cast("long")
 
+  /** PG bit varying (lib/debezium/converters/bit_varying.go:27-60 +
+    * bit.go stringToByteA:68-77): validate the 0/1 string against the
+    * optional max length, parse base-2, emit big.Int's minimal big-endian
+    * bytes REVERSED (little-endian, the java.util.BitSet layout Debezium
+    * uses), hex-rendered for comparability. Invalid characters or
+    * over-length → NULL (the reference's error return, expressed as the
+    * declarative error lane). All-zero bits → '' (big.Int.Bytes() of zero
+    * is empty). Column-arithmetic base-2 window caps maxLen at 63 bits;
+    * beyond that the swap-in is a kernel, not this expression. */
+  def bitVaryingHex(bits: Column, maxLen: Int): Column = {
+    require(maxLen > 0 && maxLen <= 63, s"maxLen $maxLen outside the long window")
+    val valid = bits.rlike("^[01]+$") && length(bits) <= maxLen
+    val v = conv(bits, 2, 10).cast("long")
+    // byte i of the little-endian rendering is present iff some higher-or-
+    // equal bit is set — exactly "minimal big-endian, reversed"
+    val bytes = (0 until (maxLen + 7) / 8).map { i =>
+      when(shiftright(v, 8 * i) > 0,
+        lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))
+    }
+    when(valid, concat_ws("", bytes: _*))
+  }
+
+  // ---- MySQL schema conversions (reference: lib/mysql/schema/convert.go) ----
+
+  /** MySQL SET (convert.go asSet:15-31): the streaming wire value is an
+    * int64 bitmask where bit i selects the i-th DECLARED option; rendered
+    * as the comma-joined selected options (bitmask 0 → empty string, the
+    * strings.Join of an empty slice). concat_ws skips NULL slots, so the
+    * whole conversion is one codegen'd expression. */
+  def setString(bitmask: Column, opts: Seq[String]): Column = {
+    val parts = opts.zipWithIndex.map { case (opt, i) =>
+      when(shiftright(bitmask.cast("long"), i).bitwiseAND(lit(1L)) === 1L, lit(opt))
+    }
+    concat_ws(",", parts: _*)
+  }
+
+  /** MySQL non-strict-mode invalid date detector (convert.go
+    * hasNonStrictModeInvalidDate:264-287): true when the first 10 chars
+    * split on '-' into exactly three parts and, scanning left to right,
+    * an all-zero numeric part is reached before any non-numeric part —
+    * i.e. year, month, or day renders as 0 ("0000-00-00 00:00:00",
+    * "2024-00-15 …"). Strings shorter than 10 chars are never flagged
+    * (the reference's length guard). */
+  def nonStrictInvalidDate(c: Column): Column = {
+    val head = substring(c, 1, 10)
+    (length(c) >= 10) && (
+      head.rlike("^0+-[^-]*-[^-]*$") ||
+        head.rlike("^\\d*[1-9]\\d*-0+-[^-]*$") ||
+        head.rlike("^\\d*[1-9]\\d*-\\d*[1-9]\\d*-0+$"))
+  }
+
+  /** MySQL DATETIME/TIMESTAMP under non-strict mode (convert.go:153-161):
+    * zero-date-class strings become NULL instead of erroring; everything
+    * else parses as a timestamp. The `when` keeps the parse in the valid
+    * branch only, so ANSI mode never sees a zero date. */
+  def mysqlDatetime(c: Column): Column =
+    when(!nonStrictInvalidDate(c), to_timestamp(c))
+
   /** PG geography/geometry hex-EWKB → base64 WKB payload, the rendering
     * reader ships to consumers (lib/postgres/parse/geom.go:52-66: hex
     * decode then base64 encode). */

@@ -63,4 +63,55 @@ class ConvertersSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(r(0) === r(1) && r(0) >= 0 && r(0) < (1L << 60))
   }
+
+  test("SET bitmask renders comma-joined declared options (asSet pinning)") {
+    val opts = Seq("a", "b", "c", "d")
+    def render(mask: Long): String =
+      Seq(mask).toDF("m").select(Cv.setString(col("m"), opts).as("s")).head().getString(0)
+    assert(render(0L) === "") // empty set = strings.Join of empty slice
+    assert(render(1L) === "a")
+    assert(render(5L) === "a,c") // bits 0 and 2
+    assert(render(15L) === "a,b,c,d")
+    assert(render(8L) === "d")
+  }
+
+  test("non-strict zero dates null out; well-formed and short strings survive") {
+    val rows = Seq(
+      ("0000-00-00 00:00:00", true),
+      ("2024-00-15 10:30:00", true),
+      ("2024-07-00 10:30:00", true),
+      ("0000-xx-01 10:30:00", true), // year hits zero before the bad month (go loop order)
+      ("2024-xx-00 10:30:00", false), // Atoi fails on month before day is checked
+      ("2024-07-15 10:30:00", false),
+      ("2024-7-5", false), // < 10 chars: length guard
+      ("2024-10-05", false))
+      .toDF("d", "expect")
+    val bad = rows.select(Cv.nonStrictInvalidDate(col("d")).as("got"), col("expect"))
+      .where(col("got") =!= col("expect")).count()
+    assert(bad === 0)
+    // the converter itself: zero date -> NULL, valid -> parsed epoch
+    val r = Seq("0000-00-00 00:00:00", "1970-01-01 00:00:10").toDF("d")
+      .select(unix_millis(Cv.mysqlDatetime(col("d"))).as("ms")).collect()
+    assert(r(0).isNullAt(0) && r(1).getLong(0) === 10000L)
+  }
+
+  test("bit varying packs little-endian minimal bytes; invalid lanes NULL") {
+    // independent reference: BigInteger base-2 -> toByteArray (big-endian,
+    // possibly with a sign byte) -> strip leading zeros -> reverse -> hex
+    def ref(bits: String): String = {
+      val bytes = new java.math.BigInteger(bits, 2).toByteArray
+        .dropWhile(_ == 0).reverse
+      bytes.map(b => f"${b & 0xff}%02X").mkString
+    }
+    val cases = Seq("1", "0", "100000000", "1111111100000001", "00000001",
+      "101", "11111111111111111111111111111111")
+    val got = cases.toDF("b")
+      .select(col("b"), Cv.bitVaryingHex(col("b"), 32).as("h")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach(c => assert(got(c) === ref(c), s"bits=$c"))
+    assert(got("0") === "") // big.Int.Bytes() of zero is empty
+    val invalid = Seq("10201", "abc", "1" * 33).toDF("b")
+      .select(Cv.bitVaryingHex(col("b"), 32).as("h")).collect()
+    assert(invalid.forall(_.isNullAt(0))) // error lane
+  }
 }
