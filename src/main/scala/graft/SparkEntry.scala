@@ -36,6 +36,27 @@ object SparkEntry {
   private def rate(c: Column): Column = c.cast("decimal(4,2)") // discount/tax in [0,1)
   private def sumd(c: Column): Column = sum(c).cast("double")
 
+  /** ANN self-verification rows: per-query rank-structure claims plus the
+    * overall recall-vs-exact bound, all computed inside the query so the
+    * driver's hash compare asserts real correctness for the approximate
+    * tiers (they were rows-only for four rounds). `approx`/`exact` carry
+    * (qid, nid, rank). */
+  private def annVerification(
+      approx: DataFrame, exact: DataFrame, k: Int,
+      recallMetric: String, recallBound: Double): DataFrame = {
+    val perQ = approx.groupBy("qid").agg(
+      count(lit(1)).as("n"), min(col("rank")).as("rmin"), max(col("rank")).as("rmax"))
+      .select(col("qid").as("query_id"), lit("candidates_ranked").as("metric"),
+        (col("n") <= k && col("rmin") === 1L && col("rmax") === col("n")).as("ok"))
+    val overall = approx.select("qid", "nid")
+      .join(exact.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("h"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("e"))))
+      .select(lit(-1L).as("query_id"), lit(recallMetric).as("metric"),
+        (col("h").cast("double") / col("e") >= recallBound).as("ok"))
+    perQ.unionByName(overall).orderBy("query_id", "metric")
+  }
+
   private def workDir(kind: String, sfDir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -856,18 +877,27 @@ object SparkEntry {
     },
 
     "ann_lsh" -> { (s, dir) =>
+      // SELF-verifying: the approximate top-k is judged against the exact
+      // brute-force top-k INSIDE the query. Output rows are the claims the
+      // DuckDB oracle can assert structurally — every query surfaced
+      // candidates with valid contiguous ranks, and overall recall clears
+      // its bound — so a recall regression, an empty bucket pipeline, or a
+      // rank bug flips the driver hash instead of hiding in a rows-only
+      // count.
       val emb = Tables.embeddings(s, dir)
-      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", dim = 64, k = 5)
-        .select(col("qid").as("query_id"), col("rank").as("rnk"), col("nid").as("neighbor_id"))
-        .orderBy("query_id", "rnk")
+      val q = emb.where(col("vec_id") < 10)
+      val approx = Ann.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5)
+      val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      annVerification(approx, exact, k = 5, "recall_ge_0.15", 0.15)
     },
 
     "ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      val q = emb.where(col("vec_id") < 10)
+      val approx = Ann.ivfTopK(emb, q, "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
-        .select(col("qid").as("query_id"), col("rank").as("rnk"), col("nid").as("neighbor_id"))
-        .orderBy("query_id", "rnk")
+      val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      annVerification(approx, exact, k = 5, "recall_ge_0.2", 0.2)
     },
 
     // ---- text analysis (#28-31) ----
@@ -1676,7 +1706,20 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
-    // ann_lsh, ann_ivf: approximate by design -> rows-only check (no oracle).
+    // ann_lsh / ann_ivf emit self-verification claims (per-query rank
+    // structure + overall recall-vs-exact bound, judged inside the Spark
+    // query) — the oracle asserts every claim came out true.
+    "ann_lsh" ->
+      """SELECT vec_id AS query_id, 'candidates_ranked' AS metric, true AS ok
+        |FROM embeddings WHERE vec_id < 10
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 'recall_ge_0.15', true
+        |ORDER BY query_id, metric""".stripMargin,
+
+    "ann_ivf" ->
+      """SELECT vec_id AS query_id, 'candidates_ranked' AS metric, true AS ok
+        |FROM embeddings WHERE vec_id < 10
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 'recall_ge_0.2', true
+        |ORDER BY query_id, metric""".stripMargin,
 
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, text, len(text) AS lc, len(string_split(text, ' ')) AS n,

@@ -24,13 +24,16 @@ class PlanHygieneSpec extends AnyFunSuite {
   }
 
   test("no query plans a cartesian product or broadcast nested loop join") {
-    // Two deliberate broadcast nested loops: ann_topk (tiny broadcast query
+    // Deliberate broadcast nested loops: ann_topk (tiny broadcast query
     // set scored against every corpus row map-side; its scale story is the
-    // bounded top-k sink, asserted in AnnSpec) and text_tfidf (a ONE-ROW
-    // corpus-count broadcast attached to every term — O(n) map-side, the
-    // cheapest way to ship a scalar). Everything else must be keyed joins.
-    // CartesianProduct is banned everywhere.
-    val nljAllowed = Set("ann_topk", "text_tfidf")
+    // bounded top-k sink, asserted in AnnSpec), ann_lsh/ann_ivf (their
+    // self-verification rows judge the approximate tier against the same
+    // brute-force exact top-k inside the query, plus a one-row denominator
+    // broadcast) and text_tfidf (a ONE-ROW corpus-count broadcast attached
+    // to every term — O(n) map-side, the cheapest way to ship a scalar).
+    // Everything else must be keyed joins. CartesianProduct is banned
+    // everywhere.
+    val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
