@@ -353,6 +353,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    "sketch_distinct" -> { (s, dir) =>
+      // HLL distinct-count sketch (HllDistinct aggregate): a FIXED 4 KB
+      // register file per group with map-side combine — at 100 TB the
+      // shuffle carries one sketch per (group x task) where exact
+      // count-distinct reshuffles every (group, value) pair. Self-verifying
+      // like the ANN tiers: per-group exact distinct (oracle-computable)
+      // plus the claim that the deterministic estimate lands within 5%
+      // (p=12 -> ~1.6% standard error; xxhash64 input makes the estimate
+      // bit-reproducible and partitioning-invariant).
+      import graft.expressions.Hll
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          Hll.approxCountDistinct(col("user_id"), 12).as("est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est").cast("double") / col("n_exact").cast("double") - 1.0) <= 0.05)
+            .as("ok"))
+        .orderBy("event_type")
+    },
+
     "window_topn" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, dir)
@@ -1331,6 +1352,10 @@ object SparkEntry {
         |  MIN(l_extendedprice) AS min_price,
         |  MAX(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sketch_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -1,0 +1,136 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions.xxhash64
+import org.apache.spark.sql.types._
+
+/** HyperLogLog register file: 2^p byte registers, each holding the maximum
+  * observed "rank" (leading-zero run + 1 of the hash bits after the p index
+  * bits) for the hashes routed to it.
+  *
+  * This is the distinct-count shape that matters at 100 TB: updates are
+  * map-side and O(1), the aggregation buffer is a FIXED 2^p bytes no matter
+  * how many rows flow through it, and merge is a register-wise max — so the
+  * shuffle carries one 4 KB sketch per (group x map task) instead of the
+  * exploded (group, value) pairs an exact count-distinct reshuffles.
+  * Register-wise max is also order- and partitioning-invariant, so the
+  * estimate is bit-deterministic for a deterministic input hash.
+  *
+  * Reference behavior being re-expressed: the reader's analytics consumers
+  * count distinct keys over CDC streams; the Flajolet et al. HLL estimator
+  * (standard bias-corrected form + linear-counting small-range correction;
+  * a 64-bit hash needs no large-range correction) is the published
+  * construction for doing that in bounded memory.
+  */
+final class HllBuffer(val p: Int) {
+  val m: Int = 1 << p
+  val registers: Array[Byte] = new Array[Byte](m)
+
+  /** Route one 64-bit hash: top p bits pick the register, the rest set its
+    * rank. */
+  def add(hash: Long): Unit = {
+    val idx = (hash >>> (64 - p)).toInt
+    val rest = hash << p
+    val rank =
+      if (rest == 0L) 64 - p + 1
+      else java.lang.Long.numberOfLeadingZeros(rest) + 1
+    if (rank > registers(idx)) registers(idx) = rank.toByte
+  }
+
+  def merge(other: HllBuffer): Unit = {
+    var i = 0
+    while (i < m) {
+      if (other.registers(i) > registers(i)) registers(i) = other.registers(i)
+      i += 1
+    }
+  }
+
+  def estimate: Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += java.lang.Math.pow(2.0, -registers(i).toDouble)
+      if (registers(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * m.toDouble * m.toDouble / invSum
+    // small-range (linear counting) correction; 64-bit hashes make the
+    // classic large-range collision correction unnecessary
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else e
+  }
+}
+
+/** `hll_distinct(hash64, p)`: approximate distinct count of the (already
+  * 64-bit-hashed) child, as a rounded BIGINT. TypedImperativeAggregate, so
+  * Spark plans ObjectHashAggregate with a Partial/Final split — the fixed
+  * 2^p-byte buffer is what makes the map-side combine free. Standard error
+  * ~= 1.04 / sqrt(2^p) (p=12 -> ~1.6%). */
+case class HllDistinct(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllBuffer] {
+
+  require(p >= 4 && p <= 16, s"precision $p outside [4, 16]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+
+  override def update(buffer: HllBuffer, input: InternalRow): HllBuffer = {
+    val h = child.eval(input)
+    if (h != null) buffer.add(h.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: HllBuffer, other: HllBuffer): HllBuffer = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: HllBuffer): Any = math.rint(buffer.estimate).toLong
+
+  override def serialize(buffer: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + buffer.m)
+    out(0) = buffer.p.toByte
+    System.arraycopy(buffer.registers, 0, out, 1, buffer.m)
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllDistinct =
+    copy(child = newChildren(0))
+  override def prettyName: String = "hll_distinct"
+}
+
+object Hll {
+  /** Approximate distinct count of any column: deterministic xxhash64 in
+    * front of the register file, so the estimate is reproducible run to run
+    * and partitioning-invariant. */
+  def approxCountDistinct(c: Column, p: Int = 12): Column =
+    Sketch.column(HllDistinct(Sketch.expr(xxhash64(c)), p).toAggregateExpression())
+}

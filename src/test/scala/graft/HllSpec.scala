@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions.{Hll, HllBuffer}
+
+class HllSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def estimate(n: Long, p: Int = 12, parts: Int = 1): Long =
+    spark.range(n).repartition(parts)
+      .agg(Hll.approxCountDistinct(col("id"), p).as("e"))
+      .head().getLong(0)
+
+  test("estimate lands inside ~5 standard errors across magnitudes") {
+    // p=12: sigma ~= 1.04/sqrt(4096) ~= 1.63%; 5 sigma ~= 8%. The estimate
+    // is deterministic, so these are pinned checks, not flaky ones.
+    Seq(100L, 1000L, 10000L, 100000L).foreach { n =>
+      val e = estimate(n)
+      val err = math.abs(e.toDouble / n - 1.0)
+      assert(err <= 0.08, s"n=$n est=$e err=$err")
+    }
+  }
+
+  test("estimate is partitioning-invariant (register max is order-free)") {
+    val one = estimate(50000L, parts = 1)
+    val many = estimate(50000L, parts = 13)
+    assert(one === many)
+  }
+
+  test("duplicates do not move the estimate") {
+    val dup = spark.range(10000).select((col("id") % 500).as("v"))
+      .agg(Hll.approxCountDistinct(col("v")).as("e")).head().getLong(0)
+    val uniq = spark.range(500).select(col("id").as("v"))
+      .agg(Hll.approxCountDistinct(col("v")).as("e")).head().getLong(0)
+    assert(dup === uniq)
+  }
+
+  test("buffer merge equals single-pass build (shuffle-combine correctness)") {
+    def hash(i: Long): Long = graft.expressions.Sketch.splitmix64(i)
+    val a = new HllBuffer(12)
+    val b = new HllBuffer(12)
+    val whole = new HllBuffer(12)
+    (0L until 3000L).foreach { i => a.add(hash(i)); whole.add(hash(i)) }
+    (2000L until 6000L).foreach { i => b.add(hash(i)); whole.add(hash(i)) }
+    a.merge(b)
+    assert(a.registers.toSeq === whole.registers.toSeq)
+  }
+
+  test("small-range linear counting keeps tiny cardinalities near-exact") {
+    Seq(1L, 5L, 20L).foreach { n =>
+      val e = estimate(n)
+      assert(math.abs(e - n) <= 1, s"n=$n est=$e")
+    }
+  }
+}
