@@ -742,10 +742,11 @@ object SparkEntry {
         "CREATE TABLE events (event_id BIGINT PRIMARY KEY, user_id BIGINT, " +
           "event_type STRING, value DECIMAL(12,2), props STRING DEFAULT '{}')",
         "CREATE TABLE scratch (k BIGINT, v STRING)",
+        "ALTER TABLE scratch ADD PRIMARY KEY (k)",
         "ALTER TABLE events RENAME COLUMN value TO amount",
         "ALTER TABLE events MODIFY COLUMN amount DECIMAL(12,2)",
         "RENAME TABLE events TO events_v2",
-        "ALTER TABLE events_v2 ADD COLUMN flag STRING DEFAULT 'new'",
+        "ALTER TABLE events_v2 ADD COLUMN flag STRING DEFAULT 'new' AFTER event_type",
         "ALTER TABLE events_v2 ADD COLUMN amount_cents BIGINT",
         "ALTER TABLE events_v2 DROP COLUMN props",
         "DROP TABLE scratch")

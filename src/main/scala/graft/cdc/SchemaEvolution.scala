@@ -22,15 +22,37 @@ import org.apache.spark.sql.types._
   *    coexist with new-schema ones — the exact problem reader solves by
   *    replaying DDL against its schema cache.
   */
+/** Column placement of an ADD/MODIFY COLUMN (types.go FirstPosition /
+  * AfterPosition, extracted in alter_table.go processAddOrModifyColumn:
+  * 131-191). Absent = append at the end, MySQL's default. */
+sealed trait ColumnPosition
+object ColumnPosition {
+  case object First extends ColumnPosition
+  final case class After(column: String) extends ColumnPosition
+}
+
 sealed trait DdlEvent
 object DdlEvent {
-  /** ADD COLUMN name type [DEFAULT lit] — absent default = NULL column. */
-  final case class AddColumn(name: String, dataType: DataType, default: Option[String] = None)
+  /** ADD COLUMN name type [DEFAULT lit] [FIRST | AFTER col] — absent
+    * default = NULL column. */
+  final case class AddColumn(
+      name: String,
+      dataType: DataType,
+      default: Option[String] = None,
+      position: Option[ColumnPosition] = None)
       extends DdlEvent
   final case class DropColumn(name: String) extends DdlEvent
   final case class RenameColumn(from: String, to: String) extends DdlEvent
-  /** MODIFY/ALTER COLUMN name TYPE t — value semantics = cast. */
-  final case class ModifyColumn(name: String, newType: DataType) extends DdlEvent
+  /** MODIFY/ALTER COLUMN name TYPE t [FIRST | AFTER col] — value semantics
+    * = cast (+ optional move). */
+  final case class ModifyColumn(
+      name: String,
+      newType: DataType,
+      position: Option[ColumnPosition] = None)
+      extends DdlEvent
+  /** ADD PRIMARY KEY (a, b) — schema/data unchanged, key metadata only
+    * (types.go AddPrimaryKeyEvent; alter_table.go:69-75,117-129). */
+  final case class AddPrimaryKey(columns: Seq[String]) extends DdlEvent
 }
 
 /** Column descriptor carried by a CREATE TABLE event (types.go Column:
@@ -64,51 +86,90 @@ object TableDdlEvent {
 object SchemaEvolution {
   import DdlEvent._
 
+  private val AddPkRe =
+    """(?i)ALTER\s+TABLE\s+\S+\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*;?\s*$""".r
   private val AddRe =
-    """(?i)ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()\s,]+?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$""".r
+    """(?i)ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()\s,]+?)(?:\s+DEFAULT\s+(.+?))?(?:\s+(FIRST)|\s+AFTER\s+(\w+))?\s*;?\s*$""".r
   private val DropRe =
     """(?i)ALTER\s+TABLE\s+\S+\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$""".r
   private val RenameRe =
     """(?i)ALTER\s+TABLE\s+\S+\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val ModifyRe =
-    """(?i)ALTER\s+TABLE\s+\S+\s+(?:MODIFY\s+(?:COLUMN\s+)?|ALTER\s+(?:COLUMN\s+)?)(\w+)\s+(?:TYPE\s+)?([\w()\s,]+?)\s*;?\s*$""".r
+    """(?i)ALTER\s+TABLE\s+\S+\s+(?:MODIFY\s+(?:COLUMN\s+)?|ALTER\s+(?:COLUMN\s+)?)(\w+)\s+(?:TYPE\s+)?([\w()\s,]+?)(?:\s+(FIRST)|\s+AFTER\s+(\w+))?\s*;?\s*$""".r
 
-  /** Minimal DDL-string front door for the four event shapes (the ANTLR
+  private def position(first: String, afterCol: String): Option[ColumnPosition] =
+    if (first != null) Some(ColumnPosition.First)
+    else Option(afterCol).map(ColumnPosition.After)
+
+  /** Minimal DDL-string front door for the ALTER event shapes (the ANTLR
     * grammar's job in the reference; alter_table.go:12-235 is the part
     * re-expressed — the events, not the parser). Unrecognized statements
     * yield None so callers can dead-letter them. */
   def parse(ddl: String): Option[DdlEvent] = ddl.trim match {
-    case AddRe(name, typ, dflt) =>
-      // an unparsable type (e.g. "ADD PRIMARY KEY (id)" shapes that slip
-      // past the column regex) is not a column event — dead-letter it.
+    case AddPkRe(names) =>
+      val cols = names.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      if (cols.nonEmpty && cols.forall(_.matches("\\w+"))) Some(AddPrimaryKey(cols))
+      else None
+    case AddRe(name, typ, dflt, first, afterCol) =>
+      // an unparsable type is not a column event — dead-letter it.
       // DEFAULT NULL is SQL null, not the four-character string "NULL"
       // (which would be cast into every row, or throw under ANSI for
       // non-string types).
       scala.util.Try(DataType.fromDDL(typ.trim)).toOption.map(dt =>
         AddColumn(name, dt, Option(dflt).map(_.trim)
           .filterNot(_.equalsIgnoreCase("NULL"))
-          .map(_.stripPrefix("'").stripSuffix("'"))))
+          .map(_.stripPrefix("'").stripSuffix("'")),
+          position(first, afterCol)))
     case RenameRe(from, to) => Some(RenameColumn(from, to))
-    case ModifyRe(name, typ) =>
-      scala.util.Try(DataType.fromDDL(typ.trim)).toOption.map(ModifyColumn(name, _))
+    case ModifyRe(name, typ, first, afterCol) =>
+      scala.util.Try(DataType.fromDDL(typ.trim)).toOption
+        .map(ModifyColumn(name, _, position(first, afterCol)))
     case DropRe(name) => Some(DropColumn(name))
     case _ => None
   }
 
+  /** Insert index for a positioned column over the CURRENT field list. */
+  private def insertIndex(
+      names: Seq[String], pos: Option[ColumnPosition], atEnd: Int): Int = pos match {
+    case None => atEnd
+    case Some(ColumnPosition.First) => 0
+    case Some(ColumnPosition.After(c)) =>
+      val i = names.indexOf(c)
+      require(i >= 0, s"column $c not found")
+      i + 1
+  }
+
   /** Fold one event into a schema (alter_table.go's column-list mutation). */
   def evolve(schema: StructType, e: DdlEvent): StructType = e match {
-    case AddColumn(n, dt, _) =>
+    case AddColumn(n, dt, _, pos) =>
       require(!schema.fieldNames.contains(n), s"column $n already exists")
-      StructType(schema.fields :+ StructField(n, dt, nullable = true))
+      val idx = insertIndex(schema.fieldNames.toSeq, pos, schema.fields.length)
+      val (before, after) = schema.fields.splitAt(idx)
+      StructType((before :+ StructField(n, dt, nullable = true)) ++ after)
     case DropColumn(n) =>
       require(schema.fieldNames.contains(n), s"column $n not found")
       StructType(schema.fields.filterNot(_.name == n))
     case RenameColumn(from, to) =>
       require(schema.fieldNames.contains(from), s"column $from not found")
       StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
-    case ModifyColumn(n, dt) =>
+    case ModifyColumn(n, dt, pos) =>
       require(schema.fieldNames.contains(n), s"column $n not found")
-      StructType(schema.fields.map(f => if (f.name == n) f.copy(dataType = dt) else f))
+      val updated = schema.fields.map(f => if (f.name == n) f.copy(dataType = dt) else f)
+      pos match {
+        case None => StructType(updated)
+        case _ =>
+          // move the (re-typed) column: remove, then insert at the target
+          // slot computed over the REMAINING names — MySQL's AFTER refers
+          // to the layout without the moving column
+          val moving = updated.find(_.name == n).get
+          val rest = updated.filterNot(_.name == n)
+          val idx = insertIndex(rest.map(_.name).toSeq, pos, rest.length)
+          val (before, after) = rest.splitAt(idx)
+          StructType((before :+ moving) ++ after)
+      }
+    case AddPrimaryKey(cols) =>
+      cols.foreach(c => require(schema.fieldNames.contains(c), s"column $c not found"))
+      schema // key metadata only; the history tracks it per table
   }
 
   def evolveAll(schema: StructType, events: Seq[DdlEvent]): StructType =
@@ -121,18 +182,27 @@ object SchemaEvolution {
     * would overwrite data, letting the schema cache and the data disagree
     * about which events applied. */
   def applyEvent(df: DataFrame, e: DdlEvent): DataFrame = e match {
-    case AddColumn(n, dt, dflt) =>
+    case AddColumn(n, dt, dflt, pos) =>
       require(!df.columns.contains(n), s"column $n already exists")
-      df.withColumn(n, dflt.map(d => lit(d).cast(dt)).getOrElse(lit(null).cast(dt)))
+      val added = df.withColumn(n, dflt.map(d => lit(d).cast(dt)).getOrElse(lit(null).cast(dt)))
+      // positioned adds re-project into the evolved column order (still a
+      // narrow map-only projection); the evolved schema is the order oracle
+      if (pos.isEmpty) added
+      else added.select(evolve(df.schema, e).fieldNames.map(col).toSeq: _*)
     case DropColumn(n) =>
       require(df.columns.contains(n), s"column $n not found")
       df.drop(n)
     case RenameColumn(from, to) =>
       require(df.columns.contains(from), s"column $from not found")
       df.withColumnRenamed(from, to)
-    case ModifyColumn(n, dt) =>
+    case ModifyColumn(n, dt, pos) =>
       require(df.columns.contains(n), s"column $n not found")
-      df.withColumn(n, col(n).cast(dt))
+      val cast = df.withColumn(n, col(n).cast(dt))
+      if (pos.isEmpty) cast
+      else cast.select(evolve(df.schema, e).fieldNames.map(col).toSeq: _*)
+    case AddPrimaryKey(cols) =>
+      cols.foreach(c => require(df.columns.contains(c), s"column $c not found"))
+      df // key metadata only
   }
 
   def replay(df: DataFrame, events: Seq[DdlEvent]): DataFrame =
@@ -260,6 +330,11 @@ object SchemaEvolution {
         case DdlEvent.RenameColumn(from, to) =>
           st.primaryKeys.map(k => if (k == from) to else k)
         case DdlEvent.DropColumn(n) => st.primaryKeys.filterNot(_ == n)
+        case DdlEvent.AddPrimaryKey(cols) =>
+          // MySQL rejects a second primary key ("Multiple primary key
+          // defined") — the history enforces the same invariant
+          require(st.primaryKeys.isEmpty, s"table $t already has a primary key")
+          cols
         case _ => st.primaryKeys
       }
       h.updated(t, TableState(evolve(st.schema, ev), pks))

@@ -23,7 +23,10 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(SE.parse("ALTER TABLE t ALTER COLUMN c TYPE VARCHAR(10)") ===
       Some(ModifyColumn("c", VarcharType(10))))
     assert(SE.parse("TRUNCATE TABLE t") === None)
-    assert(SE.parse("ALTER TABLE t ADD PRIMARY KEY (id)") === None)
+    assert(SE.parse("ALTER TABLE t ADD PRIMARY KEY (id)") ===
+      Some(AddPrimaryKey(Seq("id"))))
+    assert(SE.parse("ALTER TABLE t ADD PRIMARY KEY (a, b)") ===
+      Some(AddPrimaryKey(Seq("a", "b"))))
     // DEFAULT NULL is SQL null, not the string "NULL" (which would be cast
     // into every row — or abort the replay under ANSI for numeric types)
     assert(SE.parse("ALTER TABLE t ADD COLUMN c BIGINT DEFAULT NULL") ===
@@ -66,6 +69,49 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SE.applyEvent(df, DropColumn("nope")))
     intercept[IllegalArgumentException](SE.applyEvent(df, RenameColumn("nope", "x")))
     intercept[IllegalArgumentException](SE.applyEvent(df, ModifyColumn("nope", LongType)))
+  }
+
+  test("FIRST/AFTER column positions parse and move schema + data together") {
+    import graft.cdc.ColumnPosition.{After, First}
+    assert(SE.parse("ALTER TABLE t ADD COLUMN c BIGINT FIRST") ===
+      Some(AddColumn("c", LongType, None, Some(First))))
+    assert(SE.parse("ALTER TABLE t ADD COLUMN c BIGINT DEFAULT '7' AFTER b") ===
+      Some(AddColumn("c", LongType, Some("7"), Some(After("b")))))
+    assert(SE.parse("ALTER TABLE t MODIFY COLUMN c DOUBLE AFTER a") ===
+      Some(ModifyColumn("c", DoubleType, Some(After("a")))))
+    val df = Seq((1L, "x", 2.5)).toDF("a", "b", "c")
+    val out = SE.replay(df, Seq(
+      AddColumn("z", LongType, Some("9"), Some(First)),
+      AddColumn("m", StringType, None, Some(After("a"))),
+      ModifyColumn("c", StringType, Some(After("z")))))
+    assert(out.columns.toSeq === Seq("z", "c", "a", "m", "b"))
+    assert(SE.evolveAll(df.schema, Seq(
+      AddColumn("z", LongType, Some("9"), Some(First)),
+      AddColumn("m", StringType, None, Some(After("a"))),
+      ModifyColumn("c", StringType, Some(After("z"))))).fieldNames.toSeq ===
+      out.columns.toSeq) // schema fold and data replay stay twins
+    val row = out.head()
+    assert(row.getLong(0) === 9L && row.getString(1) === "2.5")
+    intercept[IllegalArgumentException](
+      SE.evolve(df.schema, AddColumn("q", LongType, None, Some(After("nope")))))
+  }
+
+  test("ADD PRIMARY KEY tracks in the history, once, and leaves data alone") {
+    val h = SE.replayHistory(Seq(
+      "CREATE TABLE t (id BIGINT, v DOUBLE)",
+      "ALTER TABLE t ADD PRIMARY KEY (id, v)"))
+    assert(h("t").primaryKeys === Seq("id", "v"))
+    assert(h("t").schema.fieldNames.toSeq === Seq("id", "v"))
+    // second PK rejected (MySQL: "Multiple primary key defined")
+    intercept[IllegalArgumentException](
+      SE.applyTableEvent(h, AlterTable("t", AddPrimaryKey(Seq("v")))))
+    // unknown column rejected
+    val h2 = SE.replayHistory(Seq("CREATE TABLE u (a BIGINT)"))
+    intercept[IllegalArgumentException](
+      SE.applyTableEvent(h2, AlterTable("u", AddPrimaryKey(Seq("zz")))))
+    val df = Seq((1L, 2.5)).toDF("id", "v")
+    assert(SE.applyEvent(df, AddPrimaryKey(Seq("id"))).collect().toSeq ===
+      df.collect().toSeq)
   }
 
   test("parseStatement: CREATE TABLE with inline PK, table PK, defaults") {
