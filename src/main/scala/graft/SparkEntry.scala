@@ -44,17 +44,37 @@ object SparkEntry {
   private def annVerification(
       approx: DataFrame, exact: DataFrame, k: Int,
       recallMetric: String, recallBound: Double): DataFrame = {
-    val perQ = approx.groupBy("qid").agg(
-      count(lit(1)).as("n"), min(col("rank")).as("rmin"), max(col("rank")).as("rmax"))
-      .select(col("qid").as("query_id"), lit("candidates_ranked").as("metric"),
-        (col("n") <= k && col("rmin") === 1L && col("rmax") === col("n")).as("ok"))
-    val overall = approx.select("qid", "nid")
-      .join(exact.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
-      .agg(count(lit(1)).as("h"))
-      .crossJoin(broadcast(exact.agg(count(lit(1)).as("e"))))
-      .select(lit(-1L).as("query_id"), lit(recallMetric).as("metric"),
-        (col("h").cast("double") / col("e") >= recallBound).as("ok"))
-    perQ.unionByName(overall).orderBy("query_id", "metric")
+    // ONE pass: the expensive approx/exact subtrees each appear exactly
+    // once in the DAG (a full-outer join of the two tiny top-k results),
+    // and rollup produces the per-query rows AND the overall total in a
+    // single aggregation — the earlier union-of-branches shape re-executed
+    // the LSH/brute-force pipelines once per branch.
+    val a = approx.select(col("qid").as("aqid"), col("nid").as("anid"), col("rank").as("arank"))
+    val e = exact.select(col("qid").as("eqid"), col("nid").as("enid"))
+    val j = a.join(e, col("aqid") === col("eqid") && col("anid") === col("enid"), "full_outer")
+      .select(coalesce(col("aqid"), col("eqid")).as("query_id"),
+        col("arank"), col("aqid"), col("eqid"))
+    // rollup's total row carries a NULL grouping key; genuine query ids are
+    // never null (vec_ids), so the null marker IS the total-row detector
+    // functions.col, not the string overload: Dataset.rollup(String*)
+    // resolves through df.col, whose dataset-id tag trips
+    // DetectAmbiguousSelfJoin over the approx/exact self-join lineage
+    j.rollup(col("query_id"))
+      .agg(
+        count(col("arank")).as("n"),
+        min(col("arank")).as("rmin"),
+        max(col("arank")).as("rmax"),
+        count(when(col("aqid").isNotNull && col("eqid").isNotNull, lit(1))).as("hits"),
+        count(col("eqid")).as("e"))
+      .select(
+        coalesce(col("query_id"), lit(-1L)).as("query_id"),
+        when(col("query_id").isNotNull, lit("candidates_ranked"))
+          .otherwise(lit(recallMetric)).as("metric"),
+        when(col("query_id").isNotNull,
+          col("n") <= k && col("rmin") === 1L && col("rmax") === col("n"))
+          .otherwise(col("hits").cast("double") / col("e") >= recallBound)
+          .as("ok"))
+      .orderBy("query_id", "metric")
   }
 
   private def workDir(kind: String, sfDir: String): String = {

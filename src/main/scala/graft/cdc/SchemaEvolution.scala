@@ -212,8 +212,10 @@ object SchemaEvolution {
 
   private val CreateLikeRe =
     """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+LIKE\s+`?(\w+)`?\s*;?\s*$""".r
+  // trailing table options (ENGINE=InnoDB DEFAULT CHARSET=... etc.) are
+  // accepted and ignored — the near-universal real-binlog CREATE shape
   private val CreateRe =
-    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.+)\)\s*;?\s*$""".r
+    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.+)\)\s*([\w =]+?)?\s*;?\s*$""".r
   private val DropTableRe =
     """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)\s*;?\s*$""".r
   private val RenameTableRe =
@@ -226,15 +228,19 @@ object SchemaEvolution {
     """(?is)^`?(\w+)`?\s+(.+?)(\s+PRIMARY\s+KEY)?(?:\s+DEFAULT\s+(.+?))?(\s+PRIMARY\s+KEY)?\s*$""".r
 
   /** Split a CREATE TABLE body on top-level commas (parens nest: types like
-    * DECIMAL(12,2) and PRIMARY KEY (a, b) keep their commas). */
+    * DECIMAL(12,2) and PRIMARY KEY (a, b) keep their commas; single-quoted
+    * spans are opaque, so DEFAULT 'a,b' or DEFAULT '(' never split or
+    * unbalance). */
   private def splitTopLevel(body: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
+    var inQuote = false
     body.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case '(' if !inQuote => depth += 1; cur += '('
+      case ')' if !inQuote => depth -= 1; cur += ')'
+      case ',' if !inQuote && depth == 0 => out += cur.result().trim; cur.clear()
       case c => cur += c
     }
     val last = cur.result().trim
@@ -276,7 +282,7 @@ object SchemaEvolution {
     * dead-letter them. */
   def parseStatement(ddl: String): Seq[TableDdlEvent] = ddl.trim match {
     case CreateLikeRe(t, from) => Seq(TableDdlEvent.CopyTable(t, from))
-    case CreateRe(t, body) => parseCreateBody(t, body).toSeq
+    case CreateRe(t, body, _) => parseCreateBody(t, body).toSeq
     case RenameTableRe(pairs) =>
       val parsed = splitTopLevel(pairs).map {
         case RenamePairRe(from, to) => Some(TableDdlEvent.RenameTable(from, to))

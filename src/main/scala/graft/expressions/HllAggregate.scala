@@ -130,7 +130,12 @@ case class HllDistinct(
 object Hll {
   /** Approximate distinct count of any column: deterministic xxhash64 in
     * front of the register file, so the estimate is reproducible run to run
-    * and partitioning-invariant. */
+    * and partitioning-invariant. NULLs are excluded like count(DISTINCT x)
+    * excludes them — xxhash64 itself maps NULL to the seed (a real hash
+    * value), so the null gate must happen BEFORE hashing or every NULL
+    * would count as one extra distinct value. */
   def approxCountDistinct(c: Column, p: Int = 12): Column =
-    Sketch.column(HllDistinct(Sketch.expr(xxhash64(c)), p).toAggregateExpression())
+    Sketch.column(HllDistinct(
+      Sketch.expr(org.apache.spark.sql.functions.when(c.isNotNull, xxhash64(c))),
+      p).toAggregateExpression())
 }

@@ -29,6 +29,23 @@ class HllSpec extends AnyFunSuite {
     assert(one === many)
   }
 
+  test("NULLs are excluded like count(DISTINCT x)") {
+    // xxhash64(NULL) evaluates to the seed, so an unguarded hash would
+    // count NULL as one extra distinct value
+    val df = spark.range(100).select(
+      when(col("id") % 4 === 0, lit(null).cast("long")).otherwise(col("id")).as("v"))
+    val withNulls = df.agg(Hll.approxCountDistinct(col("v")).as("e")).head().getLong(0)
+    val withoutNulls = df.where(col("v").isNotNull)
+      .agg(Hll.approxCountDistinct(col("v")).as("e")).head().getLong(0)
+    // same distinct set -> identical registers -> identical estimate
+    // (linear counting rounds 75 -> 76; equality of the two paths is the
+    // claim, not equality to the exact count)
+    assert(withNulls === withoutNulls)
+    val allNull = spark.range(10).select(lit(null).cast("long").as("v"))
+      .agg(Hll.approxCountDistinct(col("v")).as("est")).head().getLong(0)
+    assert(allNull === 0L)
+  }
+
   test("duplicates do not move the estimate") {
     val dup = spark.range(10000).select((col("id") % 500).as("v"))
       .agg(Hll.approxCountDistinct(col("v")).as("e")).head().getLong(0)

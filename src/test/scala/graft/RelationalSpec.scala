@@ -22,6 +22,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("chunkedSingleScan assigns every (pk, chunk) exactly like chunked") {
+    // the single-scan variant carries the graded snapshot_scan query; pin
+    // its arithmetic to the union-of-range-scans twin so a div/width edit
+    // can only fail here, not at the driver gate
+    val li = Tables.lineitem(spark, Sf)
+    val bounds = SnapshotScan.pkBounds(li, "l_orderkey")
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_linenumber", "chunk_id")
+    val union = assignments(SnapshotScan.chunked(li, "l_orderkey", bounds, 8))
+    val single = assignments(SnapshotScan.chunkedSingleScan(li, "l_orderkey", bounds, 8))
+    assert(single.count() === li.count())
+    assert(union.exceptAll(single).isEmpty && single.exceptAll(union).isEmpty)
+  }
+
   test("quantile chunking balances skewed keyspaces") {
     import spark.implicits._
     // skewed PK space: 90% of keys in [0,100), the rest sparse up to 1e6

@@ -135,6 +135,15 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(SE.parseStatement("CREATE TABLE x (a BIGINT, PRIMARY KEY (zz))") === Nil)
     // no columns = rejected
     assert(SE.parseStatement("CREATE TABLE x ()") === Nil)
+    // quoted commas/parens stay inside their default value (quote-aware
+    // top-level split), and trailing table options are accepted and ignored
+    assert(SE.parseStatement("CREATE TABLE q (s STRING DEFAULT 'a,b', t STRING DEFAULT '(x')") ===
+      Seq(CreateTable("q", Seq(
+        ColumnSpec("s", StringType, Some("a,b")),
+        ColumnSpec("t", StringType, Some("(x"))))))
+    assert(SE.parseStatement(
+      "CREATE TABLE e (a BIGINT) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4") ===
+      Seq(CreateTable("e", Seq(ColumnSpec("a", LongType, None)))))
   }
 
   test("parseStatement: CREATE LIKE, multi-DROP, multi-RENAME, ALTER routing") {
