@@ -394,6 +394,27 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "agg_quantile_hist" -> { (s, dir) =>
+      // Mergeable fixed-width histogram quantiles — the bounded-state scale
+      // path next to agg_stats' exact percentiles (which buffer every group
+      // value on one node). Histogram = ONE keyed agg over |keys|x|buckets|
+      // rows; the oracle replays the whole construction (bucket arithmetic,
+      // cumulative walk, rank pick) rather than trusting a claim, and the
+      // exact rank-r order statistic rides along to pin the structural
+      // `est - width <= exact <= est` guarantee (inclusive both ends: a
+      // value exactly on a bucket edge sits at est - width).
+      import graft.operators.QuantileHist
+      val li = Tables.lineitem(s, dir)
+      val keys = Seq("l_returnflag")
+      val qs = Seq("0.25", "0.50", "0.75", "0.95")
+      val est = QuantileHist.estimate(li, keys, "l_extendedprice", 512.0, qs)
+      val exact = QuantileHist.exactRankValue(li, keys, "l_extendedprice", qs)
+      est.join(exact, keys :+ "q")
+        .select(col("l_returnflag"), col("q"), col("est"), col("exact_v"),
+          (col("exact_v") >= col("est") - lit(512.0) && col("exact_v") <= col("est")).as("ok"))
+        .orderBy("l_returnflag", "q")
+    },
+
     "window_topn" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, dir)
@@ -909,6 +930,32 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     },
 
+    "decontaminate" -> { (s, dir) =>
+      // Benchmark decontamination: flag corpus docs sharing word 8-grams
+      // with an eval set (docs with doc_id % 41 == 0). Contamination is
+      // PLANTED inside the query (1 in 25 corpus docs gets the first 12
+      // tokens of a bench doc appended), reproduced identically by the
+      // oracle, so the hit rows are non-vacuous at any SF; natural 8-gram
+      // overlaps (the generator's near-dup pairs) surface identically on
+      // both sides. Bench side broadcast; corpus side map-only explode.
+      import graft.operators.Decontaminate
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"), col("text").as("bench_text"))
+      val planted = docs.where(col("doc_id") % 41 =!= 0)
+        // plant key % 7 is coprime with the % 25 gate, so planted docs
+        // spread across seven distinct bench targets instead of two
+        .join(broadcast(bench), col("bench_id") === lit(41) * (col("doc_id") % 7), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 25 === 3 && col("bench_id").isNotNull,
+            concat(col("text"), lit(" "),
+              concat_ws(" ", slice(split(col("bench_text"), " "), 1, 12))))
+            .otherwise(col("text")).as("text"))
+      Decontaminate.overlapPairs(planted, bench,
+        "doc_id", "text", "bench_id", "bench_text", n = 8, minHits = 3L)
+        .orderBy("doc_id", "bench_id")
+    },
+
     // ---- ANN (#26-27) ----
 
     "ann_topk" -> { (s, dir) =>
@@ -1378,6 +1425,39 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "agg_quantile_hist" ->
+      """WITH nq AS (
+        |  SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1
+        |), tgt AS (
+        |  SELECT l_returnflag, q, CAST(CEIL(q * n) AS BIGINT) AS r
+        |  FROM nq CROSS JOIN (SELECT UNNEST([CAST('0.25' AS DECIMAL(3,2)),
+        |    CAST('0.50' AS DECIMAL(3,2)), CAST('0.75' AS DECIMAL(3,2)),
+        |    CAST('0.95' AS DECIMAL(3,2))]) AS q) qs
+        |), hist AS (
+        |  SELECT l_returnflag, CAST(FLOOR(l_extendedprice / 512.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, bucket,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum
+        |  FROM hist
+        |), est AS (
+        |  SELECT t.l_returnflag, t.q, (MIN(c.bucket) + 1) * 512.0 AS est
+        |  FROM tgt t JOIN cum c ON c.l_returnflag = t.l_returnflag AND c.cum >= t.r
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem
+        |), ex AS (
+        |  SELECT t.l_returnflag, t.q, r.v AS exact_v
+        |  FROM tgt t JOIN ranked r ON r.l_returnflag = t.l_returnflag AND r.rn = t.r
+        |)
+        |SELECT e.l_returnflag, CAST(e.q AS DOUBLE) AS q, e.est, x.exact_v,
+        |  (x.exact_v >= e.est - 512.0 AND x.exact_v <= e.est) AS ok
+        |FROM est e JOIN ex x ON x.l_returnflag = e.l_returnflag AND x.q = e.q
+        |ORDER BY 1, 2""".stripMargin,
+
     "window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1742,6 +1822,31 @@ object SparkEntry {
         |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "decontaminate" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id, text AS bench_text FROM documents WHERE doc_id % 41 = 0
+        |), corp AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN c.doc_id % 25 = 3 AND b.bench_id IS NOT NULL
+        |      THEN c.text || ' ' ||
+        |        array_to_string(list_slice(string_split(b.bench_text, ' '), 1, 12), ' ')
+        |      ELSE c.text END AS text
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0) c
+        |  LEFT JOIN bench b ON b.bench_id = 41 * (c.doc_id % 7)
+        |), csh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS sh
+        |  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 7)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp))
+        |), bsh AS (
+        |  SELECT DISTINCT bench_id, array_to_string(list_slice(t, i, i + 7), ' ') AS sh
+        |  FROM (SELECT bench_id, t, UNNEST(generate_series(1, len(t) - 7)) AS i
+        |        FROM (SELECT bench_id, string_split(bench_text, ' ') AS t FROM bench))
+        |)
+        |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_hits
+        |FROM csh c JOIN bsh b ON b.sh = c.sh
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
