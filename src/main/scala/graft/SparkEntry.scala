@@ -930,6 +930,29 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     },
 
+    "dedup_incremental" -> { (s, dir) =>
+      // Incremental dedup of an incoming batch (odd doc_ids) against an
+      // existing corpus (even doc_ids): Bloom prefilter broadcast map-side,
+      // exact anti-join only over the maybe-hits. Duplicates are PLANTED
+      // (1 in 10 incoming docs takes its even neighbor's text) so the
+      // filter has real positives to catch; the oracle is the PLAIN
+      // anti-join — no false negatives means the two are row-identical.
+      import graft.operators.IncrementalDedup
+      val docs = Tables.documents(s, dir)
+      val corpusRaw = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .join(corpusRaw.select(col("doc_id").as("nb_id"), col("text").as("nb_text")),
+          col("nb_id") === col("doc_id") - 1, "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5 && col("nb_id").isNotNull, col("nb_text"))
+            .otherwise(col("text")).as("text"))
+      val corpus = corpusRaw.select(Tf.fingerprintHex(col("text")).as("fp"))
+      val incoming = planted.select(col("doc_id"), Tf.fingerprintHex(col("text")).as("fp"))
+      IncrementalDedup.newRows(incoming, corpus, "fp",
+        numBits = 1 << 16, numHashes = 6)
+        .orderBy("doc_id")
+    },
+
     "decontaminate" -> { (s, dir) =>
       // Benchmark decontamination: flag corpus docs sharing word 8-grams
       // with an eval set (docs with doc_id % 41 == 0). Contamination is
@@ -1822,6 +1845,25 @@ object SparkEntry {
         |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), planted AS (
+        |  SELECT i.doc_id,
+        |    CASE WHEN i.doc_id % 10 = 5 AND c.doc_id IS NOT NULL THEN c.text
+        |         ELSE i.text END AS text
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) i
+        |  LEFT JOIN (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) c
+        |    ON c.doc_id = i.doc_id - 1
+        |), inc AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM planted
+        |)
+        |SELECT doc_id, fp FROM inc
+        |WHERE fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       """WITH bench AS (

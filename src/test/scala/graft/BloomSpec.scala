@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions.Bloom
+import graft.operators.IncrementalDedup
+
+class BloomSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("no false negatives: every inserted value tests positive") {
+    val vals = (1 to 2000).map(i => s"key_$i")
+    val df = vals.toDF("k")
+    val filter = df.agg(Bloom.aggregate(col("k"), 1 << 16, 6).as("b"))
+    val missed = df.crossJoin(filter)
+      .where(!Bloom.mightContain(col("b"), col("k")))
+      .count()
+    assert(missed === 0L)
+  }
+
+  test("false-positive rate is near the analytic (1 - e^{-kn/m})^k") {
+    val n = 2000
+    val corpus = (1 to n).map(i => s"in_$i").toDF("k")
+    val probes = (1 to 4000).map(i => s"out_$i").toDF("k")
+    val m = 1 << 15
+    val k = 6
+    val fp = IncrementalDedup.maybeFraction(probes, corpus, "k", m, k)
+    val analytic = math.pow(1 - math.exp(-k.toDouble * n / m), k)
+    assert(fp <= analytic * 3 + 0.01, s"fp=$fp analytic=$analytic")
+  }
+
+  test("filter bytes are partitioning-invariant (OR-merge)") {
+    val df = (1 to 500).map(i => s"v_$i").toDF("k")
+    val a = df.agg(Bloom.aggregate(col("k"), 1 << 12, 4)).head().getAs[Array[Byte]](0)
+    val b = df.repartition(7).agg(Bloom.aggregate(col("k"), 1 << 12, 4))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("nulls are skipped, not inserted") {
+    val df = Seq(Some("x"), None, None).toDF("k")
+    val empty = Seq.empty[Option[String]].toDF("k")
+    val withNulls = df.where(col("k").isNull)
+      .agg(Bloom.aggregate(col("k"), 1 << 10, 4)).head().getAs[Array[Byte]](0)
+    val fromEmpty = empty.agg(Bloom.aggregate(col("k"), 1 << 10, 4))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(withNulls, fromEmpty))
+  }
+
+  test("incremental dedup equals the plain anti-join, including FP resolution") {
+    // tiny filter (256 bits) over 300 corpus keys -> saturated filter,
+    // many false positives; the exact resolve must still produce the
+    // anti-join's rows exactly
+    val corpus = (1 to 300).map(i => s"c_$i").toDF("fp")
+    val incoming = ((1 to 50).map(i => (i.toLong, s"c_$i")) ++
+      (51 to 120).map(i => (i.toLong, s"new_$i"))).toDF("id", "fp")
+    val got = IncrementalDedup.newRows(incoming, corpus, "fp", numBits = 256, numHashes = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = incoming.join(corpus, Seq("fp"), "left_anti")
+      .select("id", "fp").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === want)
+    assert(got.length === 70)
+  }
+}
