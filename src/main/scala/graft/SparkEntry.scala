@@ -1067,6 +1067,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_pii" -> { (s, dir) =>
+      // PII scrub gate: emails / dotted-quad IPs / card-like digit runs →
+      // placeholders, counted pre-scrub. PII is PLANTED (1 in 3 docs gets
+      // an email+IP tail, 1 in 3 a card tail) so the redactor has real
+      // targets at any SF; patterns are Java-regex/RE2 shared syntax and
+      // the oracle replays the scrub verbatim (md5 of the redacted text is
+      // hash-compared). Map-only, no shuffle.
+      val planted =
+        when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".3.7 today")))
+          .when(col("doc_id") % 3 === 2,
+            concat(col("text"), lit(" card 4111111111111111 expires soon")))
+          .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("ptext", planted)
+        .select(
+          col("doc_id"),
+          regexp_count(col("ptext"), lit(Tf.EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("ptext"), lit(Tf.Ipv4Re)).cast("long").as("n_ip"),
+          regexp_count(col("ptext"), lit(Tf.CardRe)).cast("long").as("n_card"),
+          md5(Tf.redactPii(col("ptext"))).as("red_md5"),
+          length(Tf.redactPii(col("ptext"))).cast("long").as("red_len"))
+        .orderBy("doc_id")
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       import graft.expressions.{ShingleHashes, Sketch}
       Tables.documents(s, dir).select(
@@ -1947,6 +1974,29 @@ object SparkEntry {
         |       WHEN hs >= hd AND hs > 0 THEN 'es'
         |       WHEN hd > 0 THEN 'de' ELSE 'und' END AS lang_pred
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.3.7 today'
+        |         WHEN doc_id % 3 = 2 THEN text || ' card 4111111111111111 expires soon'
+        |         ELSE text END AS ptext
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, ptext,
+        |    regexp_replace(regexp_replace(regexp_replace(ptext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{13,16}\b', '<CARD>', 'g') AS red
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(ptext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(ptext, '\b\d{13,16}\b')) AS BIGINT) AS n_card,
+        |  md5(red) AS red_md5, CAST(length(red) AS BIGINT) AS red_len
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,

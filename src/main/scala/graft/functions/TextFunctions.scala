@@ -138,6 +138,27 @@ object TextFunctions {
       .when(hitsDe > 0, lit("de"))
       .otherwise(lit("und"))
 
+  // ---- PII scrubbing -------------------------------------------------
+  // Patterns restricted to syntax shared by Java regex (Spark) and RE2
+  // (DuckDB): character classes, bounded repetition, ASCII \b. Syntactic
+  // matchers by design — an "IP" like 999.1.2.3 is still scrubbed; a PII
+  // gate errs toward redacting.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val CardRe = "\\b\\d{13,16}\\b"
+
+  /** Scrub emails, dotted-quad IPs, and 13-16-digit card-like runs, in that
+    * order (email first: its domain would otherwise feed the IP pattern).
+    * Placeholders contain no digits or '@', so the scrub is idempotent.
+    * Map-only — three codegen'd regexp_replace passes, no shuffle. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(CardRe), lit("<CARD>"))
+
   /** Longest run of consecutive EQUAL elements in a string array (1 for a
     * non-empty array with no repeats, 0 for an empty array). Over a SORTED
     * array this is the maximum element multiplicity — which turns "count
