@@ -1067,6 +1067,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "sketch_heavy_hitters" -> { (s, dir) =>
+      // Count-min heavy hitters: token frequencies in FIXED depth x width
+      // memory (vs an exact groupBy's one partial-agg entry per distinct
+      // token — billions at web scale). The md5-derived Kirsch-Mitzenmacher
+      // indexing is plain SQL, so the oracle replays the ENTIRE sketch and
+      // the estimates themselves are hash-compared; est >= exact is the
+      // structural one-sided error, surfaced as `ok`.
+      import graft.expressions.CountMin
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("t"))
+        .where(length(col("t")) >= 2)
+      val sk = toks.agg(CountMin.sketch(col("t"), depth = 4, width = 8192).as("sk"))
+      val top = toks.groupBy("t").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("t")).limit(20)
+      top.crossJoin(broadcast(sk))
+        .select(col("t"), col("exact_n"),
+          CountMin.estimate(col("sk"), col("t")).as("est"))
+        .withColumn("ok", col("est") >= col("exact_n"))
+        .orderBy(col("exact_n").desc, col("t"))
+    },
+
     "text_pii" -> { (s, dir) =>
       // PII scrub gate: emails / dotted-quad IPs / card-like digit runs →
       // placeholders, counted pre-scrub. PII is PLANTED (1 in 3 docs gets
@@ -1974,6 +1995,35 @@ object SparkEntry {
         |       WHEN hs >= hd AND hs > 0 THEN 'es'
         |       WHEN hd > 0 THEN 'de' ELSE 'und' END AS lang_pred
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "sketch_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT t FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |                 FROM documents)
+        |  WHERE length(t) >= 2
+        |), hh AS (
+        |  SELECT DISTINCT t,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h1,
+        |    ('0x' || substr(md5(t), 17, 15))::BIGINT * 2 + 1 AS h2
+        |  FROM toks
+        |), cells AS (
+        |  SELECT j, (h.h1 + j * h.h2) % 8192 AS i, SUM(cnt) AS c
+        |  FROM (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1) tc
+        |  JOIN hh h USING (t)
+        |  CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(j)
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT t, COUNT(*) AS exact_n FROM toks GROUP BY t
+        |  ORDER BY exact_n DESC, t LIMIT 20
+        |), est AS (
+        |  SELECT top.t, top.exact_n, CAST(MIN(c.c) AS BIGINT) AS est
+        |  FROM top JOIN hh USING (t)
+        |  CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(j)
+        |  JOIN cells c ON c.j = u.j AND c.i = (hh.h1 + u.j * hh.h2) % 8192
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t, exact_n, est, est >= exact_n AS ok FROM est
+        |ORDER BY exact_n DESC, t""".stripMargin,
 
     "text_pii" ->
       """WITH p AS (

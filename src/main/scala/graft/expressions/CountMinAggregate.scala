@@ -1,0 +1,147 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-min sketch: approximate per-item frequencies in FIXED
+  * depth x width memory — the heavy-hitters shape for a heavy-tailed token
+  * vocabulary where an exact `groupBy(token).count()` keeps one partial-agg
+  * entry per distinct token (web-scale corpora have billions).
+  *
+  * Each row adds 1 to one counter per sketch row; `estimate` reads the MIN
+  * across rows (collisions only inflate, so est >= exact always, and
+  * est <= exact + eps*N with eps ~ e/width at confidence 1 - e^-depth).
+  * Merge is element-wise ADD — associative, commutative, partitioning-
+  * invariant, exactly like the HLL register max and the Bloom OR.
+  *
+  * Bit derivation is Kirsch-Mitzenmacher over the item's md5:
+  * h1 = hex[1..15], h2 = hex[17..31]*2+1 (odd), idx_j = (h1 + j*h2) % width
+  * — all of it plain SQL, so the DuckDB oracle REPLAYS the whole sketch and
+  * the driver hash-compares the estimates themselves rather than trusting a
+  * claim. (Both halves are 60-bit non-negative; j < depth <= 15 keeps
+  * h1 + j*h2 < 2^64 with no overflow on either engine.)
+  */
+object CountMin {
+  /** (h1, h2) from the md5 hex of the item — the SQL-replayable pair. */
+  def hashPair(item: String): (Long, Long) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(item.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16) * 2 + 1
+    (h1, h2)
+  }
+
+  def sketch(c: Column, depth: Int, width: Int): Column =
+    Sketch.column(CountMinBuild(Sketch.expr(c), depth, width).toAggregateExpression())
+
+  def estimate(sketchBytes: Column, c: Column): Column =
+    Sketch.column(CountMinQuery(Sketch.expr(sketchBytes), Sketch.expr(c)))
+}
+
+final class CountMinBuffer(val depth: Int, val width: Int) {
+  val counters: Array[Long] = new Array[Long](depth * width)
+
+  def add(item: String): Unit = {
+    val (h1, h2) = CountMin.hashPair(item)
+    var j = 0
+    while (j < depth) {
+      counters(j * width + ((h1 + j.toLong * h2) % width).toInt) += 1L
+      j += 1
+    }
+  }
+
+  def merge(other: CountMinBuffer): Unit = {
+    var i = 0
+    while (i < counters.length) {
+      counters(i) += other.counters(i)
+      i += 1
+    }
+  }
+}
+
+/** `count_min(item, depth, width)` → serialized counters (BinaryType). */
+case class CountMinBuild(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CountMinBuffer] {
+
+  require(depth >= 1 && depth <= 15, s"depth $depth outside [1, 15]")
+  require(width >= 16, s"width $width < 16")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): CountMinBuffer = new CountMinBuffer(depth, width)
+
+  override def update(buffer: CountMinBuffer, input: InternalRow): CountMinBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: CountMinBuffer, other: CountMinBuffer): CountMinBuffer = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: CountMinBuffer): Any = serialize(buffer)
+
+  override def serialize(buffer: CountMinBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buffer.counters.length * 8)
+    bb.putInt(buffer.depth).putInt(buffer.width)
+    buffer.counters.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CountMinBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new CountMinBuffer(bb.getInt, bb.getInt)
+    var i = 0
+    while (i < buf.counters.length) { buf.counters(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinBuild =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinBuild =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinBuild =
+    copy(child = newChildren(0))
+  override def prettyName: String = "count_min"
+}
+
+/** `count_min_estimate(sketchBytes, item)` — min counter across rows. */
+case class CountMinQuery(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(sketch: Any, item: Any): Any = {
+    val bb = java.nio.ByteBuffer.wrap(sketch.asInstanceOf[Array[Byte]])
+    val depth = bb.getInt
+    val width = bb.getInt
+    val (h1, h2) = CountMin.hashPair(item.asInstanceOf[UTF8String].toString)
+    var best = Long.MaxValue
+    var j = 0
+    while (j < depth) {
+      val c = bb.getLong(8 + (j * width + ((h1 + j.toLong * h2) % width).toInt) * 8)
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinQuery =
+    copy(left = l, right = r)
+  override def prettyName: String = "count_min_estimate"
+}
