@@ -31,9 +31,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     // brute-force exact top-k inside the query, plus a one-row denominator
     // broadcast) and text_tfidf (a ONE-ROW corpus-count broadcast attached
     // to every term — O(n) map-side, the cheapest way to ship a scalar).
+    // dedup_incremental and sketch_heavy_hitters broadcast a ONE-ROW
+    // aggregate (the Bloom filter / count-min sketch bytes) the same way:
+    // the single-row side makes the nested loop O(n) map-side probes.
     // Everything else must be keyed joins. CartesianProduct is banned
     // everywhere.
-    val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf")
+    val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
+      "dedup_incremental", "sketch_heavy_hitters")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
