@@ -672,6 +672,34 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "convert_timetz" -> { (s, dir) =>
+      // PG TIME WITH TIME ZONE wire strings across the reference's three
+      // accepted layouts (plain / .ms / .us, offset +-HH), with planted
+      // invalid lanes: hour 25 (shape-valid, range-invalid) and a missing
+      // offset (shape-invalid) — both must dead-letter to NULL exactly as
+      // ParseExact's error return does
+      val hh = when(col("event_id") % 97 === 0, lit("25"))
+        .otherwise(lpad((col("user_id") % 24).cast("string"), 2, "0"))
+      val fracPart =
+        when(col("event_id") % 3 === 1,
+          concat(lit("."), lpad((col("event_id") % 1000).cast("string"), 3, "0")))
+          .when(col("event_id") % 3 === 2,
+            concat(lit("."), lpad((col("user_id") % 1000000).cast("string"), 6, "0")))
+          .otherwise(lit(""))
+      val off = when(col("event_id") % 89 === 0, lit(""))
+        .otherwise(concat(
+          when(col("event_id") % 2 === 0, lit("+")).otherwise(lit("-")),
+          lpad((col("event_id") % 12).cast("string"), 2, "0")))
+      val ttz = concat(hh, lit(":"),
+        lpad((col("event_id") % 60).cast("string"), 2, "0"), lit(":"),
+        lpad(((col("user_id") + col("event_id")) % 60).cast("string"), 2, "0"),
+        fracPart, off)
+      Tables.events(s, dir)
+        .select(col("event_id"), ttz.as("ttz"))
+        .withColumn("ttz_utc", Cv.timeTzUtcString(col("ttz")))
+        .orderBy("event_id")
+    },
+
     "convert_uuid_bits" -> { (s, dir) =>
       // bit varying wire strings (bit_varying.go:27-60): the row's key in
       // binary, with planted invalid-char and over-length lanes that must
@@ -1706,6 +1734,45 @@ object SparkEntry {
         |  CAST(regexp_extract(hs, '"score"=>"([^"]*)"', 1) AS DOUBLE) AS hs_score,
         |  CAST(NULL AS VARCHAR) AS hs_missing
         |FROM p ORDER BY event_id""".stripMargin,
+
+    "convert_timetz" ->
+      """WITH t AS (SELECT event_id,
+        |    (CASE WHEN event_id % 97 = 0 THEN '25'
+        |          ELSE lpad(CAST(user_id % 24 AS VARCHAR), 2, '0') END)
+        |    || ':' || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST((user_id + event_id) % 60 AS VARCHAR), 2, '0')
+        |    || (CASE WHEN event_id % 3 = 1 THEN '.' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+        |             WHEN event_id % 3 = 2 THEN '.' || lpad(CAST(user_id % 1000000 AS VARCHAR), 6, '0')
+        |             ELSE '' END)
+        |    || (CASE WHEN event_id % 89 = 0 THEN ''
+        |             ELSE (CASE WHEN event_id % 2 = 0 THEN '+' ELSE '-' END)
+        |               || lpad(CAST(event_id % 12 AS VARCHAR), 2, '0') END) AS ttz
+        |  FROM events),
+        |p AS (SELECT event_id, ttz,
+        |    regexp_matches(ttz, '^\d{2}:\d{2}:\d{2}(\.\d{3}|\.\d{6})?[+-]\d{2}$') AS shp,
+        |    CAST(substr(ttz, 1, 2) AS INT) AS h,
+        |    CAST(substr(ttz, 4, 2) AS INT) AS mi,
+        |    CAST(substr(ttz, 7, 2) AS INT) AS se,
+        |    regexp_extract(ttz, '\.(\d+)', 1) AS fr,
+        |    CASE WHEN regexp_extract(ttz, '([+-])\d{2}$', 1) = '+' THEN 1 ELSE -1 END AS sgn,
+        |    CASE WHEN regexp_extract(ttz, '[+-](\d{2})$', 1) = '' THEN NULL
+        |         ELSE CAST(regexp_extract(ttz, '[+-](\d{2})$', 1) AS INT) END AS oh
+        |  FROM t),
+        |q AS (SELECT event_id, ttz,
+        |    shp AND h <= 23 AND mi <= 59 AND se <= 59 AND oh <= 23 AS valid,
+        |    (((h*3600 + mi*60 + se - sgn*oh*3600) % 86400) + 86400) % 86400 AS utc_sec,
+        |    CASE WHEN fr = '' THEN 0
+        |         WHEN length(fr) = 3 THEN CAST(fr AS INT) * 1000
+        |         ELSE CAST(fr AS INT) END AS frus
+        |  FROM p)
+        |SELECT event_id, ttz,
+        |  CASE WHEN valid THEN
+        |    lpad(CAST(utc_sec // 3600 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST((utc_sec % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(utc_sec % 60 AS VARCHAR), 2, '0') || '.' ||
+        |    lpad(CAST(frus AS VARCHAR), 6, '0') || 'Z'
+        |  END AS ttz_utc
+        |FROM q ORDER BY event_id""".stripMargin,
 
     "convert_uuid_bits" ->
       """WITH b AS (SELECT c_custkey,

@@ -170,6 +170,42 @@ object Converters {
     when(present, regexp_extract(c, "\"" + quoted + "\"=>\"([^\"]*)\"", 1))
   }
 
+  /** PG TIME WITH TIME ZONE → GMT-normalized "HH:mm:ss.ffffffZ" string
+    * (sources/postgres/adapter/converters.go:13-44 TimeWithTimezoneConverter
+    * + lib/timeutil/exact.go:8-18 ParseExact). The reference accepts exactly
+    * three layouts — plain / .ms / .us seconds, offset ±HH — by parsing and
+    * requiring the value to round-trip; re-expressed here as a strict shape
+    * gate (anchored regex + field range checks — equivalent acceptance for
+    * all-numeric layouts) feeding pure integer arithmetic. No engine
+    * timestamp functions anywhere, so the oracle replays the conversion
+    * bit-identically; the clock wraps modulo 24h exactly like Go's
+    * time-only parse. Invalid inputs dead-letter to NULL. */
+  def timeTzUtcString(c: Column): Column = {
+    val shape = "^\\d{2}:\\d{2}:\\d{2}(\\.\\d{3}|\\.\\d{6})?[+-]\\d{2}$"
+    // empty-safe int: ANSI mode throws on cast(""), and Spark's AND does
+    // not short-circuit inside codegen, so every cast must be null-gated
+    def num(s: Column): Column =
+      when(s === "", lit(null)).otherwise(s).cast("int")
+    val h = num(substring(c, 1, 2))
+    val mi = num(substring(c, 4, 2))
+    val se = num(substring(c, 7, 2))
+    val frac = regexp_extract(c, "\\.(\\d+)", 1)
+    val sign = when(regexp_extract(c, "([+-])\\d{2}$", 1) === "+", lit(1)).otherwise(lit(-1))
+    val oh = num(regexp_extract(c, "[+-](\\d{2})$", 1))
+    val fracUs = when(frac === "", lit(0L))
+      .when(length(frac) === 3, num(frac).cast("long") * 1000L)
+      .otherwise(num(frac).cast("long"))
+    val valid = c.rlike(shape) &&
+      h <= 23 && mi <= 59 && se <= 59 && oh <= 23
+    val utcSec = pmod(h * 3600 + mi * 60 + se - sign * oh * lit(3600), lit(86400))
+    when(valid,
+      concat(
+        lpad(floor(utcSec / 3600).cast("string"), 2, "0"), lit(":"),
+        lpad(floor(pmod(utcSec, lit(3600)) / 60).cast("string"), 2, "0"), lit(":"),
+        lpad(pmod(utcSec, lit(60)).cast("string"), 2, "0"), lit("."),
+        lpad(fracUs.cast("string"), 6, "0"), lit("Z")))
+  }
+
   // ---- json (reference: lib/debezium/converters/json.go) ----
 
   /** Extract a JSON field as string (JSONB passthrough analogue). */

@@ -114,4 +114,25 @@ class ConvertersSpec extends AnyFunSuite {
       .select(Cv.bitVaryingHex(col("b"), 32).as("h")).collect()
     assert(invalid.forall(_.isNullAt(0))) // error lane
   }
+
+  test("timetz: three layouts normalize to GMT, wrap midnight, reject bad inputs") {
+    // expectations mirror Go: parse the offset clock time, convert to UTC,
+    // format 15:04:05.000000Z (sources/postgres/adapter/converters.go:23-44)
+    val cases = Seq(
+      "15:04:05-07" -> "22:04:05.000000Z", // negative offset adds
+      "15:04:05.123-07" -> "22:04:05.123000Z", // ms layout
+      "15:04:05.123456+05" -> "10:04:05.123456Z", // us layout
+      "01:30:00+05" -> "20:30:00.000000Z", // wraps below midnight
+      "23:30:00-01" -> "00:30:00.000000Z", // wraps above midnight
+      "00:00:00+00" -> "00:00:00.000000Z",
+      "25:04:05-07" -> null, // hour out of range (shape-valid)
+      "15:04:05.12-07" -> null, // 2-digit fraction: not an accepted layout
+      "15:04:05" -> null, // missing offset
+      "15:04:05-0730" -> null, // minute offsets not in the layout set
+      "garbage" -> null)
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), Cv.timeTzUtcString(col("t")).as("u")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, s"input=$in") }
+  }
 }
