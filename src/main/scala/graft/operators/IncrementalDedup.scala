@@ -32,16 +32,24 @@ object IncrementalDedup {
   def newRows(incoming: DataFrame, corpus: DataFrame, fpCol: String,
       numBits: Int = 1 << 20, numHashes: Int = 6): DataFrame = {
     val filter = corpus.agg(Bloom.aggregate(col(fpCol), numBits, numHashes).as("__bloom"))
+    // persist the probed frame: the two sinks below (pass-through and exact
+    // resolve) would otherwise each re-run the incoming scan and the filter
+    // probe — the same union-re-executes-the-pipeline trap the ANN
+    // verification rows hit. CacheScope releases the blocks after the
+    // consuming action.
     val probed = incoming
       .crossJoin(broadcast(filter))
       .withColumn("__maybe", Bloom.mightContain(col("__bloom"), col(fpCol)))
-    val definitelyNew = probed.where(!col("__maybe")).drop("__bloom", "__maybe")
+      .drop("__bloom")
+      .persist()
+    val definitelyNew = probed.where(!col("__maybe")).drop("__maybe")
     // only the maybe-hits reach the exact resolve — the whole point
-    val maybes = probed.where(col("__maybe")).drop("__bloom", "__maybe")
+    val maybes = probed.where(col("__maybe")).drop("__maybe")
     val confirmedNew = maybes.join(
       corpus.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     // restore incoming's column order (the resolve join moved fpCol first)
-    definitelyNew.unionByName(confirmedNew.select(incoming.columns.map(col): _*))
+    val out = definitelyNew.unionByName(confirmedNew.select(incoming.columns.map(col): _*))
+    CacheScope.unpersistAfterUse(out, probed)
   }
 
   /** Diagnostic: the maybe-hit fraction, for FP-rate assertions in specs. */
