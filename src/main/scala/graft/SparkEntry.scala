@@ -1188,6 +1188,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "sample_reservoir" -> { (s, dir) =>
+      // deterministic k-per-stratum uniform sample: hash-ranked, so the
+      // same rows are sampled under any partitioning/backfill (a running
+      // reservoir depends on encounter order). WindowGroupLimit keeps the
+      // per-task top-k before the exchange.
+      import graft.operators.Sampling
+      Sampling.reservoirPerKey(Tables.documents(s, dir),
+        Seq("source"), "doc_id", k = 10, salt = "rsv1")
+        .select(col("source"), col("rk"), col("doc_id"), col("h"))
+        .orderBy("source", "rk")
+    },
+
     "text_repetition" -> { (s, dir) =>
       // Gopher-style repetition filters, entirely map-only: the most
       // frequent bigram's share (max multiplicity — no explode/groupBy
@@ -2139,6 +2151,14 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score FROM sc WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin,
+
+    "sample_reservoir" ->
+      """SELECT source, rk, doc_id, h FROM (
+        |  SELECT source, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+        |  FROM (SELECT source, doc_id,
+        |          md5(CAST(doc_id AS VARCHAR) || '|rsv1') AS h FROM documents))
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

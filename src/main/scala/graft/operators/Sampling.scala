@@ -31,4 +31,30 @@ object Sampling {
       when(b < upTo, lit(name)).otherwise(rest)
     }
   }
+
+  /** Deterministic reservoir: a uniform k-row sample PER STRATUM, stable
+    * under repartition, backfill, and engine change — rank rows inside each
+    * stratum by a salted content hash and keep the first k. A classic
+    * reservoir (Vitter's R) depends on encounter order, so two runs of the
+    * same pipeline disagree; hash-ranking is order-free and SQL-replayable.
+    *
+    * Scale shape: ONE keyed shuffle on the stratum. Spark 3.5+ plans the
+    * `row_number <= k` filter as WindowGroupLimit — each map task keeps
+    * only its local top-k per stratum BEFORE the exchange, so the shuffle
+    * carries O(tasks x k) rows per stratum, not the stratum's full
+    * contents (plan-asserted in SamplingSpec).
+    *
+    * Output adds `rk` (1..k inside the stratum, by hash order) and `h`
+    * (the rank hash, for audit). */
+  def reservoirPerKey(
+      df: DataFrame, keys: Seq[String], idCol: String, k: Int,
+      salt: String): DataFrame = {
+    val h = md5(concat(col(idCol).cast("string"), lit("|" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("h"), col(idCol)) // id tie-break: total order even on hash collision
+    df.withColumn("h", h)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
 }
