@@ -901,6 +901,40 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "cdc_handoff" -> { (s, dir) =>
+      // Reader's END-TO-END contract: snapshot scan seeds the destination,
+      // CDC stream applies changes from the captured offset, and the
+      // materialized result equals a CONTINUOUS replay (the oracle computes
+      // latest-state over the full history directly). T0 = midpoint
+      // timestamp; changes staged as 3 files split by event_id mod 3 so the
+      // micro-batches interleave in time — the tombstone-retaining
+      // max-by-(ts,id) merge must be order-insensitive for this to pass.
+      import graft.streaming.SnapshotHandoff
+      val work = workDir("handoff", dir)
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"))
+      // bounded driver fetch: two longs (same class as SnapshotScan.pkBounds)
+      val mm = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val t0 = (mm.getLong(0) + mm.getLong(1)) / 2
+      val snapshot = Envelope.latestState(ev.where(col("ts_ns") <= t0),
+        Seq("user_id"), Seq(col("ts_ns"), col("event_id")))
+      val changes = ev.where(col("ts_ns") > t0)
+      val staged = s"$work/staged"
+      (0 until 3).foreach { i =>
+        changes.where(pmod(col("event_id"), lit(3)) === i).repartition(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(staged)
+      }
+      SnapshotHandoff.materialize(s, snapshot, staged, changes.schema,
+        "user_id", Seq("ts_ns", "event_id"), s"$work/state", s"$work/ckpt")
+        .where(col("op") =!= "d")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          expr("ts_ns div 1000000").as("last_ts_ms"))
+        .orderBy("user_id")
+    },
+
     "stream_sessions" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("user_id"), expr("ts_ns div 1000000").as("ts_ms"), col("value"))
@@ -1619,6 +1653,13 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_handoff" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value, epoch_ms(ts) AS last_ts_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
 
     "cdc_scd2" ->
       """SELECT user_id, event_id, event_type, epoch_ms(ts) AS valid_from,
