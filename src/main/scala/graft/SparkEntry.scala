@@ -992,6 +992,28 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     },
 
+    "join_range" -> { (s, dir) =>
+      // Range join without a nested loop: lineitem ship dates (points)
+      // against 7-day order windows (intervals) — bucketized to a plain
+      // equi-join on floor(day/7) + exact post-filter; each pair meets in
+      // exactly one bucket (the point's), so no dedup. Shuffle is
+      // O(points + 2x intervals), never points x intervals.
+      import graft.operators.RangeJoin
+      def days(c: Column): Column =
+        datediff(c.cast("date"), to_date(lit("1970-01-01"))).cast("long")
+      val pts = Tables.lineitem(s, dir)
+        .select(days(col("l_shipdate")).as("ship_day"), dec2(col("l_quantity")).as("qty"))
+      val ivs = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), days(col("o_orderdate")).as("win_start"),
+          (days(col("o_orderdate")) + 7).as("win_end"))
+      RangeJoin.pointInInterval(pts, ivs, "ship_day", "win_start", "win_end",
+        bucketWidth = 7L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipments"), sumd(col("qty")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
     "dedup_incremental" -> { (s, dir) =>
       // Incremental dedup of an incoming batch (odd doc_ids) against an
       // existing corpus (even doc_ids): Bloom prefilter broadcast map-side,
@@ -2013,6 +2035,22 @@ object SparkEntry {
         |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "join_range" ->
+      """WITH pts AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS qty
+        |  FROM lineitem
+        |), ivs AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS win_start,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS win_end
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |)
+        |SELECT i.o_orderkey, COUNT(*) AS n_shipments,
+        |  CAST(SUM(p.qty) AS DOUBLE) AS sum_qty
+        |FROM pts p JOIN ivs i ON p.ship_day >= i.win_start AND p.ship_day < i.win_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """WITH corpus AS (
