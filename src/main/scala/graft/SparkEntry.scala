@@ -1063,6 +1063,26 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     },
 
+    "embed_quantize" -> { (s, dir) =>
+      // int8 scalar quantization of the embedding column: 4x smaller
+      // vectors for storage/ANN. The whole construction (scale, codes,
+      // dequant error) is identical IEEE arithmetic on both engines, so the
+      // oracle hash-compares the code stream itself (md5 of the joined
+      // codes); the structural error bound rides along as `ok`.
+      val emb = Vf.toDouble(col("embedding"))
+      val scale = Vf.quantScale(col("e"))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), emb.as("e"))
+        .withColumn("scale", scale)
+        .withColumn("q", Vf.quantize(col("e"), col("scale")))
+        .select(
+          col("vec_id"), col("scale"),
+          md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"),
+          Vf.quantMaxErr(col("e"), col("q"), col("scale")).as("max_err"))
+        .withColumn("ok", col("max_err") <= col("scale") * 0.5 + lit(1e-12))
+        .orderBy("vec_id")
+    },
+
     // ---- ANN (#26-27) ----
 
     "ann_topk" -> { (s, dir) =>
@@ -2095,6 +2115,27 @@ object SparkEntry {
         |FROM csh c JOIN bsh b ON b.sh = c.sh
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+        |      ELSE CAST(FLOOR(x / scale + 0.5) AS INT) END) AS qc
+        |  FROM s
+        |)
+        |SELECT vec_id, scale,
+        |  md5(array_to_string(qc, ',')) AS q_md5,
+        |  list_max(list_transform(generate_series(1, len(v)),
+        |    i -> abs(v[i] - CAST(qc[i] AS DOUBLE) * scale))) AS max_err,
+        |  list_max(list_transform(generate_series(1, len(v)),
+        |    i -> abs(v[i] - CAST(qc[i] AS DOUBLE) * scale))) <= scale * 0.5 + 1e-12 AS ok
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),

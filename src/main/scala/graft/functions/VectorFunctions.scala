@@ -55,6 +55,26 @@ object VectorFunctions {
       })
   }
 
+  // ---- int8 scalar quantization (training-data storage / ANN compression) ----
+  // q_i = floor(x_i/scale + 0.5) with scale = max|x|/127: symmetric int8,
+  // round-half-toward-+inf written as explicit floor arithmetic because
+  // round() semantics differ between engines while floor(v + 0.5) is the
+  // same IEEE operation everywhere. Structural guarantee: every |q_i| <= 127
+  // and |x_i - q_i*scale| <= scale/2 (up to one ulp). 4x smaller vectors;
+  // map-only, no shuffle.
+
+  /** Per-vector quantization scale (0.0 for the zero vector). */
+  def quantScale(v: Column): Column = array_max(transform(v, x => abs(x))) / 127.0
+
+  /** Int8 codes as array<int> (all zeros when scale is 0). */
+  def quantize(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0)).otherwise(floor(x / scale + 0.5).cast("int")))
+
+  /** Largest absolute dequantization error of the vector. */
+  def quantMaxErr(v: Column, q: Column, scale: Column): Column =
+    array_max(zip_with(v, q, (x, qi) => abs(x - qi.cast("double") * scale)))
+
   /** Pack code bits into per-band integer keys (`numBands` bands of
     * `bitsPerBand` bits): the LSH bucket ids that candidate generation
     * shuffles on. */
