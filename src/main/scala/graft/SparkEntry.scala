@@ -958,6 +958,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    "dedup_clusters" -> { (s, dir) =>
+      // transitive closure of the near-dup pair graph: LSH emits pairs,
+      // survivor selection needs clusters (A~B, B~C => {A,B,C} keep one).
+      // Iterative min-label propagation over the pair graph only — a
+      // vanishing fraction of the corpus; the oracle computes the same
+      // closure with a recursive CTE.
+      val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("v").as("doc_id"), col("cluster").as("cluster_id"),
+          (col("v") === col("cluster")).as("is_rep"))
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -1190,6 +1203,31 @@ object SparkEntry {
           CountMin.estimate(col("sk"), col("t")).as("est"))
         .withColumn("ok", col("est") >= col("exact_n"))
         .orderBy(col("exact_n").desc, col("t"))
+    },
+
+    "text_normalize" -> { (s, dir) =>
+      // Unicode NFC + control-char scrub before fingerprinting: composed
+      // and decomposed renderings of the same text must hash identically.
+      // Planted: odd docs get a decomposed-accents tail (e+U+0301,
+      // n+U+0303) plus a control char; the oracle rebuilds the identical
+      // codepoints with chr() and normalizes via utf8proc's nfc_normalize
+      // — same Unicode standard as java.text.Normalizer. Map-only.
+      import graft.expressions.{NfcNormalize, Sketch}
+      val planted = when(col("doc_id") % 2 === 1,
+        concat(col("text"), lit(" caf"), lit("é"),
+          lit(" ma"), lit("ñ"), lit("ana"), lit("")))
+        .otherwise(col("text"))
+      val ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+      Tables.documents(s, dir)
+        .withColumn("t", planted)
+        .withColumn("nt", regexp_replace(
+          Sketch.column(NfcNormalize(Sketch.expr(col("t")))), lit(ctrl), lit("")))
+        .select(
+          col("doc_id"),
+          (col("nt") =!= col("t")).as("changed"),
+          md5(col("nt")).as("norm_md5"),
+          length(col("nt")).cast("long").as("norm_len"))
+        .orderBy("doc_id")
     },
 
     "text_pii" -> { (s, dir) =>
@@ -2025,6 +2063,24 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        |      FROM w WHERE len(toks) >= 5),
+        |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(a.sh || b.sh)) >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |reach(v, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+        |)
+        |SELECT v AS doc_id, MIN(lab) AS cluster_id, v = MIN(lab) AS is_rep
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM w),
@@ -2223,6 +2279,22 @@ object SparkEntry {
         |)
         |SELECT t, exact_n, est, est >= exact_n AS ok FROM est
         |ORDER BY exact_n DESC, t""".stripMargin,
+
+    "text_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN text || ' caf' || chr(101) || chr(769)
+        |           || ' ma' || chr(110) || chr(771) || 'ana' || chr(7)
+        |         ELSE text END AS t
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(nfc_normalize(t), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS nt
+        |  FROM p
+        |)
+        |SELECT doc_id, nt <> t AS changed, md5(nt) AS norm_md5,
+        |  CAST(length(nt) AS BIGINT) AS norm_len
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "text_pii" ->
       """WITH p AS (

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketch/vector hot paths.
   *
@@ -598,4 +599,28 @@ case class ChunkBoundaries(child: Expression, w: Int, modulus: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ChunkBoundaries =
     copy(child = newChild)
+}
+
+/** Unicode NFC normalization (java.text.Normalizer) — Spark has no built-in
+  * normalization function, and fingerprint/dedup keys computed over
+  * denormalized text split identical documents into distinct groups (café
+  * composed vs decomposed hash differently). One JVM call per row, no
+  * per-element interpreter dispatch; DuckDB's utf8proc-backed
+  * `nfc_normalize` implements the same Unicode standard, which is what
+  * makes the text_normalize oracle bit-exact. */
+case class NfcNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // fast path: NFC is the identity on ASCII (and most already-composed text)
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
 }

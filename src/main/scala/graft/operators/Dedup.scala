@@ -242,6 +242,60 @@ object Dedup {
     * than one document, with its spread. One keyed shuffle over the chunk
     * fingerprints (KB per doc), map-side partials — the sub-document twin
     * of [[exactByFingerprint]]. */
+  /** Connected components over a near-dup PAIR graph: cluster label = the
+    * minimum doc id reachable through dup edges. Pair generation (LSH) says
+    * "A~B, B~C"; survivor selection needs "{A,B,C} is one cluster, keep
+    * exactly one" — transitive closure, not pairs.
+    *
+    * Iterative min-label propagation: each round every vertex takes the min
+    * of its own and its neighbors' labels (one keyed shuffle of the EDGE
+    * table per round), until a fixpoint. The graph here is only the dup
+    * pairs — a vanishing fraction of the corpus — and near-dup components
+    * are shallow (chains of transitive near-dups), so rounds ≈ component
+    * diameter stays small; the fixpoint check is one bounded count() per
+    * round. For adversarially deep graphs the published fix is alternating
+    * large/small-star pointer doubling (O(log D) rounds, same per-round
+    * shuffle shape) — the swap-in if a corpus ever produces long chains.
+    *
+    * Returns (vertex, cluster) for every vertex that appears in `pairs`;
+    * cluster = min id of the component, so `vertex == cluster` marks the
+    * kept representative. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    // materialize the pair pipeline ONCE before mirroring: the union below
+    // references `pairs` twice, and without this barrier the (potentially
+    // expensive — LSH) pair generation would execute once per branch
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint(true)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v"))
+      .persist()
+    edges.count() // materialize before the loop
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("v"))
+        .groupBy(col("dst").as("u")).agg(min("lab").as("nlab"))
+      val next = labels.join(nbrMin, labels("v") === col("u"), "left")
+        .select(col("v"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("lab", "old"), "v")
+        .where(col("lab") < col("old")).count() // bounded: dup-graph vertices only
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(false)
+    // truncate the per-iteration join lineage so the caller's plan doesn't
+    // carry `iter` chained joins (computed eagerly from the cached labels)
+    val out = labels.select(col("v"), col("lab").as("cluster")).localCheckpoint(true)
+    labels.unpersist(false)
+    out
+  }
+
   def duplicatedChunks(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, modulus: Int = 256): DataFrame =
     contentChunks(df, idCol, textCol, w, modulus)

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive chains collapse to one cluster labeled by the min id") {
+    // A~B, B~C via different pairs; D~E separate
+    assert(cc((2L, 5L), (5L, 9L), (20L, 30L)) ===
+      Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 20L -> 20L, 30L -> 20L))
+  }
+
+  test("cycles and stars converge to the same label") {
+    // cycle 1-2-3-1 plus star center 10 with leaves
+    val got = cc((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (10L, 12L), (10L, 13L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("a deep chain (diameter 12) still reaches fixpoint") {
+    val chain = (0L until 12L).map(i => (100L + i, 101L + i))
+    val got = cc(chain: _*)
+    assert(got.values.toSet === Set(100L))
+    assert(got.size === 13)
+  }
+
+  test("min id wins regardless of pair orientation") {
+    assert(cc((9L, 1L), (1L, 5L)) === Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+}
