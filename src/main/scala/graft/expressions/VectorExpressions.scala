@@ -624,3 +624,34 @@ case class NfcNormalize(child: Expression) extends UnaryExpression with CodegenF
     copy(child = newChild)
   override def prettyName: String = "nfc_normalize"
 }
+
+/** Deflate-compressed size of a string (raw DEFLATE, fixed level, no
+  * wrapper): the compression-ratio quality signal — near-duplicate or
+  * template-generated junk compresses far better than natural text, so
+  * `len/deflate_size` is a standard cheap filter in large-scale curation
+  * stacks. java.util.zip.Deflater with a pinned level and nowrap=true is
+  * bit-deterministic for a given input, so the signal is reproducible
+  * across runs and partitionings (pinned against fixed strings in
+  * KernelEquivalenceSpec). One JVM call per row, map-only. */
+case class DeflateSize(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(level >= 1 && level <= 9, s"deflate level $level outside [1, 9]")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_size"
+}
