@@ -60,5 +60,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ChunkBoundaries].getName, "graft_chunk_bounds"),
       (args: Seq[Expression]) =>
         ChunkBoundaries(args(0), intArg(args(1), "w"), intArg(args(2), "modulus"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
+      (args: Seq[Expression]) =>
+        DeflateSize(args(0), if (args.length > 1) intArg(args(1), "level") else 6)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinct].getName, "graft_hll_distinct"),
+      (args: Seq[Expression]) =>
+        HllDistinct(args(0), if (args.length > 1) intArg(args(1), "p") else 12)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_build"),
+      new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
+      (args: Seq[Expression]) =>
+        BloomBuild(args(0), intArg(args(1), "numBits"), intArg(args(2), "numHashes"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_count_min"),
+      new ExpressionInfo(classOf[CountMinBuild].getName, "graft_count_min"),
+      (args: Seq[Expression]) =>
+        CountMinBuild(args(0), intArg(args(1), "depth"), intArg(args(2), "width"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_count_min_estimate"),
+      new ExpressionInfo(classOf[CountMinQuery].getName, "graft_count_min_estimate"),
+      (args: Seq[Expression]) => CountMinQuery(args(0), args(1))))
   }
 }

@@ -33,4 +33,30 @@ class ExtensionsSpec extends AnyFunSuite {
     val cb = spark.sql("SELECT graft_chunk_bounds('abc', 8, 64) AS b").head().getSeq[Int](0)
     assert(cb == Seq(3))
   }
+
+  test("r7 kernels: nfc, deflate, hll, bloom, count-min callable from SQL") {
+    // decomposed e + U+0301 normalizes to composed é (single codepoint)
+    val n = spark.sql("SELECT length(graft_nfc('caf' || 'é')) AS l").head().getInt(0)
+    assert(n === 4)
+
+    val dz = spark.sql("SELECT graft_deflate_size(repeat('ab', 500)) AS z").head().getLong(0)
+    assert(dz > 0L && dz < 100L) // 1000 chars of repetition collapse
+
+    val hll = spark.sql(
+      "SELECT graft_hll_distinct(xxhash64(id), 12) AS d FROM range(1000)").head().getLong(0)
+    assert(math.abs(hll - 1000L) <= 50L)
+
+    val bloom = spark.sql(
+      """WITH f AS (SELECT graft_bloom_build(xxhash64(id), 4096, 4) AS b FROM range(100))
+        |SELECT graft_bloom_might_contain(f.b, xxhash64(42L)) AS hit,
+        |       graft_bloom_might_contain(f.b, xxhash64(424242L)) AS miss FROM f""".stripMargin)
+      .head()
+    assert(bloom.getBoolean(0)) // inserted -> always true
+
+    val cm = spark.sql(
+      """WITH s AS (SELECT graft_count_min(CAST(id % 3 AS STRING), 4, 256) AS sk FROM range(300))
+        |SELECT graft_count_min_estimate(s.sk, '0') AS est FROM s""".stripMargin)
+      .head().getLong(0)
+    assert(cm >= 100L && cm <= 120L)
+  }
 }
