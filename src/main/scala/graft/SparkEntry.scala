@@ -1076,6 +1076,27 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     },
 
+    "embed_pool" -> { (s, dir) =>
+      // element-wise mean pooling of embedding groups (chunk→document
+      // pooling): posexplode → ONE keyed agg on (group, position) with
+      // map-side partials. Per-element values are TRUNCATED to scaled
+      // integers (floor(x*1e12) — a double→decimal cast would round, and
+      // Spark rounds HALF_UP where DuckDB rounds half-even: one element at
+      // sf0.01 actually hit that edge) so the sum is exact, order-
+      // independent, and overflow-safe (|x|~4 → 4e12/element, ~2^53 head-
+      // room); the mean is then identical IEEE ops on both engines.
+      // Shuffle carries |groups| x dim partial sums, not vectors.
+      Tables.embeddings(s, dir)
+        .select((col("vec_id") % 25).as("grp"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("grp", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x") * lit(1e12)).cast("long")).as("sx"))
+        .select(col("grp"), col("pos").cast("long").as("pos"), col("n"),
+          (col("sx").cast("double") / col("n") / lit(1e12)).as("pool"))
+        .orderBy("grp", "pos")
+    },
+
     "embed_quantize" -> { (s, dir) =>
       // int8 scalar quantization of the embedding column: 4x smaller
       // vectors for storage/ANN. The whole construction (scale, codes,
@@ -2192,6 +2213,15 @@ object SparkEntry {
         |FROM csh c JOIN bsh b ON b.sh = c.sh
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    "embed_pool" ->
+      """WITH t AS (SELECT vec_id % 25 AS grp,
+        |    UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+        |    UNNEST(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT grp, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e12 AS pool
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "embed_quantize" ->
       """WITH e AS (

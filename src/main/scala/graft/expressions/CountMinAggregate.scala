@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * h1 = hex[1..15], h2 = hex[17..31]*2+1 (odd), idx_j = (h1 + j*h2) % width
   * — all of it plain SQL, so the DuckDB oracle REPLAYS the whole sketch and
   * the driver hash-compares the estimates themselves rather than trusting a
-  * claim. (Both halves are 60-bit non-negative; j < depth <= 15 keeps
-  * h1 + j*h2 < 2^64 with no overflow on either engine.)
+  * claim. Depth is capped at 4: h1 < 2^60 and h2 < 2^61, so j <= 3 keeps
+  * h1 + j*h2 < 2^63 on both engines — at j = 4 the sum can overflow signed
+  * 64-bit (a negative index on the JVM, a hard error in DuckDB). Depth 4 is
+  * also the standard operating point (confidence 1 - e^-4 ~ 98%).
   */
 object CountMin {
   /** (h1, h2) from the md5 hex of the item — the SQL-replayable pair. */
@@ -73,7 +75,8 @@ case class CountMinBuild(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CountMinBuffer] {
 
-  require(depth >= 1 && depth <= 15, s"depth $depth outside [1, 15]")
+  require(depth >= 1 && depth <= 4,
+    s"depth $depth outside [1, 4] — j*h2 overflows 64-bit past depth 4 (see scaladoc)")
   require(width >= 16, s"width $width < 16")
 
   override def children: Seq[Expression] = Seq(child)

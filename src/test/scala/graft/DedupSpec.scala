@@ -23,6 +23,11 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash sketch cache is released after the consuming action") {
+    // the session is shared across suites, and a suite that CONSTRUCTS a
+    // scoped pipeline without consuming it (plan-only tests) legitimately
+    // holds its cache entry until the TTL sweep — start from a clean slate
+    // so the global-empty assertion below only sees THIS test's scope
+    spark.sharedState.cacheManager.clearCache()
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " * 8),
       (2L, "alpha beta gamma delta epsilon zeta eta theta " * 8))
       .toDF("doc_id", "text")
