@@ -441,6 +441,39 @@ object SparkEntry {
 
     // ---- CDC / converters (#12-18) ----
 
+    "json_schema_infer" -> { (s, dir) =>
+      // schema inference / drift detection over semi-structured payloads:
+      // per top-level key, a census of observed JSON types plus a drift
+      // flag (reader passes JSONB through; the downstream store has to
+      // infer a typed column — this is that inference, distributed). Key
+      // `k` is PLANTED to drift across int/double/string; one parse per
+      // row (JsonTopLevelTypes kernel), one keyed count.
+      import graft.expressions.{JsonTopLevelTypes, Sketch}
+      val j = when(col("event_id") % 4 === 0,
+        concat(lit("{\"k\": "), (col("user_id") % 100).cast("string"),
+          lit(", \"tag\": \""), col("event_type"), lit("\"}")))
+        .when(col("event_id") % 4 === 1,
+          concat(lit("{\"k\": "), (col("user_id") % 100).cast("string"),
+            lit(".5, \"flag\": "),
+            when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("false")),
+            lit("}")))
+        .when(col("event_id") % 4 === 2,
+          concat(lit("{\"k\": "), (col("user_id") % 100).cast("string"),
+            lit(", \"nested\": {\"d\": 1}}")))
+        .otherwise(concat(lit("{\"k\": \""), (col("user_id") % 100).cast("string"),
+          lit("\"}")))
+      val kt = Tables.events(s, dir)
+        .select(explode(Sketch.column(JsonTopLevelTypes(Sketch.expr(j)))).as("kt"))
+        .select(substring_index(col("kt"), "|", 1).as("key"),
+          substring_index(col("kt"), "|", -1).as("jtype"))
+      val census = kt.groupBy("key", "jtype").agg(count(lit(1)).as("n"))
+      val drift = kt.groupBy("key").agg(countDistinct("jtype").as("n_types"))
+      census.join(drift, "key")
+        .select(col("key"), col("jtype"), col("n"), col("n_types"),
+          (col("n_types") > 1).as("drifted"))
+        .orderBy("key", "jtype")
+    },
+
     "cdc_envelope" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       Envelope.snapshotEnvelope(ev, "event_id", expr("ts_ns div 1000000"), "events",
@@ -1742,6 +1775,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "json_schema_infer" ->
+      """WITH p AS (SELECT
+        |    CASE WHEN event_id % 4 = 0 THEN '{"k": ' || CAST(user_id % 100 AS VARCHAR)
+        |           || ', "tag": "' || event_type || '"}'
+        |         WHEN event_id % 4 = 1 THEN '{"k": ' || CAST(user_id % 100 AS VARCHAR)
+        |           || '.5, "flag": ' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END) || '}'
+        |         WHEN event_id % 4 = 2 THEN '{"k": ' || CAST(user_id % 100 AS VARCHAR)
+        |           || ', "nested": {"d": 1}}'
+        |         ELSE '{"k": "' || CAST(user_id % 100 AS VARCHAR) || '"}'
+        |    END AS j
+        |  FROM events),
+        |kt AS (SELECT u.k AS key,
+        |    CASE json_type(p.j, '$."' || u.k || '"')
+        |      WHEN 'UBIGINT' THEN 'int' WHEN 'BIGINT' THEN 'int'
+        |      WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+        |      WHEN 'BOOLEAN' THEN 'boolean' WHEN 'OBJECT' THEN 'object'
+        |      WHEN 'ARRAY' THEN 'array' ELSE 'null' END AS jtype
+        |  FROM p, UNNEST(json_keys(p.j)) AS u(k)),
+        |c AS (SELECT key, jtype, COUNT(*) AS n FROM kt GROUP BY 1, 2),
+        |d AS (SELECT key, COUNT(DISTINCT jtype) AS n_types FROM kt GROUP BY 1)
+        |SELECT c.key, c.jtype, c.n, d.n_types, d.n_types > 1 AS drifted
+        |FROM c JOIN d USING (key) ORDER BY key, jtype""".stripMargin,
 
     "cdc_envelope" ->
       """SELECT event_id, 'r' AS op, epoch_ms(ts) AS ts_ms, 'events' AS source_table,

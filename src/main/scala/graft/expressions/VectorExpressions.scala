@@ -655,3 +655,50 @@ case class DeflateSize(child: Expression, level: Int)
     copy(child = newChild)
   override def prettyName: String = "deflate_size"
 }
+
+/** Top-level (key, JSON-type) pairs of a JSON object — the schema-inference
+  * primitive for semi-structured ingest: aggregate these over a corpus and
+  * every key's observed type census (and any int→double→string drift) falls
+  * out of one keyed count. Emits "key|type" strings with types
+  * {int, double, boolean, string, object, array, null}; non-object or
+  * malformed JSON dead-letters to NULL (error-lane convention). Type names
+  * line up with DuckDB's json_type mapping so the oracle replays the census
+  * exactly. Jackson is Spark's own bundled JSON parser — one parse per row.
+  */
+case class JsonTopLevelTypes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def typeName(n: com.fasterxml.jackson.databind.JsonNode): String =
+    if (n.isObject) "object"
+    else if (n.isArray) "array"
+    else if (n.isTextual) "string"
+    else if (n.isBoolean) "boolean"
+    else if (n.isNull) "null"
+    else if (n.isIntegralNumber) "int"
+    else "double"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val root =
+      try mapper.readTree(input.toString)
+      catch { case _: Exception => null }
+    if (root == null || !root.isObject) null
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+      val it = root.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        out += UTF8String.fromString(e.getKey + "|" + typeName(e.getValue))
+      }
+      new GenericArrayData(out.toArray[Any])
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonTopLevelTypes =
+    copy(child = newChild)
+  override def prettyName: String = "json_top_level_types"
+}
