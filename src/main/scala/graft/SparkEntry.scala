@@ -415,6 +415,31 @@ object SparkEntry {
         .orderBy("l_returnflag", "q")
     },
 
+    "sketch_reaggregate" -> { (s, dir) =>
+      // the pre-aggregated sketch-table lifecycle: one 4 KB sketch stored
+      // per (group, day), any window answered later by MERGING sketches
+      // instead of rescanning raw data. Register-wise max is associative
+      // and idempotent, so merging daily sketches is BIT-IDENTICAL to
+      // sketching the union directly — claimed in-query (est_merged ==
+      // est_direct, exact equality) alongside the 5% accuracy bound.
+      import graft.expressions.Hll
+      val ev = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(Hll.sketch(col("user_id"), 12).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(Hll.estimate(Hll.merge(col("sk"))).as("est_merged"))
+      val direct = ev.groupBy("event_type").agg(
+        Hll.approxCountDistinct(col("user_id"), 12).as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (col("est_merged") === col("est_direct")).as("ok_merge_lossless"),
+          (abs(col("est_merged").cast("double") / col("n_exact").cast("double") - 1.0)
+            <= 0.05).as("ok_bound"))
+        .orderBy("event_type")
+    },
+
     "window_topn" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, dir)
@@ -1723,6 +1748,11 @@ object SparkEntry {
 
     "sketch_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_reaggregate" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_quantile_hist" ->

@@ -2,8 +2,9 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.xxhash64
 import org.apache.spark.sql.types._
 
@@ -138,4 +139,144 @@ object Hll {
     Sketch.column(HllDistinct(
       Sketch.expr(org.apache.spark.sql.functions.when(c.isNotNull, xxhash64(c))),
       p).toAggregateExpression())
+
+  /** The sketch ITSELF (serialized register file) — for pre-aggregated
+    * sketch tables: store one per (group, day), merge any window later. */
+  def sketch(c: Column, p: Int = 12): Column =
+    Sketch.column(HllSketchBytes(
+      Sketch.expr(org.apache.spark.sql.functions.when(c.isNotNull, xxhash64(c))),
+      p).toAggregateExpression())
+
+  /** Merge stored sketches (register-wise max — associative, commutative,
+    * idempotent: merging daily sketches yields BIT-IDENTICAL registers to
+    * sketching the union directly, which `sketch_reaggregate` asserts). */
+  def merge(sketches: Column): Column =
+    Sketch.column(HllMerge(Sketch.expr(sketches)).toAggregateExpression())
+
+  /** Estimate from a serialized sketch. */
+  def estimate(sketchBytes: Column): Column =
+    Sketch.column(HllEstimate(Sketch.expr(sketchBytes)))
+}
+
+/** `hll_sketch(hash64, p)` → serialized register file (BinaryType). */
+case class HllSketchBytes(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllBuffer] {
+
+  require(p >= 4 && p <= 16, s"precision $p outside [4, 16]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+
+  override def update(buffer: HllBuffer, input: InternalRow): HllBuffer = {
+    val h = child.eval(input)
+    if (h != null) buffer.add(h.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: HllBuffer, other: HllBuffer): HllBuffer = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: HllBuffer): Any = serialize(buffer)
+
+  override def serialize(buffer: HllBuffer): Array[Byte] = HllCodec.ser(buffer)
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllCodec.de(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketchBytes =
+    copy(child = newChildren(0))
+  override def prettyName: String = "hll_sketch"
+}
+
+/** `hll_merge(sketchBytes)` → merged serialized sketch (register-wise max
+  * over already-serialized register files — the re-aggregation tier). */
+case class HllMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  // p is discovered from the first input sketch; an empty group yields the
+  // canonical empty p=4 sketch (no inputs to infer from)
+  override def createAggregationBuffer(): HllBuffer = null
+
+  private def absorb(buffer: HllBuffer, bytes: Array[Byte]): HllBuffer = {
+    val in = HllCodec.de(bytes)
+    if (buffer == null) in
+    else {
+      require(buffer.p == in.p, s"cannot merge sketches of precision ${buffer.p} and ${in.p}")
+      buffer.merge(in); buffer
+    }
+  }
+
+  override def update(buffer: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v == null) buffer else absorb(buffer, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(buffer: HllBuffer, other: HllBuffer): HllBuffer =
+    if (other == null) buffer
+    else if (buffer == null) other
+    else { buffer.merge(other); buffer }
+
+  override def eval(buffer: HllBuffer): Any =
+    HllCodec.ser(if (buffer == null) new HllBuffer(4) else buffer)
+
+  override def serialize(buffer: HllBuffer): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray else HllCodec.ser(buffer)
+  override def deserialize(bytes: Array[Byte]): HllBuffer =
+    if (bytes.isEmpty) null else HllCodec.de(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMerge =
+    copy(child = newChildren(0))
+  override def prettyName: String = "hll_merge"
+}
+
+/** `hll_estimate(sketchBytes)` → rounded BIGINT estimate. */
+case class HllEstimate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    math.rint(HllCodec.de(input.asInstanceOf[Array[Byte]]).estimate).toLong
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+  override def prettyName: String = "hll_estimate"
+}
+
+/** Shared register-file wire format: [p][registers x 2^p]. */
+private[expressions] object HllCodec {
+  def ser(buffer: HllBuffer): Array[Byte] = {
+    val out = new Array[Byte](1 + buffer.m)
+    out(0) = buffer.p.toByte
+    System.arraycopy(buffer.registers, 0, out, 1, buffer.m)
+    out
+  }
+  def de(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.registers, 0, buf.m)
+    buf
+  }
 }

@@ -71,4 +71,34 @@ class HllSpec extends AnyFunSuite {
       assert(math.abs(e - n) <= 1, s"n=$n est=$e")
     }
   }
+
+  test("sketch-table lifecycle: merged partials are byte-identical to the direct sketch") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.expressions.Hll
+    val df = (1 to 5000).map(i => (i % 7, s"u${i % 911}")).toDF("g", "u")
+    // daily-style partials on an extra key, merged back up
+    val partial = df.withColumn("d", col("u").substr(2, 1))
+      .groupBy("g", "d").agg(Hll.sketch(col("u"), 10).as("sk"))
+      .groupBy("g").agg(Hll.merge(col("sk")).as("sk"))
+    val direct = df.groupBy("g").agg(Hll.sketch(col("u"), 10).as("sk2"))
+    val joined = partial.join(direct, "g")
+      .select(col("sk") === col("sk2")).collect()
+    assert(joined.nonEmpty && joined.forall(_.getBoolean(0)))
+    // and the estimate read off the merged sketch equals the one-shot estimate
+    val est = partial.select(Hll.estimate(col("sk")).as("e")).orderBy("e")
+      .collect().map(_.getLong(0)).toSeq
+    val estDirect = df.groupBy("g").agg(Hll.approxCountDistinct(col("u"), 10).as("e"))
+      .select("e").orderBy("e").collect().map(_.getLong(0)).toSeq
+    assert(est === estDirect)
+  }
+
+  test("merging an empty group yields the canonical empty sketch (estimate 0)") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.expressions.Hll
+    val empty = Seq.empty[Array[Byte]].toDF("sk")
+    val e = empty.agg(Hll.estimate(Hll.merge(col("sk"))).as("e")).head().getLong(0)
+    assert(e === 0L)
+  }
 }
