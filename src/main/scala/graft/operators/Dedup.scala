@@ -269,10 +269,15 @@ object Dedup {
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    edges.count() // materialize before the loop
+    // each iteration MUST truncate lineage (localCheckpoint), not just
+    // persist: a persisted frame keeps its full logical plan, and the loop
+    // references `labels` three times per round — the analyzed tree grows
+    // exponentially and a 12-round chain OOMs the driver just STRINGIFYING
+    // the plan. With LogicalRDD-backed labels the per-round plan is flat.
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lab", col("v"))
-      .persist()
-    edges.count() // materialize before the loop
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -280,20 +285,21 @@ object Dedup {
         .groupBy(col("dst").as("u")).agg(min("lab").as("nlab"))
       val next = labels.join(nbrMin, labels("v") === col("u"), "left")
         .select(col("v"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("lab", "old"), "v")
         .where(col("lab") < col("old")).count() // bounded: dup-graph vertices only
-      labels.unpersist(false)
-      labels = next
+      labels = next // superseded checkpoint blocks are freed by the ContextCleaner
       converged = changed == 0
       iter += 1
     }
     edges.unpersist(false)
-    // truncate the per-iteration join lineage so the caller's plan doesn't
-    // carry `iter` chained joins (computed eagerly from the cached labels)
-    val out = labels.select(col("v"), col("lab").as("cluster")).localCheckpoint(true)
-    labels.unpersist(false)
-    out
+    // an unconverged result would be silently WRONG labels (a component
+    // wider than maxIter rounds) — fail loudly; the fix for such graphs is
+    // the alternating-star pointer-doubling variant, not a bigger maxIter
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "component diameter exceeds the propagation budget")
+    labels.select(col("v"), col("lab").as("cluster"))
   }
 
   def duplicatedChunks(df: DataFrame, idCol: String, textCol: String,
