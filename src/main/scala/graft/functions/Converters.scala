@@ -189,12 +189,15 @@ object Converters {
     val h = num(substring(c, 1, 2))
     val mi = num(substring(c, 4, 2))
     val se = num(substring(c, 7, 2))
-    val frac = regexp_extract(c, "\\.(\\d+)", 1)
-    val sign = when(regexp_extract(c, "([+-])\\d{2}$", 1) === "+", lit(1)).otherwise(lit(-1))
-    val oh = num(regexp_extract(c, "[+-](\\d{2})$", 1))
-    val fracUs = when(frac === "", lit(0L))
-      .when(length(frac) === 3, num(frac).cast("long") * 1000L)
-      .otherwise(num(frac).cast("long"))
+    // ONE regex (the shape gate) per row instead of six; with the shape
+    // pinned, every field position follows from the total length (11 plain
+    // / 15 ms / 18 us) — the remaining extraction is substring arithmetic
+    val sign = when(substring(c, -3, 1) === "+", lit(1)).otherwise(lit(-1))
+    val oh = num(substring(c, -2, 2))
+    val fracUs = when(length(c) === 11, lit(0L))
+      .when(length(c) === 15, num(substring(c, 10, 3)).cast("long") * 1000L)
+      .when(length(c) === 18, num(substring(c, 10, 6)).cast("long"))
+      .otherwise(lit(null).cast("long"))
     val valid = c.rlike(shape) &&
       h <= 23 && mi <= 59 && se <= 59 && oh <= 23
     val utcSec = pmod(h * 3600 + mi * 60 + se - sign * oh * lit(3600), lit(86400))
