@@ -1540,6 +1540,45 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "multimodal_qoi" -> { (s, dir) =>
+      // QOI (qoiformat.org) round trip: pixels synthesized from row data
+      // with SQL-replayable arithmetic (constant rows every y%3==0 exercise
+      // RUN/INDEX ops; the rest DIFF/LUMA/RGB), encoded with the real op
+      // set, decoded back in mapPartitions. The oracle never sees QOI — it
+      // recomputes the planted pixel function directly, so a decode bug
+      // (wrong op semantics, run overrun, index hash) breaks the hash.
+      import s.implicits._
+      import graft.operators.MediaCodecs
+      val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val w = (2 + id % 5).toInt
+        val h = (2 + id % 4).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            if (y % 3 == 0) {
+              rgb(i) = ((id * 5) % 256).toByte
+              rgb(i + 1) = ((id * 11) % 256).toByte
+              rgb(i + 2) = ((id * 13) % 256).toByte
+            } else {
+              rgb(i) = ((id * 7 + x * 13 + y * 31) % 256).toByte
+              rgb(i + 1) = ((id * 3 + x * 17 + y * 7) % 256).toByte
+              rgb(i + 2) = ((id * 19 + x * 5 + y * 23) % 256).toByte
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (id, MediaCodecs.qoiEncode(w, h, rgb))
+      }
+      MediaCodecs.decodeMedia(payloads).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
+    },
+
     "multimodal_meta" -> { (s, dir) =>
       // Binary-column plumbing: payload as bytes + typed metadata + frame
       // sampling. The "decode" is a deterministic stub (md5-derived fake
@@ -2635,6 +2674,24 @@ object SparkEntry {
         |               lpad(to_hex((doc_id * 13) % 256), 2, '0')),
         |    CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS INT)) AS blob
         | FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "multimodal_qoi" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS w, 2 + doc_id % 4 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, UNNEST(range(0, w)) AS x FROM d),
+        |xy AS (SELECT doc_id, w, h, x, UNNEST(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h,
+        |    CASE WHEN y % 3 = 0 THEN (doc_id * 5) % 256
+        |         ELSE (doc_id * 7 + x * 13 + y * 31) % 256 END AS r,
+        |    CASE WHEN y % 3 = 0 THEN (doc_id * 11) % 256
+        |         ELSE (doc_id * 3 + x * 17 + y * 7) % 256 END AS g,
+        |    CASE WHEN y % 3 = 0 THEN (doc_id * 13) % 256
+        |         ELSE (doc_id * 19 + x * 5 + y * 23) % 256 END AS b
+        |  FROM xy)
+        |SELECT doc_id, 'qoi' AS format, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
+        |  CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
+        |  CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS bl,

@@ -246,8 +246,111 @@ object MediaCodecs {
         else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F') wavDecode(id, bytes)
         else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') bmpDecode(id, bytes)
+        else if (bytes.length >= 4 && bytes(0) == 'q' && bytes(1) == 'o' &&
+          bytes(2) == 'i' && bytes(3) == 'f') qoiDecode(id, bytes).map(_._1)
         else None
       }
     }
+  }
+
+  // ---- QOI (Quite OK Image, qoiformat.org): 14-byte header + op-coded
+  // RGB(A) stream. A REAL modern raster codec a JVM can implement exactly:
+  // RUN/INDEX/DIFF/LUMA/RGB/RGBA ops over a rolling 64-entry color index
+  // (hash (3r+5g+7b+11a) % 64), big-endian dims, 7x00+01 end marker. ----
+
+  /** Encode an RGB raster (3 bytes/pixel) with the full op set. */
+  def qoiEncode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "raster size mismatch")
+    val out = new java.io.ByteArrayOutputStream(rgb.length / 2 + 32)
+    out.write(Array[Byte]('q', 'o', 'i', 'f'))
+    def be32(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    be32(w); be32(h); out.write(3); out.write(0)
+    val index = new Array[Int](64) // packed rgba, 0 = unseen (qoi inits to 0)
+    var pr = 0; var pg = 0; var pb = 0; val pa = 255
+    var run = 0
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val r = rgb(i * 3) & 0xff; val g = rgb(i * 3 + 1) & 0xff; val b = rgb(i * 3 + 2) & 0xff
+      if (r == pr && g == pg && b == pb) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val hash = (r * 3 + g * 5 + b * 7 + pa * 11) % 64
+        val packed = (r << 24) | (g << 16) | (b << 8) | pa
+        if (index(hash) == packed) out.write(hash)
+        else {
+          index(hash) = packed
+          val dr = r - pr; val dg = g - pg; val db = b - pb
+          val dgr = dr - dg; val dgb = db - dg
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else if (dg >= -32 && dg <= 31 && dgr >= -8 && dgr <= 7 && dgb >= -8 && dgb <= 7) {
+            out.write(0x80 | (dg + 32)); out.write(((dgr + 8) << 4) | (dgb + 8))
+          } else { out.write(0xfe); out.write(r); out.write(g); out.write(b) }
+        }
+        pr = r; pg = g; pb = b
+      }
+      i += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    (0 until 7).foreach(_ => out.write(0)); out.write(1)
+    out.toByteArray
+  }
+
+  /** Decode any RGB/RGBA QOI payload; returns (MediaInfo, rgb bytes).
+    * None on malformed input (dead-letter lane). */
+  def qoiDecode(id: Long, bytes: Array[Byte]): Option[(MediaInfo, Array[Byte])] = {
+    if (bytes.length < 22 || bytes(0) != 'q' || bytes(1) != 'o' ||
+      bytes(2) != 'i' || bytes(3) != 'f') return None
+    def be32(at: Int): Int = ((bytes(at) & 0xff) << 24) | ((bytes(at + 1) & 0xff) << 16) |
+      ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
+    val w = be32(4); val h = be32(8)
+    val channels = bytes(12) & 0xff
+    if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26) || (channels != 3 && channels != 4))
+      return None
+    val n = w * h
+    val rgb = new Array[Byte](n * 3)
+    val index = new Array[Int](64)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var p = 14
+    var px = 0
+    try {
+      while (px < n) {
+        val op = bytes(p) & 0xff; p += 1
+        if (op == 0xfe) { r = bytes(p) & 0xff; g = bytes(p + 1) & 0xff; b = bytes(p + 2) & 0xff; p += 3 }
+        else if (op == 0xff) { r = bytes(p) & 0xff; g = bytes(p + 1) & 0xff
+          b = bytes(p + 2) & 0xff; a = bytes(p + 3) & 0xff; p += 4 }
+        else (op >> 6) match {
+          case 0 => val v = index(op & 0x3f)
+            r = v >>> 24; g = (v >>> 16) & 0xff; b = (v >>> 8) & 0xff; a = v & 0xff
+          case 1 => r = (r + ((op >> 4) & 3) - 2) & 0xff
+            g = (g + ((op >> 2) & 3) - 2) & 0xff
+            b = (b + (op & 3) - 2) & 0xff
+          case 2 => val dg = (op & 0x3f) - 32
+            val d2 = bytes(p) & 0xff; p += 1
+            r = (r + dg + ((d2 >> 4) & 0x0f) - 8) & 0xff
+            g = (g + dg) & 0xff
+            b = (b + dg + (d2 & 0x0f) - 8) & 0xff
+          case _ => // RUN: repeat previous pixel (bias -1); first copy below
+            var k = op & 0x3f
+            while (k > 0 && px < n - 1) {
+              rgb(px * 3) = r.toByte; rgb(px * 3 + 1) = g.toByte; rgb(px * 3 + 2) = b.toByte
+              px += 1; k -= 1
+            }
+            if (k > 0) return None // run past end of image
+        }
+        index((r * 3 + g * 5 + b * 7 + a * 11) % 64) = (r << 24) | (g << 16) | (b << 8) | a
+        rgb(px * 3) = r.toByte; rgb(px * 3 + 1) = g.toByte; rgb(px * 3 + 2) = b.toByte
+        px += 1
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => return None }
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < n) { sr += rgb(i * 3) & 0xff; sg += rgb(i * 3 + 1) & 0xff; sb += rgb(i * 3 + 2) & 0xff; i += 1 }
+    Some((MediaInfo(id, "qoi", Some(w.toLong), Some(h.toLong),
+      Some(sr / n), Some(sg / n), Some(sb / n), None, None, None), rgb))
   }
 }

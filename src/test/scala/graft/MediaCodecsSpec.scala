@@ -120,4 +120,42 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(out.find(_.doc_id == 2L).get.peak == Some(9L))
     assert(out.find(_.doc_id == 3L).get.mean_r == Some(7L))
   }
+
+  test("qoi: encode/decode round trip is pixel-exact on adversarial rasters") {
+    val rnd = new scala.util.Random(21)
+    // random (RGB ops), constant (RUN), gradient (DIFF/LUMA), palette (INDEX)
+    val rasters = Seq(
+      (8, 5, Array.fill(8 * 5 * 3)(rnd.nextInt(256).toByte)),
+      (62, 3, Array.fill(62 * 3 * 3)(77.toByte)), // 62+ runs hit the run-length cap
+      (16, 4, Array.tabulate(16 * 4 * 3)(i => ((i / 3) % 256).toByte)),
+      (10, 10, Array.tabulate(10 * 10 * 3)(i => (((i / 3) % 4) * 50).toByte)))
+    rasters.foreach { case (w, h, rgb) =>
+      val enc = MediaCodecs.qoiEncode(w, h, rgb)
+      val dec = MediaCodecs.qoiDecode(1L, enc)
+      assert(dec.isDefined, s"${w}x$h failed to decode")
+      assert(java.util.Arrays.equals(dec.get._2, rgb), s"${w}x$h not pixel-exact")
+      assert(dec.get._1.width === Some(w.toLong) && dec.get._1.height === Some(h.toLong))
+    }
+  }
+
+  test("qoi: malformed payloads dead-letter (bad magic, truncated, run overrun)") {
+    val ok = MediaCodecs.qoiEncode(3, 3, Array.fill(27)(1.toByte))
+    assert(MediaCodecs.qoiDecode(1L, "qoix".getBytes ++ ok.drop(4)).isEmpty)
+    assert(MediaCodecs.qoiDecode(1L, ok.take(16)).isEmpty)
+    // hand-built: 2x1 image whose single RUN op claims 5 pixels
+    val overrun = Array[Byte]('q', 'o', 'i', 'f', 0, 0, 0, 2, 0, 0, 0, 1, 3, 0,
+      0xfe.toByte, 1, 2, 3, (0xc0 | 4).toByte, 0, 0, 0, 0, 0, 0, 0, 1)
+    assert(MediaCodecs.qoiDecode(1L, overrun).isEmpty)
+  }
+
+  test("qoi: decodes the RGBA op and alpha feeds the index hash") {
+    // 1x2 RGBA image: RGBA pixel then INDEX referencing it would need the
+    // alpha-aware hash; here just RGBA then RUN via repeat
+    val p = Array[Byte]('q', 'o', 'i', 'f', 0, 0, 0, 1, 0, 0, 0, 2, 4, 0,
+      0xff.toByte, 10, 20, 30, 128.toByte, 0xc0.toByte, // run of 1 more
+      0, 0, 0, 0, 0, 0, 0, 1)
+    val dec = MediaCodecs.qoiDecode(9L, p)
+    assert(dec.isDefined)
+    assert(dec.get._2.toSeq === Seq[Byte](10, 20, 30, 10, 20, 30))
+  }
 }
