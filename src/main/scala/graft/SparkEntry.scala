@@ -492,7 +492,10 @@ object SparkEntry {
         .select(substring_index(col("kt"), "|", 1).as("key"),
           substring_index(col("kt"), "|", -1).as("jtype"))
       val census = kt.groupBy("key", "jtype").agg(count(lit(1)).as("n"))
-      val drift = kt.groupBy("key").agg(countDistinct("jtype").as("n_types"))
+      // drift derives from the TINY census frame (one row per key x type),
+      // not from kt — joining two aggregations of kt would re-run the
+      // parse+explode lineage once per side
+      val drift = census.groupBy("key").agg(count(lit(1)).as("n_types"))
       census.join(drift, "key")
         .select(col("key"), col("jtype"), col("n"), col("n_types"),
           (col("n_types") > 1).as("drifted"))
@@ -1103,8 +1106,14 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       val corpus = corpusRaw.select(Tf.fingerprintHex(col("text")).as("fp"))
       val incoming = planted.select(col("doc_id"), Tf.fingerprintHex(col("text")).as("fp"))
-      IncrementalDedup.newRows(incoming, corpus, "fp",
-        numBits = 1 << 16, numHashes = 6)
+      // size the filter from the corpus (m = 8n -> ~2% FP at k=6): a fixed
+      // m silently saturates at larger SFs and the prefilter stops filtering
+      // while still charging build+broadcast+probe. Bounded driver fetch:
+      // one count (same class as the pkBounds reads).
+      val n = corpusRaw.count()
+      val numBits = math.min(1 << 26,
+        math.max(1 << 16, java.lang.Long.highestOneBit(8 * n) << 1)).toInt
+      IncrementalDedup.newRows(incoming, corpus, "fp", numBits, numHashes = 6)
         .orderBy("doc_id")
     },
 
@@ -1301,7 +1310,10 @@ object SparkEntry {
         .select(
           col("doc_id"),
           (col("c3") < col("c1") * 2 + 64).as("ok_repetition_collapses"),
-          (col("c1") > 0 && col("c1") <= length(col("text")) + 64).as("ok_size_sane"))
+          // octet_length, not length: DEFLATE bounds the BYTE stream, and
+          // incompressible multibyte text can deflate to more than its
+          // CHARACTER count (chars would flip this claim on CJK docs)
+          (col("c1") > 0 && col("c1") <= octet_length(col("text")) + 64).as("ok_size_sane"))
         .orderBy("doc_id")
     },
 

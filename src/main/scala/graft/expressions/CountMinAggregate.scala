@@ -29,13 +29,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * also the standard operating point (confidence 1 - e^-4 ~ 98%).
   */
 object CountMin {
-  /** (h1, h2) from the md5 hex of the item — the SQL-replayable pair. */
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** (h1, h2) from the item's md5 — the SQL-replayable pair. The first 15
+    * hex chars are the big-endian first 8 bytes shifted right a nibble
+    * (ditto chars 17-31 for the second half), so both halves come straight
+    * off the digest bytes: no hex-string materialization, no per-row
+    * formatter garbage on the sketch hot path. Equality with the hex
+    * formulation is pinned against DuckDB constants in CountMinSpec. */
   def hashPair(item: String): (Long, Long) = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(item.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16) * 2 + 1
-    (h1, h2)
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def be(off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+      v
+    }
+    (be(0) >>> 4, (be(8) >>> 4) * 2 + 1)
   }
 
   def sketch(c: Column, depth: Int, width: Int): Column =

@@ -639,15 +639,21 @@ case class DeflateSize(child: Expression, level: Int)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
+  // one native Deflater + scratch buffer per (thread, level): zlib
+  // init/end and an 8 KB allocation PER ROW would dominate this map-only
+  // kernel; reset() reuses the native stream between rows
+  @transient private lazy val local =
+    ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
+      (new java.util.zip.Deflater(level, true), new Array[Byte](8192)))
+
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val d = new java.util.zip.Deflater(level, true)
+    val (d, buf) = local.get()
+    d.reset()
     d.setInput(bytes)
     d.finish()
-    val buf = new Array[Byte](8192)
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
-    d.end()
     total
   }
 

@@ -238,10 +238,6 @@ object Dedup {
       .select(col(idCol), col("chunk_idx"), col("chunk_off"), col("chunk_len"), col("chunk_md5"))
   }
 
-  /** Cross-document duplicated chunks: every chunk fingerprint seen in more
-    * than one document, with its spread. One keyed shuffle over the chunk
-    * fingerprints (KB per doc), map-side partials — the sub-document twin
-    * of [[exactByFingerprint]]. */
   /** Connected components over a near-dup PAIR graph: cluster label = the
     * minimum doc id reachable through dup edges. Pair generation (LSH) says
     * "A~B, B~C"; survivor selection needs "{A,B,C} is one cluster, keep
@@ -302,6 +298,10 @@ object Dedup {
     labels.select(col("v"), col("lab").as("cluster"))
   }
 
+  /** Cross-document duplicated chunks: every chunk fingerprint seen in more
+    * than one document, with its spread. One keyed shuffle over the chunk
+    * fingerprints (KB per doc), map-side partials — the sub-document twin
+    * of [[exactByFingerprint]]. */
   def duplicatedChunks(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, modulus: Int = 256): DataFrame =
     contentChunks(df, idCol, textCol, w, modulus)
