@@ -2670,7 +2670,15 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 END AS BIGINT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 50 + doc_id % 20 END AS BIGINT) AS n_samples,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN list_max(list_transform(range(50 + doc_id % 20),
-        |    i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768))) END AS BIGINT) AS peak
+        |    i -> abs(((doc_id * 31 + i * 17) % 65536) - 32768))) END AS BIGINT) AS peak,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN FLOOR(SQRT(
+        |    CAST(list_sum(list_transform(range(50 + doc_id % 20),
+        |      i -> (((doc_id * 31 + i * 17) % 65536) - 32768)
+        |         * (((doc_id * 31 + i * 17) % 65536) - 32768))) AS DOUBLE)
+        |    / (50 + doc_id % 20))) END AS BIGINT) AS rms,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN len(list_filter(range(1, CAST(50 + doc_id % 20 AS BIGINT)),
+        |    i -> ((((doc_id * 31 + i * 17) % 65536) - 32768) >= 0)
+        |      != ((((doc_id * 31 + (i - 1) * 17) % 65536) - 32768) >= 0))) END AS BIGINT) AS zero_cross
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_resize" ->

@@ -18,7 +18,7 @@ object MediaCodecs {
 
   /** Unified decode record; format-specific fields are None for the other
     * kind (image: width/height/mean RGB of the raster; audio: rate,
-    * sample count, peak amplitude). */
+    * sample count, peak amplitude, RMS energy, zero crossings). */
   case class MediaInfo(
       doc_id: Long,
       format: String,
@@ -29,7 +29,9 @@ object MediaCodecs {
       mean_b: Option[Long],
       sample_rate: Option[Long],
       n_samples: Option[Long],
-      peak: Option[Long])
+      peak: Option[Long],
+      rms: Option[Long] = None,
+      zero_cross: Option[Long] = None)
 
   // ---- PPM P6 (netpbm): "P6" <ws> width <ws> height <ws> maxval \n raster ----
 
@@ -151,6 +153,8 @@ object MediaCodecs {
     var rate = -1
     var peak = -1L
     var nSamples = -1L
+    var rmsOut = 0L
+    var zcOut = 0L
     while (pos + 8 <= bytes.length) {
       val tag = tag4(pos)
       val len = buf.getInt(pos + 4)
@@ -170,20 +174,32 @@ object MediaCodecs {
           nSamples = len / 2L
           var i = 0
           var p = 0L
+          var sumSq = 0L
+          var zc = 0L
+          var prevNonNeg = false
           while (i < len / 2) {
             val s = buf.getShort(pos + 8 + i * 2).toLong
             val a = math.abs(s)
             if (a > p) p = a
+            sumSq += s * s
+            val nonNeg = s >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
             i += 1
           }
           peak = p
+          // floor(sqrt(mean square)): one double division + sqrt, written
+          // identically by the oracle (sumSq exact in Long, < 2^53)
+          rmsOut = if (nSamples > 0)
+            math.floor(math.sqrt(sumSq.toDouble / nSamples)).toLong else 0L
+          zcOut = zc
         case _ => // skip unknown chunk (LIST, fact, ...)
       }
       pos += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (rate < 0 || nSamples < 0) None
     else Some(MediaInfo(id, "wav", None, None, None, None, None,
-      Some(rate.toLong), Some(nSamples), Some(peak)))
+      Some(rate.toLong), Some(nSamples), Some(peak), Some(rmsOut), Some(zcOut)))
   }
 
   /** Deterministic synthetic P6 payload for a row id — the single source

@@ -37,6 +37,11 @@ class MediaCodecsSpec extends AnyFunSuite {
     val d = MediaCodecs.wavDecode(1L, enc).get
     assert((d.sample_rate, d.n_samples, d.peak) ===
       ((Some(44100L), Some(5L), Some(32768L))))
+    // rms = floor(sqrt(mean of squares)); zero crossings on >=0 sign flips:
+    // 100 -> -200 -> 32767 -> -32768 -> 0 flips at every step
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(d.rms === Some(math.floor(math.sqrt(sumSq.toDouble / 5)).toLong))
+    assert(d.zero_cross === Some(4L))
 
     // splice an odd-length LIST chunk between fmt and data: the walker must
     // skip it (word-aligned) and still find data
