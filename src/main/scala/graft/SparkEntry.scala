@@ -858,6 +858,30 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "binlog_resume" -> { (s, dir) =>
+      // Non-GTID replay guard (sources/mysql/streaming/offset.go:13-41,
+      // iterator.go:73-113): rows tagged (offset key, binlog file, pos);
+      // per-source (file, pos) watermarks broadcast against the stream.
+      // Fresh keys pass everything; otherwise lexicographic (file, pos)
+      // at-or-after the watermark passes — zero-padded binlog file names
+      // make string order = rotation order. Map-only at any scale.
+      import s.implicits._
+      val tagged = Tables.events(s, dir)
+        .select(col("event_id"),
+          (col("user_id") % 4).cast("string").as("okey"),
+          expr("concat('binlog.', lpad(cast(event_id div 4000 + 1 as string), 6, '0'))")
+            .as("file"),
+          ((col("event_id") % 4000) * 8 + 4).cast("long").as("pos"))
+      val seen = Seq(
+        ("0", "binlog.000002", 16004L),   // mid-file-2 watermark
+        ("1", "binlog.000001", 20000L),   // mid-file-1: same-file pos ordering
+        ("2", "binlog.000099", 4L))       // beyond the data: everything replayed -> dropped
+        .toDF("okey", "wfile", "wpos")    // key "3": fresh stream, passes all
+      graft.streaming.BinlogResume.shouldProcess(tagged, "okey", "file", "pos", seen)
+        .select("event_id", "okey", "file", "pos")
+        .orderBy("event_id")
+    },
+
     "schema_evolution" -> { (s, dir) =>
       // The FULL DDL event lifecycle routed through the schema-history
       // cache (create_table.go columns+PK+defaults, drop_table.go,
@@ -1022,11 +1046,12 @@ object SparkEntry {
     "dedup_clusters" -> { (s, dir) =>
       // transitive closure of the near-dup pair graph: LSH emits pairs,
       // survivor selection needs clusters (A~B, B~C => {A,B,C} keep one).
-      // Iterative min-label propagation over the pair graph only — a
-      // vanishing fraction of the corpus; the oracle computes the same
-      // closure with a recursive CTE.
+      // Alternating large/small-star pointer doubling over the pair graph
+      // only — a vanishing fraction of the corpus, O(log diameter) rounds
+      // so even adversarial boilerplate chains converge; the oracle
+      // computes the same closure with a recursive CTE.
       val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
         .select(col("v").as("doc_id"), col("cluster").as("cluster_id"),
           (col("v") === col("cluster")).as("is_rep"))
         .orderBy("doc_id")
@@ -1090,11 +1115,14 @@ object SparkEntry {
 
     "dedup_incremental" -> { (s, dir) =>
       // Incremental dedup of an incoming batch (odd doc_ids) against an
-      // existing corpus (even doc_ids): Bloom prefilter broadcast map-side,
-      // exact anti-join only over the maybe-hits. Duplicates are PLANTED
-      // (1 in 10 incoming docs takes its even neighbor's text) so the
-      // filter has real positives to catch; the oracle is the PLAIN
-      // anti-join — no false negatives means the two are row-identical.
+      // existing corpus (even doc_ids): SHARDED Bloom prefilter — per-bucket
+      // fixed-size filters built by one groupBy aggregate and probed by an
+      // equi-join on bucket, so no single filter ever has to fit an
+      // aggregation buffer or a broadcast — then exact anti-join over the
+      // maybe-hits only. Duplicates are PLANTED (1 in 10 incoming docs
+      // takes its even neighbor's text) so the filter has real positives to
+      // catch; the oracle is the PLAIN anti-join — no false negatives means
+      // the two are row-identical.
       import graft.operators.IncrementalDedup
       val docs = Tables.documents(s, dir)
       val corpusRaw = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
@@ -1106,14 +1134,16 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       val corpus = corpusRaw.select(Tf.fingerprintHex(col("text")).as("fp"))
       val incoming = planted.select(col("doc_id"), Tf.fingerprintHex(col("text")).as("fp"))
-      // size the filter from the corpus (m = 8n -> ~2% FP at k=6): a fixed
-      // m silently saturates at larger SFs and the prefilter stops filtering
-      // while still charging build+broadcast+probe. Bounded driver fetch:
-      // one count (same class as the pkBounds reads).
+      // shard count scales with the corpus at a FIXED bits-per-shard
+      // (~8 bits/key -> ~2% FP at k=6): growth adds shards, never
+      // bytes-per-shard. Bounded driver fetch: one count (same class as
+      // the pkBounds reads). min 4 shards so the test scale exercises the
+      // multi-shard path, not a degenerate single bucket.
+      val bitsPerShard = 1 << 16
       val n = corpusRaw.count()
-      val numBits = math.min(1 << 26,
-        math.max(1 << 16, java.lang.Long.highestOneBit(8 * n) << 1)).toInt
-      IncrementalDedup.newRows(incoming, corpus, "fp", numBits, numHashes = 6)
+      val numShards = math.max(4L, (8L * n + bitsPerShard - 1) / bitsPerShard).toInt
+      IncrementalDedup.newRowsSharded(incoming, corpus, "fp",
+        numShards, bitsPerShard, numHashes = 6)
         .orderBy("doc_id")
     },
 
@@ -2168,6 +2198,21 @@ object SparkEntry {
         |FROM p LEFT JOIN seen ON p.sid = seen.sid
         |WHERE seen.highest IS NULL OR p.txid >= seen.highest
         |ORDER BY p.event_id""".stripMargin,
+
+    "binlog_resume" ->
+      """WITH t AS (SELECT event_id,
+        |    CAST(user_id % 4 AS VARCHAR) AS okey,
+        |    'binlog.' || lpad(CAST(event_id // 4000 + 1 AS VARCHAR), 6, '0') AS file,
+        |    (event_id % 4000) * 8 + 4 AS pos
+        |  FROM events),
+        |seen(okey, wfile, wpos) AS (SELECT * FROM (VALUES
+        |  ('0', 'binlog.000002', 16004), ('1', 'binlog.000001', 20000),
+        |  ('2', 'binlog.000099', 4)) v)
+        |SELECT t.event_id, t.okey, t.file, t.pos
+        |FROM t LEFT JOIN seen ON t.okey = seen.okey
+        |WHERE seen.wfile IS NULL OR t.file > seen.wfile
+        |  OR (t.file = seen.wfile AND t.pos >= seen.wpos)
+        |ORDER BY t.event_id""".stripMargin,
 
     "schema_evolution" ->
       """SELECT event_id, user_id, event_type,

@@ -212,13 +212,19 @@ case class HllMerge(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
-  // p is discovered from the first input sketch; an empty group yields the
-  // canonical empty p=4 sketch (no inputs to infer from)
-  override def createAggregationBuffer(): HllBuffer = null
+  // p is discovered from the first input sketch. "No sketch seen yet" is a
+  // REAL sentinel buffer with p = 0 (an invalid precision for any actual
+  // sketch, so unambiguous) rather than null: TypedImperativeAggregate
+  // makes no promise that the framework never touches the buffer object,
+  // and a null there is a latent NPE across Spark upgrades. An empty group
+  // evals to the canonical empty p=4 sketch (no inputs to infer p from).
+  private def isEmptySentinel(buffer: HllBuffer): Boolean = buffer.p == 0
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(0)
 
   private def absorb(buffer: HllBuffer, bytes: Array[Byte]): HllBuffer = {
     val in = HllCodec.de(bytes)
-    if (buffer == null) in
+    if (isEmptySentinel(buffer)) in
     else {
       require(buffer.p == in.p, s"cannot merge sketches of precision ${buffer.p} and ${in.p}")
       buffer.merge(in); buffer
@@ -231,17 +237,17 @@ case class HllMerge(
   }
 
   override def merge(buffer: HllBuffer, other: HllBuffer): HllBuffer =
-    if (other == null) buffer
-    else if (buffer == null) other
+    if (isEmptySentinel(other)) buffer
+    else if (isEmptySentinel(buffer)) other
     else { buffer.merge(other); buffer }
 
   override def eval(buffer: HllBuffer): Any =
-    HllCodec.ser(if (buffer == null) new HllBuffer(4) else buffer)
+    HllCodec.ser(if (isEmptySentinel(buffer)) new HllBuffer(4) else buffer)
 
   override def serialize(buffer: HllBuffer): Array[Byte] =
-    if (buffer == null) Array.emptyByteArray else HllCodec.ser(buffer)
+    if (isEmptySentinel(buffer)) Array.emptyByteArray else HllCodec.ser(buffer)
   override def deserialize(bytes: Array[Byte]): HllBuffer =
-    if (bytes.isEmpty) null else HllCodec.de(bytes)
+    if (bytes.isEmpty) new HllBuffer(0) else HllCodec.de(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
     copy(mutableAggBufferOffset = newOffset)

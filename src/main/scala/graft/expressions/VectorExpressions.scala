@@ -639,16 +639,9 @@ case class DeflateSize(child: Expression, level: Int)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
-  // one native Deflater + scratch buffer per (thread, level): zlib
-  // init/end and an 8 KB allocation PER ROW would dominate this map-only
-  // kernel; reset() reuses the native stream between rows
-  @transient private lazy val local =
-    ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
-      (new java.util.zip.Deflater(level, true), new Array[Byte](8192)))
-
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val (d, buf) = local.get()
+    val (d, buf) = DeflateSize.pool(level).get()
     d.reset()
     d.setInput(bytes)
     d.finish()
@@ -660,6 +653,24 @@ case class DeflateSize(child: Expression, level: Int)
   override protected def withNewChildInternal(newChild: Expression): DeflateSize =
     copy(child = newChild)
   override def prettyName: String = "deflate_size"
+}
+
+object DeflateSize {
+  // one native Deflater + scratch buffer per (thread, level), SHARED by all
+  // DeflateSize instances: zlib init/end and an 8 KB allocation per row
+  // would dominate the map-only kernel, and a per-instance ThreadLocal
+  // would accumulate one never-end()'d native stream per (instance, thread)
+  // over a long session running many queries. Keying the pool by level in
+  // the companion bounds the native streams at threads x 9 for the JVM
+  // lifetime; reset() reuses the stream between rows.
+  private val pools: Array[ThreadLocal[(java.util.zip.Deflater, Array[Byte])]] =
+    Array.tabulate(10) { lvl =>
+      ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
+        (new java.util.zip.Deflater(math.max(lvl, 1), true), new Array[Byte](8192)))
+    }
+
+  private[expressions] def pool(level: Int): ThreadLocal[(java.util.zip.Deflater, Array[Byte])] =
+    pools(level)
 }
 
 /** Top-level (key, JSON-type) pairs of a JSON object — the schema-inference
@@ -677,7 +688,14 @@ case class JsonTopLevelTypes(child: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
-  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // FAIL_ON_TRAILING_TOKENS: bare readTree accepts '{} junk' as an object,
+  // but the DuckDB oracle's JSON functions reject trailing content — the
+  // malformed-input lane must classify identically on both engines
+  @transient private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    m
+  }
 
   private def typeName(n: com.fasterxml.jackson.databind.JsonNode): String =
     if (n.isObject) "object"

@@ -16,9 +16,10 @@ import graft.functions.{TextFunctions => Tf}
   * the corpus side is one map-only explode (shingle extraction) feeding a
   * broadcast hash join; only the HIT rows (a tiny fraction) reach the one
   * keyed aggregation on (corpus_doc, bench_doc). Nothing ever shuffles the
-  * corpus text itself. If the benchmark set outgrew broadcast size, the
-  * same query degrades gracefully to a shuffle join on the shingle key —
-  * still O(hits), never all-pairs.
+  * corpus text itself. The broadcast is a FORCED hint (Spark honors it
+  * regardless of size), so a benchmark set too big for the driver must opt
+  * out via `broadcastBench = false` — a plain shuffle join on the shingle
+  * key, still O(hits), never all-pairs.
   *
   * Shingles are matched as exact strings so the DuckDB oracle can replay
   * the whole construction; at production scale the join key would be the
@@ -37,14 +38,15 @@ object Decontaminate {
       benchId: String,
       benchText: String,
       n: Int,
-      minHits: Long): DataFrame = {
+      minHits: Long,
+      broadcastBench: Boolean = true): DataFrame = {
     // wordShingles is array_distinct, so both explode sides are per-doc
     // distinct and count(*) below counts DISTINCT overlapping shingles
     val csh = corpus.select(col(corpusId),
       explode(Tf.wordShingles(split(col(corpusText), " "), n)).as("sh"))
     val bsh = bench.select(col(benchId),
       explode(Tf.wordShingles(split(col(benchText), " "), n)).as("sh"))
-    csh.join(broadcast(bsh), "sh")
+    csh.join(if (broadcastBench) broadcast(bsh) else bsh, "sh")
       .groupBy(corpusId, benchId)
       .agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)

@@ -294,8 +294,101 @@ object Dedup {
     // the alternating-star pointer-doubling variant, not a bigger maxIter
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
-        "component diameter exceeds the propagation budget")
+        "component diameter exceeds the propagation budget; use " +
+        "connectedComponentsStar for deep graphs (O(log d) rounds)")
     labels.select(col("v"), col("lab").as("cluster"))
+  }
+
+  /** Connected components by alternating large-star / small-star pointer
+    * doubling — O(log d) rounds in the component diameter d, vs the O(d)
+    * of [[connectedComponents]]'s min-label propagation. This is the
+    * adversarial-graph-safe default: a pathological template family
+    * producing a 1000-long chain of transitive near-dups finishes in ~10
+    * rounds here where propagation would need 1000 (and `require`-fails at
+    * its budget). Per round it costs two keyed aggregates + two joins over
+    * the EDGE table (still only the dup pairs, a vanishing fraction of the
+    * corpus) — roughly twice propagation's per-round shuffle work, bought
+    * back exponentially in round count.
+    *
+    * The two operations (after Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", where their convergence + correctness proofs
+    * live):
+    *  - large-star: every vertex u connects each STRICTLY LARGER neighbor
+    *    to the minimum of its closed neighborhood min(N(u) ∪ {u}).
+    *  - small-star: orient every edge large→small; every vertex u connects
+    *    its (now all smaller) neighbors and itself to their minimum.
+    * Both preserve connectivity; alternating them reaches a fixpoint where
+    * the edge set IS the star forest (u → component-min). Fixpoint is
+    * detected by an order-invariant set checksum (count + bit-XOR of
+    * xxhash64(u,v) — the edge sets are canonical-oriented and distinct),
+    * then VERIFIED structurally: one parent per child, no root that is
+    * itself a child — so a checksum collision cannot smuggle out wrong
+    * labels. Same localCheckpoint-per-round lineage truncation as the
+    * propagation loop (a persisted frame keeps its full logical plan; the
+    * analyzed tree otherwise grows exponentially with rounds).
+    *
+    * Returns (v, cluster) for every vertex in `pairs`, cluster = component
+    * min — same contract as [[connectedComponents]]. */
+  def connectedComponentsStar(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 35): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      und.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // vertices from degenerate self-pairs keep their own label (the mirror
+    // of propagation's behavior); real edges are canonical-oriented
+    val selfLabels = pairs.where(col(aCol) === col(bCol))
+      .select(col(aCol).as("v"), col(aCol).as("cluster")).distinct()
+    var edges = pairs.where(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var cs = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCs = checksum(next)
+      converged = nextCs == cs
+      edges = next
+      cs = nextCs
+      iter += 1
+    }
+    require(converged,
+      s"star CC did not converge in $maxIter rounds — at O(log d) rounds " +
+        "this means a graph far beyond any real dup component; investigate")
+    // structural verification of star-ness (checksum-collision guard):
+    // every child has exactly one parent, and no parent is also a child
+    val badParents = edges.groupBy("u").agg(countDistinct("v").as("nv"))
+      .where(col("nv") > 1).count()
+    require(badParents == 0L, s"star CC fixpoint is not a forest: $badParents vertices with >1 parent")
+    val rootAsChild = edges.select(col("v")).intersect(edges.select(col("u"))).count()
+    require(rootAsChild == 0L, s"star CC fixpoint has $rootAsChild non-root parents")
+    edges.select(col("u").as("v"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("v"), col("v").as("cluster")))
+      .union(selfLabels)
+      .distinct()
   }
 
   /** Cross-document duplicated chunks: every chunk fingerprint seen in more

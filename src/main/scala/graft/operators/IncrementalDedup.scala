@@ -23,6 +23,17 @@ import graft.expressions.Bloom
   * filter would be persisted next to the corpus and OR-merged
   * incrementally instead of rebuilt per batch (merge is associative and
   * partitioning-invariant).
+  *
+  * Two probe shapes:
+  *  - [[newRows]]: ONE filter, broadcast whole. Fine while m fits a single
+  *    aggregate buffer and a broadcast (corpora to ~10^8-10^9 keys).
+  *  - [[newRowsSharded]]: the 100 TB shape — the filter is SHARDED by key
+  *    hash (`bucket = pmod(hash(fp), S)`, one fixed-size filter per bucket
+  *    built by one groupBy aggregate), stored as a table, and probed by an
+  *    equi-join of incoming rows on bucket. Per-bucket filter size is a
+  *    constant of the configuration (asserted in BloomSpec); corpus growth
+  *    adds SHARDS, not bytes-per-shard, so nothing ever outgrows an
+  *    aggregation buffer or a broadcast. Same no-false-negative contract.
   */
 object IncrementalDedup {
 
@@ -48,6 +59,56 @@ object IncrementalDedup {
     val confirmedNew = maybes.join(
       corpus.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     // restore incoming's column order (the resolve join moved fpCol first)
+    val out = definitelyNew.unionByName(confirmedNew.select(incoming.columns.map(col): _*))
+    CacheScope.unpersistAfterUse(out, probed)
+  }
+
+  /** Shard-selection hash: independent of the xxhash64(fp) the Bloom's bit
+    * indices use (seeded with an extra literal), so a bucket's keys don't
+    * concentrate on a bit-index residue class inside their shard's filter. */
+  private def bucketOf(fp: Column, numShards: Int): Column =
+    pmod(xxhash64(lit("__graft_shard__"), fp), lit(numShards.toLong)).cast("int")
+
+  /** The sharded filter table: one row per key-hash bucket,
+    * `(__bucket int, __bloom binary)`, each filter a FIXED `bitsPerShard`
+    * bits regardless of corpus size. This is the 100 TB shape the single
+    * broadcast filter of [[newRows]] cannot reach: a 10^11-key corpus at
+    * m = 8n needs ~100 GB of filter — not constructible in one aggregate
+    * buffer, not broadcastable — but as `S = ceil(8n / bitsPerShard)`
+    * shards it is one ordinary groupBy aggregate (map-side partial OR-merge
+    * per bucket), a table you persist next to the corpus, and every piece
+    * stays a few hundred KB. Growth is in SHARD COUNT, never shard size.
+    * Incremental maintenance is per-bucket OR-merge, same as the flat
+    * filter. */
+  def shardedFilters(corpus: DataFrame, fpCol: String, numShards: Int,
+      bitsPerShard: Int, numHashes: Int): DataFrame =
+    corpus
+      .select(bucketOf(col(fpCol), numShards).as("__bucket"), col(fpCol))
+      .groupBy("__bucket")
+      .agg(Bloom.aggregate(col(fpCol), bitsPerShard, numHashes).as("__bloom"))
+
+  /** [[newRows]] through the sharded filter table — identical result (no
+    * false negatives per shard, exact resolve over the maybes), but no
+    * single-broadcast scale cap. The probe is an equi-join of incoming on
+    * `__bucket`: Spark broadcasts the filter table while it is small and
+    * degrades to a keyed shuffle of the INCOMING side only (KB-scale rows)
+    * when it is not — each task then holds just its buckets' filters.
+    * Buckets with no corpus keys have no filter row (left join, NULL
+    * bloom) and are definitely-new by construction. */
+  def newRowsSharded(incoming: DataFrame, corpus: DataFrame, fpCol: String,
+      numShards: Int, bitsPerShard: Int = 1 << 20, numHashes: Int = 6): DataFrame = {
+    val filters = shardedFilters(corpus, fpCol, numShards, bitsPerShard, numHashes)
+    val probed = incoming
+      .withColumn("__bucket", bucketOf(col(fpCol), numShards))
+      .join(filters, Seq("__bucket"), "left")
+      .withColumn("__maybe",
+        coalesce(Bloom.mightContain(col("__bloom"), col(fpCol)), lit(false)))
+      .drop("__bucket", "__bloom")
+      .persist()
+    val definitelyNew = probed.where(!col("__maybe")).drop("__maybe")
+    val maybes = probed.where(col("__maybe")).drop("__maybe")
+    val confirmedNew = maybes.join(
+      corpus.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     val out = definitelyNew.unionByName(confirmedNew.select(incoming.columns.map(col): _*))
     CacheScope.unpersistAfterUse(out, probed)
   }

@@ -49,6 +49,12 @@ object Sampling {
   def reservoirPerKey(
       df: DataFrame, keys: Seq[String], idCol: String, k: Int,
       salt: String): DataFrame = {
+    // `h` and `rk` are part of the OUTPUT contract (audit columns), so they
+    // can't be renamed away — but withColumn would silently OVERWRITE
+    // same-named input columns and corrupt the sample ordering. Refuse.
+    require(!df.columns.contains("h") && !df.columns.contains("rk"),
+      "reservoirPerKey emits audit columns 'h' and 'rk'; rename the " +
+        "input's same-named columns first")
     val h = md5(concat(col(idCol).cast("string"), lit("|" + salt)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)

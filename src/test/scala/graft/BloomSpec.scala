@@ -63,4 +63,50 @@ class BloomSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.length === 70)
   }
+
+  test("sharded incremental dedup equals the plain anti-join and the flat path") {
+    val corpus = (1 to 300).map(i => s"c_$i").toDF("fp")
+    val incoming = ((1 to 50).map(i => (i.toLong, s"c_$i")) ++
+      (51 to 120).map(i => (i.toLong, s"new_$i"))).toDF("id", "fp")
+    // small shards (512 bits) over 8 buckets -> saturated per-bucket
+    // filters, real false positives; exact resolve must still match
+    val got = IncrementalDedup.newRowsSharded(incoming, corpus, "fp",
+      numShards = 8, bitsPerShard = 512, numHashes = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = incoming.join(corpus, Seq("fp"), "left_anti")
+      .select("id", "fp").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === want)
+    val flat = IncrementalDedup.newRows(incoming, corpus, "fp",
+      numBits = 4096, numHashes = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === flat)
+  }
+
+  test("per-bucket filter size is a constant of the config, independent of corpus count") {
+    // the 100 TB claim in one assertion: 100 keys or 10,000 keys, every
+    // shard's serialized filter is exactly 1 + bitsPerShard/8 bytes —
+    // corpus growth adds SHARDS, never bytes-per-shard
+    val bitsPerShard = 1 << 12
+    for (n <- Seq(100, 10000)) {
+      val corpus = (1 to n).map(i => s"key_$i").toDF("fp")
+      val sizes = IncrementalDedup.shardedFilters(corpus, "fp",
+        numShards = 16, bitsPerShard = bitsPerShard, numHashes = 6)
+        .select(octet_length(col("__bloom")).as("len"))
+        .agg(min("len"), max("len"), count(lit(1))).head()
+      assert(sizes.getInt(0) === 1 + bitsPerShard / 8, s"n=$n min size")
+      assert(sizes.getInt(1) === 1 + bitsPerShard / 8, s"n=$n max size")
+      assert(sizes.getLong(2) === 16L, s"n=$n all shards populated")
+    }
+  }
+
+  test("sharded probe: buckets absent from the corpus are definitely-new") {
+    // force disjoint buckets: corpus keys land in some buckets, incoming
+    // keys that hash to EMPTY buckets must survive with no exact-resolve
+    val corpus = (1 to 20).map(i => s"c_$i").toDF("fp")
+    val incoming = (1 to 200).map(i => (i.toLong, s"probe_$i")).toDF("id", "fp")
+    val got = IncrementalDedup.newRowsSharded(incoming, corpus, "fp",
+      numShards = 64, bitsPerShard = 512, numHashes = 3).count()
+    assert(got === 200L)
+  }
 }

@@ -34,4 +34,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("min id wins regardless of pair orientation") {
     assert(cc((9L, 1L), (1L, 5L)) === Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
+
+  private def ccStar(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponentsStar(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star CC matches propagation on chains, cycles, and stars") {
+    val cases = Seq(
+      Seq((2L, 5L), (5L, 9L), (20L, 30L)),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (10L, 12L), (10L, 13L)),
+      Seq((9L, 1L), (1L, 5L)),
+      (0L until 12L).map(i => (100L + i, 101L + i)))
+    for (ps <- cases) assert(ccStar(ps: _*) === cc(ps: _*), s"pairs=$ps")
+  }
+
+  test("adversarial 1000-long chain: propagation require-fails at its budget, star CC converges") {
+    // the pathological template-family shape: a path graph of diameter
+    // 1000 — min-label propagation needs ~1000 rounds (one hop per round)
+    val chain = (0L until 1000L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain.toDF("a", "b"), "a", "b", maxIter = 20).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val got = ccStar(chain: _*)
+    assert(got.size === 1001)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("star CC handles self-pairs and single edges") {
+    assert(ccStar((7L, 7L), (1L, 2L)) === Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
 }

@@ -31,9 +31,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // brute-force exact top-k inside the query, plus a one-row denominator
     // broadcast) and text_tfidf (a ONE-ROW corpus-count broadcast attached
     // to every term — O(n) map-side, the cheapest way to ship a scalar).
-    // dedup_incremental and sketch_heavy_hitters broadcast a ONE-ROW
-    // aggregate (the Bloom filter / count-min sketch bytes) the same way:
-    // the single-row side makes the nested loop O(n) map-side probes.
+    // sketch_heavy_hitters broadcasts a ONE-ROW aggregate (the count-min
+    // sketch bytes) the same way: the single-row side makes the nested
+    // loop O(n) map-side probes. (dedup_incremental used to be here for
+    // its single broadcast Bloom; the sharded filter table is now probed
+    // by a keyed equi-join on bucket, so it must NOT plan a nested loop.)
     // Everything else must be keyed joins. CartesianProduct is banned
     // everywhere. Known blind spot: queries that EXECUTE work inside their
     // builder (cdc_handoff's foreachBatch merges, dedup_clusters'
@@ -41,7 +43,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // interior join shapes are covered by their own specs
     // (SnapshotHandoffSpec, ConnectedComponentsSpec) rather than this gate.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
-      "dedup_incremental", "sketch_heavy_hitters")
+      "sketch_heavy_hitters")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
