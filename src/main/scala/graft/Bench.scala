@@ -36,15 +36,27 @@ object Bench {
     def jsonSafe(s: String): String =
       s.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
 
-    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
-        catch {
-          case e: Throwable =>
-            Some(jsonSafe(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    // dev-loop knobs (unset in driver runs): SPARK_GRAFT_BENCH_FILTER
+    // benches a comma-separated subset; SPARK_GRAFT_BENCH_REPEAT=N times
+    // each query N times and reports the MIN (steady-state, for A/B runs
+    // where JIT/cache warmup would otherwise dominate the delta)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.contains(name)) }
+    val outcomes = selected.map { case (name, fn) =>
+      val runs = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+          catch {
+            case e: Throwable =>
+              Some(jsonSafe(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val firstErr = runs.flatMap(_._2).headOption
+      (name, runs.map(_._1).min, firstErr)
     }
     val qs = outcomes.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errs = outcomes.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }

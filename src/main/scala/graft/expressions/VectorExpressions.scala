@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,8 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * row. These expressions do the same math in one tight primitive loop over
   * the unsafe array data (~100x faster), which is what keeps sketching
   * map-side-cheap at 100 TB. They are deterministic, null-safe one-pass
-  * kernels; `CodegenFallback` only re-enters the interpreter once per ROW,
-  * not per element, so the codegen'd surrounding stage stays intact.
+  * kernels. The hottest three (ShingleHashes, MinHashSig, RepetitionStats)
+  * implement `doGenCode` as a direct generated call into the kernel method
+  * with the already-evaluated child value — zero interpreter re-entry. The
+  * rest use `CodegenFallback`, which re-enters the interpreter once per
+  * ROW (one Expression.eval virtual dispatch), not per element, so the
+  * codegen'd surrounding stage stays intact either way.
   */
 object Sketch {
   val MersennePrime31 = 2147483647L // 2^31 - 1
@@ -58,7 +62,7 @@ object Sketch {
   * compares hash SETS; with 64-bit hashes a collision inside one pair's
   * union is ~n^2/2^64, i.e. never). */
 case class ShingleHashes(child: Expression, n: Int, word: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -74,7 +78,11 @@ case class ShingleHashes(child: Expression, n: Int, word: Boolean)
     h
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
+  // doGenCode routes here directly with the already-evaluated child value:
+  // no per-row interpreter re-entry (CodegenFallback's Expression.eval
+  // virtual dispatch + InternalRow hand-off), and the surrounding stage's
+  // codegen stays unbroken
+  def compute(input: UTF8String): ArrayData = {
     val text = input.toString
     val set = new java.util.TreeSet[java.lang.Long]()
     if (word) {
@@ -108,6 +116,15 @@ case class ShingleHashes(child: Expression, n: Int, word: Boolean)
     var i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
@@ -260,15 +277,14 @@ case class EqualPositionCount(left: Expression, right: Expression)
 /** MinHash signature over an array<long> of element hashes: for each of
   * `numPerm` permutations, min((a_i * (x & 2^30-1) + b_i) mod p). */
 case class MinHashSig(child: Expression, numPerm: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val (pa, pb) = Sketch.permConstants(numPerm)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numPerm)(Long.MaxValue)
     var i = 0
@@ -283,6 +299,15 @@ case class MinHashSig(child: Expression, numPerm: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -482,12 +507,12 @@ case class SimHash16(child: Expression) extends UnaryExpression with CodegenFall
   * is the tokenizer's own separator), so no per-gram string concatenation
   * is materialized beyond the count map keys. */
 case class RepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override protected def nullSafeEval(input: Any): Any = {
+  def compute(input: UTF8String): ArrayData = {
     val text = input.toString
     val len = text.length
     // token start offsets under split-on-single-space semantics: "" is ONE
@@ -542,6 +567,15 @@ case class RepetitionStats(child: Expression)
     }
 
     new GenericArrayData(Array(nTok.toLong, topBigram, dupTri, maxRun))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetitionStats", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
