@@ -85,19 +85,25 @@ object EventsIngest {
     spark.read.parquet(landing)
   }
 
-  /** Stream a single parquet file: FileStreamSource wants a directory, so
-    * point it at the parent with a glob filter for the one table file.
-    * Shared by the streaming ingests. */
+  /** Stream a parquet table path. FileStreamSource wants a directory: a
+    * path that IS a directory (multi-file table, e.g. engine-written
+    * part files) streams directly — hidden (_/.-prefixed) files are
+    * filtered by the source; a single-FILE table path points at the parent
+    * with a glob filter for that one file (a bare glob on the parent would
+    * otherwise ingest sibling tables). Shared by the streaming ingests. */
   private[streaming] def fileStream(
       spark: SparkSession,
       path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val dir = new java.io.File(path).getParent
-    val fileName = new java.io.File(path).getName
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", fileName)
-      .parquet(dir)
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      spark.readStream.schema(schema).parquet(path)
+    } else {
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", f.getName)
+        .parquet(f.getParent)
+    }
   }
 
   /** Run `stream` to a parquet landing zone with AvailableNow + checkpoint,

@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   * dedup/ANN workload quadratic ACROSS copies and measures pair explosion,
   * not engine scaling — so copies are decorrelated while preserving every
   * INTRA-copy similarity structure exactly:
-  *  - documents: every token gets a per-copy suffix (shingle sets across
-  *    copies become disjoint; Jaccard within a copy is unchanged);
+  *  - documents: a per-copy substitution cipher over the lowercase letters
+  *    (deterministic Fisher-Yates shuffle of a-z; spaces, digits and
+  *    punctuation fixed). A bijective character map preserves every
+  *    intra-copy similarity EXACTLY — token boundaries, lengths, char- and
+  *    word-shingle set cardinalities, repetition structure — while making
+  *    cross-copy char n-grams disjoint. (A per-token suffix was tried
+  *    first and failed for CHAR n-grams: interior trigrams survive the
+  *    suffix, so cross-copy docs still collide in LSH bands at ~0.7
+  *    similarity and candidate pairs grow with copies^2.);
   *  - embeddings: elementwise deterministic +-1 sign mask per copy
   *    (cos(a*s, b*s) = cos(a, b) within a copy; expected cross-copy cosine
   *    ~ N(0, 1/dim), far below every near-dup threshold).
@@ -78,14 +85,22 @@ object GenScale {
         .withColumn("user_id", off("user_id", k, userSpan))
     }
     scaled("documents", 8) { (df, k) =>
+      val alphabet = "abcdefghijklmnopqrstuvwxyz"
+      val perm = alphabet.toCharArray
+      // deterministic Fisher-Yates keyed by the copy index; k=0 stays identity
+      if (k > 0) {
+        var i = perm.length - 1
+        while (i > 0) {
+          val j = java.lang.Math.floorMod(splitmix64(k.toLong * 7919L + i), (i + 1).toLong).toInt
+          val t = perm(i); perm(i) = perm(j); perm(j) = t
+          i -= 1
+        }
+      }
       val text =
         if (k == 0) col("text")
-        else array_join(transform(split(col("text"), " "),
-          x => concat(x, lit(k.toString))), " ")
+        else translate(col("text"), alphabet, new String(perm))
       df.withColumn("doc_id", off("doc_id", k, docSpan))
         .withColumn("text", text)
-        .withColumn("n_chars",
-          if (k == 0) col("n_chars") else length(col("text")).cast("long"))
     }
     val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
     scaled("embeddings", 2) { (df, k) =>
