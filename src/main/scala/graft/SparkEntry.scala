@@ -882,6 +882,30 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "shard_resume" -> { (s, dir) =>
+      // DynamoDB-stream shard replay guard (sources/dynamodb/stream/
+      // shard.go:63-87, offsets/offsets.go:79-90): per-shard watermarks,
+      // STRICTLY-after sequence resume (AfterSequenceNumber), TrimHorizon
+      // for unseen shards, processed shards skipped wholesale. Sequence
+      // numbers are decimal STRINGS ordered by (length, lex) — event_ids
+      // span length boundaries, so a plain string compare would be wrong
+      // here (that is the point of the fixture). Map-only at any scale.
+      import s.implicits._
+      val tagged = Tables.events(s, dir)
+        .select(col("event_id"),
+          concat(lit("shard-"), (col("user_id") % 6).cast("string")).as("shard_id"),
+          col("event_id").cast("string").as("seq"))
+      val seen = Seq[(String, Option[String], Boolean)](
+        ("shard-0", Some("5000"), false),  // strictly-after mid-stream
+        ("shard-1", Some("999"), false),   // length-boundary: "1000" must pass
+        ("shard-2", None, false),          // seen, no sequence yet -> all pass
+        ("shard-4", Some("17"), true))     // processed -> nothing
+        .toDF("shard_id", "last_seq", "processed") // shards 3/5 unseen -> TrimHorizon
+      graft.streaming.ShardResume.shouldProcess(tagged, "shard_id", "seq", seen)
+        .select("event_id", "shard_id", "seq")
+        .orderBy("event_id")
+    },
+
     "schema_evolution" -> { (s, dir) =>
       // The FULL DDL event lifecycle routed through the schema-history
       // cache (create_table.go columns+PK+defaults, drop_table.go,
@@ -2212,6 +2236,22 @@ object SparkEntry {
         |FROM t LEFT JOIN seen ON t.okey = seen.okey
         |WHERE seen.wfile IS NULL OR t.file > seen.wfile
         |  OR (t.file = seen.wfile AND t.pos >= seen.wpos)
+        |ORDER BY t.event_id""".stripMargin,
+
+    "shard_resume" ->
+      """WITH t AS (SELECT event_id,
+        |    'shard-' || CAST(user_id % 6 AS VARCHAR) AS shard_id,
+        |    CAST(event_id AS VARCHAR) AS seq
+        |  FROM events),
+        |seen(shard_id, last_seq, processed) AS (SELECT * FROM (VALUES
+        |  ('shard-0', '5000', false), ('shard-1', '999', false),
+        |  ('shard-2', NULL, false), ('shard-4', '17', true)) v)
+        |SELECT t.event_id, t.shard_id, t.seq
+        |FROM t LEFT JOIN seen ON t.shard_id = seen.shard_id
+        |WHERE NOT coalesce(seen.processed, false)
+        |  AND (seen.last_seq IS NULL
+        |    OR len(t.seq) > len(seen.last_seq)
+        |    OR (len(t.seq) = len(seen.last_seq) AND t.seq > seen.last_seq))
         |ORDER BY t.event_id""".stripMargin,
 
     "schema_evolution" ->
