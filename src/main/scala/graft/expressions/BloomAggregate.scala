@@ -32,7 +32,9 @@ import org.apache.spark.sql.types._
   * "have I seen this key" at corpus scale.
   */
 final class BloomBuffer(val numBits: Int, val numHashes: Int) {
-  require(numBits % 8 == 0 && numBits > 0, s"numBits $numBits not a positive multiple of 8")
+  // numBits == 0 is BloomMerge's "no filter seen yet" sentinel (never
+  // add()ed to); any real filter needs a positive multiple of 8
+  require(numBits % 8 == 0 && numBits >= 0, s"numBits $numBits not a non-negative multiple of 8")
   val bytes: Array[Byte] = new Array[Byte](numBits / 8)
 
   def add(h: Long): Unit = {
@@ -85,6 +87,13 @@ object Bloom {
   def mightContain(bloom: Column, c: Column): Column =
     Sketch.column(BloomMightContain(Sketch.expr(bloom),
       Sketch.expr(org.apache.spark.sql.functions.xxhash64(c))))
+
+  /** OR-merge of already-serialized filters — the re-aggregation tier
+    * (stored filter table + today's delta → tomorrow's table, no corpus
+    * rescan). Bitwise OR is exact: merged bytes are identical to a rebuild
+    * over the union (asserted in BloomSpec). */
+  def merge(c: Column): Column =
+    Sketch.column(BloomMerge(Sketch.expr(c)).toAggregateExpression())
 }
 
 /** `bloom_build(hash64, m, k)` → serialized filter bytes (BinaryType). */
@@ -97,6 +106,7 @@ case class BloomBuild(
     extends TypedImperativeAggregate[BloomBuffer] {
 
   require(numHashes >= 1 && numHashes <= 127, s"numHashes $numHashes outside [1, 127]")
+  require(numBits > 0, s"numBits $numBits must be positive")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -138,6 +148,77 @@ case class BloomBuild(
       newChildren: IndexedSeq[Expression]): BloomBuild =
     copy(child = newChildren(0))
   override def prettyName: String = "bloom_build"
+}
+
+/** `bloom_merge(filterBytes)` → OR-merged serialized filter. The Bloom twin
+  * of HllMerge: consumes ALREADY-serialized filters, so a persisted filter
+  * table and a fresh delta merge per bucket without touching raw keys.
+  * "No sketch seen yet" is a real zero-length sentinel buffer (numBits = 0
+  * is invalid for any actual filter), not null — same rationale as
+  * HllMerge's p = 0 sentinel. Mixed geometries (different m or k) are a
+  * configuration error and fail loudly: OR-ing filters of different sizes
+  * silently loses the no-false-negative contract. */
+case class BloomMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BloomBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  private def isEmptySentinel(b: BloomBuffer): Boolean = b.numBits == 0
+
+  override def createAggregationBuffer(): BloomBuffer = new BloomBuffer(0, 0)
+
+  private def absorb(buffer: BloomBuffer, bytes: Array[Byte]): BloomBuffer = {
+    val in = deserialize(bytes)
+    if (isEmptySentinel(buffer)) in
+    else {
+      require(buffer.numBits == in.numBits && buffer.numHashes == in.numHashes,
+        s"cannot merge filters of geometry (m=${buffer.numBits}, k=${buffer.numHashes}) " +
+          s"and (m=${in.numBits}, k=${in.numHashes})")
+      buffer.merge(in); buffer
+    }
+  }
+
+  override def update(buffer: BloomBuffer, input: InternalRow): BloomBuffer = {
+    val v = child.eval(input)
+    if (v == null) buffer else absorb(buffer, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(buffer: BloomBuffer, other: BloomBuffer): BloomBuffer =
+    if (isEmptySentinel(other)) buffer
+    else if (isEmptySentinel(buffer)) other
+    else { require(buffer.numBits == other.numBits); buffer.merge(other); buffer }
+
+  override def eval(buffer: BloomBuffer): Any = serialize(buffer)
+
+  override def serialize(buffer: BloomBuffer): Array[Byte] =
+    if (isEmptySentinel(buffer)) Array.emptyByteArray
+    else {
+      val out = new Array[Byte](1 + buffer.bytes.length)
+      out(0) = buffer.numHashes.toByte
+      System.arraycopy(buffer.bytes, 0, out, 1, buffer.bytes.length)
+      out
+    }
+  override def deserialize(bytes: Array[Byte]): BloomBuffer =
+    if (bytes.isEmpty) new BloomBuffer(0, 0)
+    else {
+      val buf = new BloomBuffer((bytes.length - 1) * 8, bytes(0).toInt)
+      System.arraycopy(bytes, 1, buf.bytes, 0, buf.bytes.length)
+      buf
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomMerge =
+    copy(child = newChildren(0))
+  override def prettyName: String = "bloom_merge"
 }
 
 /** `bloom_might_contain(filterBytes, hash64)` — zero-copy bit probes against

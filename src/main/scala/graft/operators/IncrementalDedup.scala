@@ -113,6 +113,19 @@ object IncrementalDedup {
     CacheScope.unpersistAfterUse(out, probed)
   }
 
+  /** Incremental maintenance of a sharded filter table WITHOUT a corpus
+    * rescan: union the stored table with the delta batch's table and
+    * OR-merge per bucket (one keyed ObjectHashAggregate over |buckets|
+    * rows of fixed-size filters — trivial at any corpus size). Bitwise OR
+    * is exact, so the result is BIT-IDENTICAL to rebuilding over
+    * corpus ∪ delta (asserted in BloomSpec) — the same stored-sketch
+    * lifecycle as the HLL sketch tables: scan each day's data once,
+    * merge filter tables forever after. */
+  def mergeShardedFilters(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta)
+      .groupBy("__bucket")
+      .agg(Bloom.merge(col("__bloom")).as("__bloom"))
+
   /** Diagnostic: the maybe-hit fraction, for FP-rate assertions in specs. */
   def maybeFraction(incoming: DataFrame, corpus: DataFrame, fpCol: String,
       numBits: Int, numHashes: Int): Double = {

@@ -100,6 +100,33 @@ class BloomSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental maintenance: OR-merged filter tables are bit-identical to a rebuild") {
+    // the stored-sketch lifecycle claim made literal: filters(A) merged
+    // with filters(B) must equal filters(A union B) byte for byte, per
+    // bucket — so daily deltas maintain the table with no corpus rescan
+    val a = (1 to 400).map(i => s"old_$i").toDF("fp")
+    val b = (1 to 150).map(i => s"new_$i").toDF("fp")
+    def filters(df: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.shardedFilters(df, "fp", numShards = 8, bitsPerShard = 1 << 10, numHashes = 4)
+    val merged = IncrementalDedup.mergeShardedFilters(filters(a), filters(b))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rebuilt = filters(a.unionByName(b))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(merged.keySet === rebuilt.keySet)
+    for ((k, bytes) <- rebuilt)
+      assert(java.util.Arrays.equals(merged(k), bytes), s"bucket $k diverged")
+  }
+
+  test("merging filters of different geometry fails loudly") {
+    val a = (1 to 50).map(i => s"x_$i").toDF("fp")
+    val fa = IncrementalDedup.shardedFilters(a, "fp", 4, 1 << 10, 4)
+    val fb = IncrementalDedup.shardedFilters(a, "fp", 4, 1 << 12, 4)
+    val ex = intercept[Exception] {
+      IncrementalDedup.mergeShardedFilters(fa, fb).collect()
+    }
+    assert(ex.getMessage.contains("geometry") || ex.getCause != null)
+  }
+
   test("sharded probe: buckets absent from the corpus are definitely-new") {
     // force disjoint buckets: corpus keys land in some buckets, incoming
     // keys that hash to EMPTY buckets must survive with no exact-resolve
