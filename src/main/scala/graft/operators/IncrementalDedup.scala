@@ -78,8 +78,9 @@ object IncrementalDedup {
     * shards it is one ordinary groupBy aggregate (map-side partial OR-merge
     * per bucket), a table you persist next to the corpus, and every piece
     * stays a few hundred KB. Growth is in SHARD COUNT, never shard size.
-    * Incremental maintenance is per-bucket OR-merge, same as the flat
-    * filter. */
+    * Incremental maintenance is [[mergeShardedFilters]]: OR-merge the
+    * stored table with a delta batch's table per bucket — bit-identical
+    * to a rebuild over the union (spec-asserted), no corpus rescan. */
   def shardedFilters(corpus: DataFrame, fpCol: String, numShards: Int,
       bitsPerShard: Int, numHashes: Int): DataFrame =
     corpus
