@@ -355,15 +355,21 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // vertices from degenerate self-pairs keep their own label (the mirror
-    // of propagation's behavior); real edges are canonical-oriented
-    val selfLabels = pairs.where(col(aCol) === col(bCol))
-      .select(col(aCol).as("v"), col(aCol).as("cluster")).distinct()
     var edges = pairs.where(col(aCol) =!= col(bCol))
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .distinct()
       .localCheckpoint(true)
+    // vertices appearing ONLY in degenerate self-pairs keep their own label
+    // (the mirror of propagation's behavior); a vertex with BOTH a self-pair
+    // and real edges gets its label from the star forest alone — emitting
+    // both would produce two labels for one vertex (caught by the
+    // union-find property spec)
+    val realVerts = edges.select(col("u").as("v"))
+      .union(edges.select(col("v"))).distinct()
+    val selfLabels = pairs.where(col(aCol) === col(bCol))
+      .select(col(aCol).as("v"), col(aCol).as("cluster")).distinct()
+      .join(realVerts, Seq("v"), "left_anti")
     var cs = checksum(edges)
     var iter = 0
     var converged = false

@@ -64,4 +64,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("star CC handles self-pairs and single edges") {
     assert(ccStar((7L, 7L), (1L, 2L)) === Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("star CC matches a union-find reference over 20 random graphs") {
+    val rnd = new scala.util.Random(8204L)
+    (1 to 20).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val pairs = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // driver-side union-find as the reference model
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      assert(ccStar(pairs: _*) === expected, s"pairs=$pairs")
+    }
+  }
 }
