@@ -1081,6 +1081,39 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_survivors" -> { (s, dir) =>
+      // The curation endgame the cluster table exists FOR: keep the
+      // HIGHEST-QUALITY member of every near-dup cluster, not the min-id
+      // one (production semantics: among boilerplate variants keep the
+      // cleanest). LSH pairs -> star-CC clusters -> quality score ->
+      // per-cluster argmax (quality desc, doc_id tiebreak). Shape at
+      // 100 TB: clusters live on the PAIR graph only; quality is map-only;
+      // the final window partitions by cluster (near-dup clusters are
+      // tiny); unclustered docs are their own singleton survivors via the
+      // left join's coalesce — no shuffle of un-clustered text.
+      import graft.expressions.{Sketch, TokenStats}
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("v").as("doc_id"), col("cluster").as("cl"))
+      val nTok = element_at(col("st"), 1)
+      val nUniq = element_at(col("st"), 2)
+      val stopHits = element_at(col("st"), 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+      docs
+        .withColumn("st", Sketch.column(
+          TokenStats(Sketch.expr(col("text")), Tf.EnStops, lowercase = true)))
+        .withColumn("quality",
+          lit(0.4) * (nUniq / nTok) + lit(0.4) * (lit(1.0) - stopHits / nTok) +
+            lit(0.2) * least(lit(1.0), nTok / lit(200.0)))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
+        .withColumn("is_survivor", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("quality"), col("is_survivor"))
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -2344,6 +2377,37 @@ object SparkEntry {
         |)
         |SELECT v AS doc_id, MIN(lab) AS cluster_id, v = MIN(lab) AS is_rep
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    "dedup_survivors" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        |      FROM w WHERE len(toks) >= 5),
+        |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(a.sh || b.sh)) >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |reach(v, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+        |),
+        |clus AS (SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v),
+        |lt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS BIGINT) AS sh,
+        |    len(list_distinct(toks)) AS u
+        |  FROM lt),
+        |sc AS (SELECT doc_id,
+        |    0.4 * (u / n) + 0.4 * (1.0 - sh / n) + 0.2 * least(1.0, n / 200.0) AS quality
+        |  FROM m),
+        |lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, sc.quality
+        |  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+        |  JOIN sc ON sc.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, quality,
+        |  (row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1) AS is_survivor
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
