@@ -127,6 +127,29 @@ class BloomSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("geometry") || ex.getCause != null)
   }
 
+  test("sharded dedup matches the plain anti-join over 12 random datasets") {
+    // randomized overlap fractions, shard counts, and saturation levels —
+    // the no-false-negative contract must hold at every configuration
+    val rnd = new scala.util.Random(8205L)
+    (1 to 12).foreach { trial =>
+      val nCorpus = 20 + rnd.nextInt(300)
+      val corpus = (1 to nCorpus).map(i => s"t${trial}_c$i").toDF("fp")
+      val incoming = (1 to 20 + rnd.nextInt(150)).map { i =>
+        val dup = rnd.nextInt(100) < 30
+        (i.toLong, if (dup) s"t${trial}_c${1 + rnd.nextInt(nCorpus)}" else s"t${trial}_n$i")
+      }.toDF("id", "fp")
+      val shards = 1 << rnd.nextInt(5)             // 1..16
+      val bits = 8 << (3 + rnd.nextInt(5))         // 64..1024 bits: often saturated
+      val got = IncrementalDedup.newRowsSharded(incoming, corpus, "fp",
+        shards, bits, numHashes = 1 + rnd.nextInt(5))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val want = incoming.join(corpus, Seq("fp"), "left_anti")
+        .select("id", "fp").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === want, s"trial=$trial shards=$shards bits=$bits")
+    }
+  }
+
   test("sharded probe: buckets absent from the corpus are definitely-new") {
     // force disjoint buckets: corpus keys land in some buckets, incoming
     // keys that hash to EMPTY buckets must survive with no exact-resolve
