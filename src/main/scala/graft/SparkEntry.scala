@@ -1142,8 +1142,19 @@ object SparkEntry {
         .select((col("vec_id") + 1000000000000L).as("vec_id"),
           transform(col("embedding"),
             (x, i) => x * (lit(1.0) + lit(0.2) * (i % 2).cast("double"))).as("embedding"))
+      // Band COUNT sized to the corpus margin, band WIDTH sized to the
+      // corpus cardinality — the two dials are not interchangeable. The
+      // pair spectrum here is bimodal (planted twins >= 0.995, natural
+      // pairs <= ~0.51), so nothing sits near the 0.9 decision boundary
+      // and 64 bands suffice: a 0.995-pair shares a band with
+      // p^16 ~ 0.59 and misses all 64 with (1-0.59)^64 ~ 1e-25. Band
+      // width must STAY 16 bits: dropping to 8 collapses the key space to
+      // 256 buckets, every bucket goes dense, and candidate pairs explode
+      // quadratically — measured 3.6x SLOWER than the 256x16 default at
+      // sf1 before exact-verify even helps. (The 256x16 operator default
+      // remains for corpora with genuine boundary pairs.)
       Dedup.embeddingNearDupPairs(base.unionByName(twins), "vec_id", "embedding",
-        dim = 64, threshold = 0.9)
+        dim = 64, threshold = 0.9, numBands = 64, bitsPerBand = 16)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
         .orderBy("vec_a", "vec_b")
     },
