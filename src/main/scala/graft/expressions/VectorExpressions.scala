@@ -747,7 +747,7 @@ case class JsonTopLevelTypes(child: Expression)
     if (root == null || !root.isObject) null
     else {
       val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
-      val it = root.fields()
+      val it = root.properties().iterator()
       while (it.hasNext) {
         val e = it.next()
         out += UTF8String.fromString(e.getKey + "|" + typeName(e.getValue))

@@ -59,7 +59,7 @@ object IncrementalDedup {
     val confirmedNew = maybes.join(
       corpus.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     // restore incoming's column order (the resolve join moved fpCol first)
-    val out = definitelyNew.unionByName(confirmedNew.select(incoming.columns.map(col): _*))
+    val out = definitelyNew.unionByName(confirmedNew.select(incoming.columns.toIndexedSeq.map(col): _*))
     CacheScope.unpersistAfterUse(out, probed)
   }
 
@@ -110,7 +110,7 @@ object IncrementalDedup {
     val maybes = probed.where(col("__maybe")).drop("__maybe")
     val confirmedNew = maybes.join(
       corpus.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
-    val out = definitelyNew.unionByName(confirmedNew.select(incoming.columns.map(col): _*))
+    val out = definitelyNew.unionByName(confirmedNew.select(incoming.columns.toIndexedSeq.map(col): _*))
     CacheScope.unpersistAfterUse(out, probed)
   }
 

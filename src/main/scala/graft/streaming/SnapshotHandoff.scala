@@ -74,8 +74,8 @@ object SnapshotHandoff {
         val affected = b.select("bucket").distinct().collect().map(_.getLong(0))
         if (affected.nonEmpty) {
           val cur = spark.read.parquet(stateDir)
-            .where(col("bucket").isin(affected: _*))
-            .select(b.columns.map(col): _*)
+            .where(col("bucket").isin(affected.toIndexedSeq: _*))
+            .select(b.columns.toIndexedSeq.map(col): _*)
           val merged = Envelope.latestState(
             cur.unionByName(b), Seq(keyCol), orderCols.map(col))
             // barrier: break lineage to stateDir before overwriting it

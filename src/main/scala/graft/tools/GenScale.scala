@@ -109,7 +109,7 @@ object GenScale {
       }
       val emb =
         if (k == 0) col("embedding")
-        else zip_with(col("embedding"), array(mask.map(lit): _*), (x, s) => x * s)
+        else zip_with(col("embedding"), array(mask.toIndexedSeq.map(lit): _*), (x, s) => x * s)
       df.withColumn("vec_id", off("vec_id", k, vecSpan))
         .withColumn("embedding", emb)
     }
