@@ -128,4 +128,30 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     // distinct bigram max: "x y x y z" -> "x y" twice
     assert(stats("x y x y z") == Seq(5L, 2L, 0L, 1L))
   }
+
+  test("codegen and interpreted paths agree for the doGenCode kernels") {
+    // the r8 direct-call doGenCode must produce byte-identical results to
+    // nullSafeEval — pinned by running the same plan with codegen forced
+    // OFF (CODEGEN_ONLY would mask an eval bug; NO_CODEGEN masks a genCode
+    // bug; comparing the two catches either diverging)
+    import graft.expressions.{MinHashSig, ShingleHashes}
+    val docs = TestSpark.spark.read
+      .parquet(s"${TestSpark.Sf}/documents.parquet").limit(120)
+    def run(): Seq[String] = docs
+      .select(col("doc_id"),
+        Sketch.column(MinHashSig(Sketch.expr(
+          Sketch.column(ShingleHashes(Sketch.expr(col("text")), 5, word = true))), 32)).as("sig"),
+        Sketch.column(RepetitionStats(Sketch.expr(col("text")))).as("rep"))
+      .orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val codegen = run()
+    val conf = TestSpark.spark.conf
+    val key = "spark.sql.codegen.factoryMode"
+    val prior = conf.getOption(key)
+    conf.set(key, "NO_CODEGEN")
+    try {
+      val interpreted = run()
+      assert(codegen === interpreted)
+    } finally prior.fold(conf.unset(key))(conf.set(key, _))
+  }
 }
