@@ -1440,6 +1440,39 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_urls" -> { (s, dir) =>
+      // Domain blocklist gate (the standard web-corpus curation filter,
+      // sibling of the PII scrub): extract every linked domain, flag the
+      // ones on a blocklist. URLs are PLANTED (1 in 13 docs links a spam
+      // domain, 1 in 13 a benign one, 1 in 26 both) so the gate has real
+      // hits at any SF. Shape at 100 TB: extraction is map-only regex;
+      // the blocklist (curated lists are MBs) broadcasts into a left
+      // join — the corpus never shuffles. Pattern is shared Java/RE2
+      // syntax so the oracle replays extraction verbatim.
+      val urlRe = "https://([a-z0-9-]+\\.example\\.com)"
+      val planted =
+        when(col("doc_id") % 13 === 4,
+          concat(col("text"), lit(" see https://spam-"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/page now")))
+          .when(col("doc_id") % 13 === 9,
+            concat(col("text"), lit(" docs at https://ok-"), (col("doc_id") % 5).cast("string"),
+              lit(".example.com/index")))
+          .when(col("doc_id") % 26 === 11,
+            concat(col("text"), lit(" https://spam-1.example.com/a and https://ok-2.example.com/b")))
+          .otherwise(col("text"))
+      import s.implicits._
+      val blocklist = (0 to 6).map(i => s"spam-$i.example.com").toDF("domain")
+        .withColumn("blocked_flag", lit(true))
+      Tables.documents(s, dir)
+        .withColumn("ptext", planted)
+        .select(col("doc_id"),
+          explode(expr(s"regexp_extract_all(ptext, '$urlRe', 1)")).as("domain"))
+        .join(broadcast(blocklist), Seq("domain"), "left")
+        .select(col("doc_id"), col("domain"),
+          coalesce(col("blocked_flag"), lit(false)).as("blocked"))
+        .orderBy("doc_id", "domain")
+    },
+
     "text_pii" -> { (s, dir) =>
       // PII scrub gate: emails / dotted-quad IPs / card-like digit runs →
       // placeholders, counted pre-scrub. PII is PLANTED (1 in 3 docs gets
@@ -2647,6 +2680,19 @@ object SparkEntry {
         |SELECT doc_id, nt <> t AS changed, md5(nt) AS norm_md5,
         |  CAST(length(nt) AS BIGINT) AS norm_len
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "text_urls" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 4 THEN text || ' see https://spam-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page now'
+        |         WHEN doc_id % 13 = 9 THEN text || ' docs at https://ok-' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/index'
+        |         WHEN doc_id % 26 = 11 THEN text || ' https://spam-1.example.com/a and https://ok-2.example.com/b'
+        |         ELSE text END AS ptext
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(ptext, 'https://([a-z0-9-]+\.example\.com)', 1)) AS domain FROM p),
+        |b AS (SELECT 'spam-' || CAST(unnest(range(7)) AS VARCHAR) || '.example.com' AS domain)
+        |SELECT u.doc_id, u.domain, (b.domain IS NOT NULL) AS blocked
+        |FROM u LEFT JOIN b ON u.domain = b.domain
+        |ORDER BY u.doc_id, u.domain""".stripMargin,
 
     "text_pii" ->
       """WITH p AS (
