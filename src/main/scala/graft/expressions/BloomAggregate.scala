@@ -191,7 +191,12 @@ case class BloomMerge(
   override def merge(buffer: BloomBuffer, other: BloomBuffer): BloomBuffer =
     if (isEmptySentinel(other)) buffer
     else if (isEmptySentinel(buffer)) other
-    else { require(buffer.numBits == other.numBits); buffer.merge(other); buffer }
+    else {
+      require(buffer.numBits == other.numBits && buffer.numHashes == other.numHashes,
+        s"cannot merge filters of geometry (m=${buffer.numBits}, k=${buffer.numHashes}) " +
+          s"and (m=${other.numBits}, k=${other.numHashes})")
+      buffer.merge(other); buffer
+    }
 
   override def eval(buffer: BloomBuffer): Any = serialize(buffer)
 

@@ -95,14 +95,18 @@ object EventsIngest {
       spark: SparkSession,
       path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) {
+    // Resolve directory-vs-file through the Hadoop FileSystem API so the
+    // branch is correct on any supported filesystem (HDFS, S3A, local),
+    // not just java.io-visible local paths.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.getFileStatus(hPath).isDirectory) {
       spark.readStream.schema(schema).parquet(path)
     } else {
       spark.readStream
         .schema(schema)
-        .option("pathGlobFilter", f.getName)
-        .parquet(f.getParent)
+        .option("pathGlobFilter", hPath.getName)
+        .parquet(hPath.getParent.toString)
     }
   }
 

@@ -39,16 +39,20 @@ object Preflight {
       watermarkCol: Option[String] = None,
       schemaHistorySeeded: Boolean = true): Seq[Check] = {
 
-    val source =
-      try {
-        val schema = spark.read.parquet(sourcePath).schema
-        if (schema.isEmpty) Check("source_readable", ok = false,
-          s"$sourcePath has an empty schema")
-        else Check("source_readable", ok = true, s"${schema.size} columns")
-      } catch {
-        case e: Exception =>
-          Check("source_readable", ok = false, s"$sourcePath: ${e.getMessage}")
-      }
+    // Read the source schema once; source_readable and watermark_column
+    // both inspect it.
+    val sourceSchema: Either[String, org.apache.spark.sql.types.StructType] =
+      try Right(spark.read.parquet(sourcePath).schema)
+      catch { case e: Exception => Left(e.getMessage) }
+
+    val source = sourceSchema match {
+      case Right(schema) if schema.isEmpty =>
+        Check("source_readable", ok = false, s"$sourcePath has an empty schema")
+      case Right(schema) =>
+        Check("source_readable", ok = true, s"${schema.size} columns")
+      case Left(msg) =>
+        Check("source_readable", ok = false, s"$sourcePath: $msg")
+    }
 
     val checkpoint =
       try {
@@ -63,21 +67,20 @@ object Preflight {
       }
 
     val watermark = watermarkCol.map { c =>
-      try {
-        val schema = spark.read.parquet(sourcePath).schema
-        schema.find(_.name == c) match {
-          case None =>
-            Check("watermark_column", ok = false,
-              s"'$c' not in source schema (${schema.fieldNames.mkString(", ")})")
-          case Some(f) if Seq(TimestampType, TimestampNTZType, LongType).contains(f.dataType) =>
-            Check("watermark_column", ok = true, s"'$c': ${f.dataType.simpleString}")
-          case Some(f) =>
-            Check("watermark_column", ok = false,
-              s"'$c' has non-temporal type ${f.dataType.simpleString}")
-        }
-      } catch {
-        case _: Exception =>
+      sourceSchema match {
+        case Left(_) =>
           Check("watermark_column", ok = false, s"source unreadable, cannot inspect '$c'")
+        case Right(schema) =>
+          schema.find(_.name == c) match {
+            case None =>
+              Check("watermark_column", ok = false,
+                s"'$c' not in source schema (${schema.fieldNames.mkString(", ")})")
+            case Some(f) if Seq(TimestampType, TimestampNTZType, LongType).contains(f.dataType) =>
+              Check("watermark_column", ok = true, s"'$c': ${f.dataType.simpleString}")
+            case Some(f) =>
+              Check("watermark_column", ok = false,
+                s"'$c' has non-temporal type ${f.dataType.simpleString}")
+          }
       }
     }
 
