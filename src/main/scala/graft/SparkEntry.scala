@@ -215,6 +215,41 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "dynamo_export" -> { (s, dir) =>
+      // DynamoDB snapshot-via-S3-export envelope
+      // (lib/s3lib/dynamodb_export.go:12-30): each exported row arrives as
+      // {"Item": {attr: {TYPE: value}}} — the stream AttributeValue map
+      // plus one wrapper object. Rebuild the wire shape from events with a
+      // genuine binary `B` member (md5 bytes, base64 on the wire — the
+      // reference decodes with base64.StdEncoding, dynamodb_export.go:
+      // 55-66), then parse it back with ONE typed from_json pass and
+      // decode the B lane to bytes. Map-only at any scale: no shuffle, no
+      // UDF, the export file scan streams straight through codegen.
+      import graft.functions.DynamoAttr
+      val payloadB64 =
+        base64(unhex(md5(concat(col("event_type"), col("event_id").cast("string")))))
+      val raw = concat(
+        lit("""{"Item":{"pk":{"N":""""), col("event_id").cast("string"),
+        lit(""""},"etype":{"S":""""), col("event_type"),
+        lit(""""},"payload":{"B":""""), payloadB64,
+        lit(""""},"owner":{"M":{"u":{"N":""""), col("user_id").cast("string"),
+        lit(""""}}}}}"""))
+      val itm = DynamoAttr.parseExport(col("dyn_json")).getField("Item")
+      val b = itm.getField("payload").getField("B")
+      Tables.events(s, dir)
+        .select(col("event_id"), raw.as("dyn_json"))
+        .select(
+          col("event_id"),
+          col("dyn_json"),
+          itm.getField("pk").getField("N").cast("long").as("pk"),
+          itm.getField("etype").getField("S").as("etype"),
+          hex(unbase64(b)).as("payload_hex"),
+          octet_length(unbase64(b)).cast("long").as("payload_len"),
+          itm.getField("owner").getField("M").getField("u").getField("N")
+            .cast("long").as("owner_u"))
+        .orderBy("event_id")
+    },
+
     "scan_pushdown" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
@@ -1090,7 +1125,9 @@ object SparkEntry {
       // 100 TB: clusters live on the PAIR graph only; quality is map-only;
       // the final window partitions by cluster (near-dup clusters are
       // tiny); unclustered docs are their own singleton survivors via the
-      // left join's coalesce — no shuffle of un-clustered text.
+      // left join's coalesce. All docs do pass through the
+      // partitionBy(cluster_id) window exchange, but column pruning keeps
+      // that shuffle narrow — (doc_id, quality, cluster_id), never text.
       import graft.expressions.{Sketch, TokenStats}
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
@@ -1448,7 +1485,9 @@ object SparkEntry {
       // hits at any SF. Shape at 100 TB: extraction is map-only regex;
       // the blocklist (curated lists are MBs) broadcasts into a left
       // join — the corpus never shuffles. Pattern is shared Java/RE2
-      // syntax so the oracle replays extraction verbatim.
+      // syntax so the oracle replays extraction verbatim; passed via the
+      // Column API (not an expr() string) so the SQL parser never
+      // unescapes the \. into a bare any-char dot.
       val urlRe = "https://([a-z0-9-]+\\.example\\.com)"
       val planted =
         when(col("doc_id") % 13 === 4,
@@ -1466,7 +1505,7 @@ object SparkEntry {
       Tables.documents(s, dir)
         .withColumn("ptext", planted)
         .select(col("doc_id"),
-          explode(expr(s"regexp_extract_all(ptext, '$urlRe', 1)")).as("domain"))
+          explode(regexp_extract_all(col("ptext"), lit(urlRe), lit(1))).as("domain"))
         .join(broadcast(blocklist), Seq("domain"), "left")
         .select(col("doc_id"), col("domain"),
           coalesce(col("blocked_flag"), lit(false)).as("blocked"))
@@ -1805,6 +1844,21 @@ object SparkEntry {
         |  CAST(json_extract_string(dyn_json, '$.user_id.N') AS BIGINT) AS user_id_parsed,
         |  json_extract_string(dyn_json, '$.event_type.S') AS event_type_parsed,
         |  CAST(json_extract_string(dyn_json, '$.value.N') AS DOUBLE) AS value_parsed
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "dynamo_export" ->
+      """WITH t AS (SELECT event_id,
+        |  '{"Item":{"pk":{"N":"' || CAST(event_id AS VARCHAR) ||
+        |  '"},"etype":{"S":"' || event_type ||
+        |  '"},"payload":{"B":"' || base64(unhex(md5(event_type || CAST(event_id AS VARCHAR)))) ||
+        |  '"},"owner":{"M":{"u":{"N":"' || CAST(user_id AS VARCHAR) || '"}}}}}' AS dyn_json
+        |  FROM events)
+        |SELECT event_id, dyn_json,
+        |  CAST(json_extract_string(dyn_json, '$.Item.pk.N') AS BIGINT) AS pk,
+        |  json_extract_string(dyn_json, '$.Item.etype.S') AS etype,
+        |  hex(from_base64(json_extract_string(dyn_json, '$.Item.payload.B'))) AS payload_hex,
+        |  CAST(octet_length(from_base64(json_extract_string(dyn_json, '$.Item.payload.B'))) AS BIGINT) AS payload_len,
+        |  CAST(json_extract_string(dyn_json, '$.Item.owner.M.u.N') AS BIGINT) AS owner_u
         |FROM t ORDER BY event_id""".stripMargin,
 
     "dynamo_unmarshal_deep" ->

@@ -35,6 +35,21 @@ object DynamoAttr {
 
   def parseDeep(jsonCol: Column): Column = from_json(jsonCol, deepImageSchema)
 
+  /** Typed schema for the snapshot-via-S3-export envelope
+    * (lib/s3lib/dynamodb_export.go:12-30): each exported row is the stream
+    * AttributeValue map plus ONE wrapper object, `{"Item": {attr: {TYPE:
+    * value}}}`. The `B` member carries base64 text on the wire and decodes
+    * to bytes (dynamodb_export.go:55-66, base64.StdEncoding). */
+  val exportSchema: StructType = StructType(Seq(
+    StructField("Item", StructType(Seq(
+      StructField("pk", n),
+      StructField("etype", s),
+      StructField("payload", StructType(Seq(StructField("B", StringType)))),
+      StructField("owner", StructType(Seq(StructField("M", StructType(Seq(
+        StructField("u", n))))))))))))
+
+  def parseExport(jsonCol: Column): Column = from_json(jsonCol, exportSchema)
+
   /** N members arrive as strings and unmarshal to numbers
     * (message.go:26-41). */
   def num(c: Column): Column = c.getField("N").cast("double")
