@@ -598,6 +598,36 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "stream_ttl_dedup" -> { (s, dir) =>
+      // TTL-expiring keyed dedup state (lib/storage/ttlmap/ttlmap.go:
+      // 1-187): reader's offset store expires entries TTL after insertion,
+      // so a key re-arriving while live is a duplicate and one re-arriving
+      // after expiry is accepted anew. Spark analogue: watermark state TTL
+      // via dropDuplicatesWithinWatermark. Six sequential runs against ONE
+      // checkpoint replay the lifecycle deterministically (TTL = 10 min):
+      // keys at t+0 accepted; t+2 dropped (state live); advancer keys at
+      // t+60/61 push the watermark past expiry (the second run guarantees
+      // an end-of-batch eviction pass at the advanced watermark, whichever
+      // side of the lookup the eviction lands on); keys at t+90 accepted
+      // (state expired); t+92 dropped (state re-armed). Survivors per key:
+      // exactly {0, 90} min — replayable in closed form by the oracle.
+      import graft.streaming.TtlDedup
+      val work = workDir("ttldedup", dir)
+      val keys = Tables.events(s, dir).select(col("user_id").as("k")).distinct()
+      def at(df: DataFrame, minutes: Int): DataFrame =
+        df.select(col("k"), (col("k") * 7 % 1000).cast("long").as("val"),
+          expr(s"TIMESTAMP '2024-01-01 00:00:00' + INTERVAL $minutes MINUTES").as("ts"))
+      def advancer(k: Long, minutes: Int): DataFrame =
+        at(s.range(1).select(lit(k).as("k")), minutes)
+      TtlDedup.runSequential(s,
+        Seq(at(keys, 0), at(keys, 2), advancer(-1L, 60), advancer(-2L, 61),
+          at(keys, 90), at(keys, 92)),
+        work, Seq("k"), "ts", "10 minutes")
+        .select(col("k"), col("val"),
+          expr("(CAST(ts AS LONG) - 1704067200) div 60").as("ts_min"))
+        .orderBy("k", "ts_min")
+    },
+
     "cdc_latest_state" -> { (s, dir) =>
       Envelope.latestState(Tables.events(s, dir), Seq("user_id"),
         Seq(col("ts_ns"), col("event_id")))
@@ -2117,6 +2147,15 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_ttl_dedup" ->
+      """WITH ks AS (SELECT DISTINCT user_id AS k FROM events),
+        |surv AS (
+        |  SELECT k, CAST(k*7 % 1000 AS BIGINT) AS val, CAST(t.m AS BIGINT) AS ts_min
+        |  FROM ks CROSS JOIN (VALUES (0),(90)) AS t(m)
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-7 AS BIGINT), CAST(60 AS BIGINT)
+        |  UNION ALL SELECT CAST(-2 AS BIGINT), CAST(-14 AS BIGINT), CAST(61 AS BIGINT))
+        |SELECT k, val, ts_min FROM surv ORDER BY k, ts_min""".stripMargin,
 
     "mongo_change" ->
       """WITH t AS (
