@@ -853,12 +853,21 @@ object SparkEntry {
       // (lib/mssql/parse/parse.go:55-61) + the Kafka message key
       // PrimaryKeyPayload JSON (kafkalib/message.go:33-41,
       // transformer.go:150-179); wire bytes derived from md5 so the oracle
-      // reproduces them
+      // reproduces them. The key is built through the before/after-image
+      // fallback (light_transformer.go:34-45): a planted DELETE lane
+      // (1 in 7 rows) carries NO after image, so its key MUST come from
+      // the before row — a wrong branch yields a null payload and the
+      // hash compare catches it.
       val src = Tables.customer(s, dir)
+      val isDel = col("c_custkey") % 7 === 3
+      val img = struct(col("c_custkey"))
+      val keySchema = org.apache.spark.sql.types.StructType(Seq(src.schema("c_custkey")))
       src.select(
         col("c_custkey"),
+        when(isDel, lit("d")).otherwise(lit("u")).as("op"),
         Cv.mssqlGuid(unhex(md5(col("c_custkey").cast("string")))).as("guid"),
-        Envelope.messageKeyJson(src, Seq("c_custkey")).as("msg_key"))
+        Envelope.messageKeyFromImages(
+          when(isDel, img), when(!isDel, img), keySchema, Seq("c_custkey")).as("msg_key"))
         .orderBy("c_custkey")
     },
 
@@ -2352,6 +2361,7 @@ object SparkEntry {
       """WITH g AS (SELECT c_custkey,
         |    upper(md5(CAST(c_custkey AS VARCHAR))) AS h FROM customer)
         |SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 3 THEN 'd' ELSE 'u' END AS op,
         |  substr(h,7,2)||substr(h,5,2)||substr(h,3,2)||substr(h,1,2) || '-' ||
         |  substr(h,11,2)||substr(h,9,2) || '-' ||
         |  substr(h,15,2)||substr(h,13,2) || '-' ||

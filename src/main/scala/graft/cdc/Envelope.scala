@@ -149,14 +149,39 @@ object Envelope {
       lit("}"))
   }
 
+  /** Kafka message key built from CDC before/after images — the
+    * BuildPartitionKey analogue (lib/debezium/transformer/
+    * light_transformer.go:34-45): the key comes from the AFTER image,
+    * falling back to the BEFORE image when after is absent — the
+    * delete-event case, where only the before row carries the PK. */
+  def messageKeyFromImages(
+      before: Column,
+      after: Column,
+      st: StructType,
+      pkCols: Seq[String]): Column = {
+    val row = coalesce(after, before)
+    val fields = pkCols.map { n =>
+      val f = st(n)
+      fieldJson(n, f.dataType, f.nullable)
+    }.mkString(",")
+    concat(
+      lit(s"""{"schema":{"type":"struct","fields":[$fields]},"payload":"""),
+      to_json(struct(pkCols.map(n =>
+        wireValueOf(row.getField(n), st(n).dataType).as(n)): _*)),
+      lit("}"))
+  }
+
   /** Convert a column to its Debezium wire value (convertRow analogue,
     * transformer.go:131-149): temporals to epoch int32/int64 per their
     * semantic type, decimals to the unscaled integer (the information
     * content of decimal.go's big-endian bytes), primitives pass through. */
-  def wireValue(name: String, dt: DataType): Column = dt match {
+  def wireValue(name: String, dt: DataType): Column = wireValueOf(col(name), dt)
+
+  /** wireValue over an arbitrary column expression (e.g. a struct field). */
+  def wireValueOf(c: Column, dt: DataType): Column = dt match {
     case DateType =>
-      datediff(col(name), to_date(lit("1970-01-01"))).cast("int")
-    case TimestampType | TimestampNTZType => unix_micros(col(name).cast("timestamp"))
+      datediff(c, to_date(lit("1970-01-01"))).cast("int")
+    case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp"))
     case d: DecimalType =>
       // the long analogue of decimal.go's big-endian unscaled bytes: exact
       // for unscaled values < 2^63 (precision <= 18). Wider decimals would
@@ -164,8 +189,8 @@ object Envelope {
       require(d.precision <= 18,
         s"unscaled-long wire value overflows for $dt; precision must be <= 18")
       val p10 = BigDecimal(10).pow(d.scale)
-      (col(name) * lit(p10).cast(s"decimal(${d.scale + 1},0)")).cast("long")
-    case _ => col(name)
+      (c * lit(p10).cast(s"decimal(${d.scale + 1},0)")).cast("long")
+    case _ => c
   }
 
   /** Snapshot envelope WITH the schema descriptor: op='r' payload columns
