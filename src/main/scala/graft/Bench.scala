@@ -44,6 +44,12 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.contains(name)) }
+    // SPARK_GRAFT_BENCH_ASSERT_OK=1: after timing, re-run any query whose
+    // schema carries a boolean `ok` claim column (the ANN recall / rank
+    // self-verifications) and FAIL it if any claim is false — so scale
+    // runs (sf1/sf10) gate recall exactly like the sf0.01 oracle does,
+    // instead of silently timing a degraded approximation. Untimed.
+    val assertOk = sys.env.get("SPARK_GRAFT_BENCH_ASSERT_OK").contains("1")
     val outcomes = selected.map { case (name, fn) =>
       val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -55,7 +61,19 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val firstErr = runs.flatMap(_._2).headOption
+      val claimErr =
+        if (!assertOk || runs.forall(_._2.isDefined)) None
+        else try {
+          val df = fn(spark, sfDir)
+          df.schema.find(f => f.name == "ok" &&
+            f.dataType == org.apache.spark.sql.types.BooleanType).flatMap { _ =>
+            val bad = df.where(!org.apache.spark.sql.functions.col("ok")).count()
+            if (bad > 0) Some(s"claim check failed: $bad ok=false rows") else None
+          }
+        } catch {
+          case e: Throwable => Some(jsonSafe(s"claim check: ${e.getClass.getSimpleName}"))
+        }
+      val firstErr = runs.flatMap(_._2).headOption.orElse(claimErr)
       (name, runs.map(_._1).min, firstErr)
     }
     val qs = outcomes.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")

@@ -1222,15 +1222,23 @@ object SparkEntry {
       // corpus cardinality — the two dials are not interchangeable. The
       // pair spectrum here is bimodal (planted twins >= 0.995, natural
       // pairs <= ~0.51), so nothing sits near the 0.9 decision boundary
-      // and 64 bands suffice: a 0.995-pair shares a band with
-      // p^16 ~ 0.59 and misses all 64 with (1-0.59)^64 ~ 1e-25. Band
-      // width must STAY 16 bits: dropping to 8 collapses the key space to
-      // 256 buckets, every bucket goes dense, and candidate pairs explode
-      // quadratically — measured 3.6x SLOWER than the 256x16 default at
-      // sf1 before exact-verify even helps. (The 256x16 operator default
-      // remains for corpora with genuine boundary pairs.)
+      // and 64 bands suffice: a 0.995-pair shares a 16-bit band with
+      // p^16 ~ 0.59 and misses all 64 with (1-0.59)^64 ~ 1e-25. Width is
+      // ADAPTIVE upward (r9 sf10 finding): with a fixed 16 bits the 2^16
+      // key space goes dense once the corpus outgrows it (220k vectors at
+      // sf10 → ~3.4/bucket → candidates quadratic in occupancy; 22x wall
+      // at 10x data), so width = max(16, ceil(log2 n) + 4) keeps expected
+      // occupancy ~1/16 at any SF. The recall cost is benign for the
+      // bimodal spectrum: at n=220k (21 bits) a 0.995-pair still shares a
+      // band with p^21 ~ 0.51 and misses all 64 with ~1e-20. One
+      // column-pruned count job sizes it — the same bounded driver-side
+      // pattern as the Bloom shard sizing. (Dropping BELOW 16 is the
+      // opposite mistake: 64x8 measured 3.6x slower than 256x16 at sf1.)
+      val n = base.count() * 21L / 20L // + twins (1 in 20)
+      val adaptiveBits = math.min(40,
+        math.max(16, 68 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
       Dedup.embeddingNearDupPairs(base.unionByName(twins), "vec_id", "embedding",
-        dim = 64, threshold = 0.9, numBands = 64, bitsPerBand = 16)
+        dim = 64, threshold = 0.9, numBands = 64, bitsPerBand = adaptiveBits)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
         .orderBy("vec_a", "vec_b")
     },
@@ -1239,13 +1247,22 @@ object SparkEntry {
       // Range join without a nested loop: lineitem ship dates (points)
       // against 7-day order windows (intervals) — bucketized to a plain
       // equi-join on floor(day/7) + exact post-filter; each pair meets in
-      // exactly one bucket (the point's), so no dedup. Shuffle is
-      // O(points + 2x intervals), never points x intervals.
+      // exactly one bucket (the point's), so no dedup. Because the final
+      // aggregate needs only per-day totals (not point identity), points
+      // are PRE-AGGREGATED to one row per distinct day before the range
+      // join — the decisive scale property (r9 sf10 finding): raw
+      // point-interval pairs grow as points x interval-density (both grow
+      // with SF over a fixed date span, so pairs grow quadratically in SF;
+      // 21x wall at 10x data), while day-interval pairs are capped at
+      // |days| x density. Sum-of-partial-decimal-sums is exact, so the
+      // oracle is unchanged. Shuffle is O(days + 2x intervals).
       import graft.operators.RangeJoin
       def days(c: Column): Column =
         datediff(c.cast("date"), to_date(lit("1970-01-01"))).cast("long")
       val pts = Tables.lineitem(s, dir)
         .select(days(col("l_shipdate")).as("ship_day"), dec2(col("l_quantity")).as("qty"))
+        .groupBy("ship_day")
+        .agg(count(lit(1)).as("n_pts"), sum(col("qty")).as("qty_day"))
       val ivs = Tables.orders(s, dir)
         .where(col("o_orderkey") % 997 === 0)
         .select(col("o_orderkey"), days(col("o_orderdate")).as("win_start"),
@@ -1253,7 +1270,8 @@ object SparkEntry {
       RangeJoin.pointInInterval(pts, ivs, "ship_day", "win_start", "win_end",
         bucketWidth = 7L)
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_shipments"), sumd(col("qty")).as("sum_qty"))
+        .agg(sum(col("n_pts")).as("n_shipments"),
+          sum(col("qty_day")).cast("double").as("sum_qty"))
         .orderBy("o_orderkey")
     },
 

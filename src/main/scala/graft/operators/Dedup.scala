@@ -62,13 +62,10 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"),
-        Sketch.column(ShingleHashes(Sketch.expr(col(textCol)), cfg.shingleSize, word = true)).as("sh"))
-      .where(size(col("sh")) > 0)
-    nearDupPairsFromSets(sh, cfg)
-  }
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    nearDupPairs(docs, idCol,
+      Sketch.column(ShingleHashes(Sketch.expr(col(textCol)), cfg.shingleSize, word = true)),
+      cfg, None)
 
   /** Same machinery over character n-gram sets (catches reorder-heavy edits
     * word shingles miss). `blockCol`, when set, restricts pairs to the same
@@ -79,28 +76,35 @@ object Dedup {
       textCol: String,
       n: Int,
       cfg: MinHashConfig,
-      blockCol: Option[String] = None): DataFrame = {
-    val base = docs.select(
-      col(idCol).as("id") +:
-        Sketch.column(ShingleHashes(Sketch.expr(col(textCol)), n, word = false)).as("sh") +:
-        blockCol.map(col).toSeq: _*)
-    nearDupPairsFromSets(base.where(size(col("sh")) > 0), cfg, blockCol)
-  }
+      blockCol: Option[String] = None): DataFrame =
+    nearDupPairs(docs, idCol,
+      Sketch.column(ShingleHashes(Sketch.expr(col(textCol)), n, word = false)),
+      cfg, blockCol)
 
-  private def nearDupPairsFromSets(
-      sets: DataFrame,
+  private def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      shExpr: Column,
       cfg: MinHashConfig,
-      blockCol: Option[String] = None): DataFrame = {
-    // `sets` carries (id, sh: sorted distinct shingle hashes) from the
-    // native ShingleHashes kernel; signature + banding are one-pass kernels
-    // too, so the whole sketch side is a single cheap projection.
-    // The sketch table is consumed three times (both sides of the band
-    // self-join + the verification lookups) — materialize it once instead
-    // of re-sketching the corpus per consumer. At cluster scale this is the
-    // standard "persist the signatures" step of every LSH pipeline.
-    val withSig = sets
+      blockCol: Option[String]): DataFrame = {
+    // (id, sh, [block]) built lazily from the raw docs — the full shingle
+    // arrays (KBs per doc) are deliberately NEVER persisted or shuffled
+    // corpus-wide. r9 scale finding: persisting them alongside the
+    // signatures put the whole corpus's shingle sets through the cache AND
+    // through the verify joins (500k docs at sf10 → multi-GB, spilling);
+    // only SURVIVORS ever need their sets, so only survivors pay.
+    def shingled(src: DataFrame): DataFrame =
+      src.select(Seq(col(idCol).as("id"), shExpr.as("sh")) ++ blockCol.map(col): _*)
+        .where(size(col("sh")) > 0)
+
+    // Persisted sketch table is NARROW: (id, sig, bands[, block]) — ~1.3 KB
+    // per doc at 128 perms — consumed by both sides of the band self-join
+    // and the estimate prefilter. At cluster scale this is the standard
+    // "persist the signatures" step of every LSH pipeline.
+    val withSig = shingled(docs)
       .withColumn("sig", Sketch.column(MinHashSig(Sketch.expr(col("sh")), cfg.numPerm)))
       .withColumn("bands", lshBandHashes(col("sig"), cfg.bands, cfg.rowsPerBand))
+      .select(Seq(col("id"), col("sig"), col("bands")) ++ blockCol.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandCols = Seq(col("id"), posexplode(col("bands"))) ++ blockCol.map(col)
@@ -121,9 +125,10 @@ object Dedup {
     // with 128 perms the estimator's σ at J=0.9 is ~0.027, so a 6σ slack
     // (0.15) loses nothing while discarding the ~0-similarity bucket
     // collisions that dominate candidate volume. Stage 2 fetches the full
-    // shingle sets only for survivors and computes exact Jaccard. At scale
-    // this is the difference between shuffling every candidate's document
-    // set and shuffling a few KB of sketch per doc.
+    // shingle sets only for survivors and computes exact Jaccard.
+    // `plausible` is persisted (tiny pair list) because it feeds both the
+    // survivor-id fetch and the final join — without it the band self-join
+    // would re-execute per consumer (the r7 union-re-executes lesson).
     val sigs = withSig.select(col("id"), col("sig"))
     val est = Sketch.column(EqualPositionCount(
       Sketch.expr(col("ga.sig")), Sketch.expr(col("gb.sig"))))
@@ -132,8 +137,19 @@ object Dedup {
       .join(sigs.as("gb"), col("id_b") === col("gb.id"))
       .where(est.cast("double") / cfg.numPerm >= cfg.threshold - 0.15)
       .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val shSets = withSig.select(col("id"), col("sh"))
+    // Survivor-only shingle fetch: semi-join the survivor ids against the
+    // raw docs (AQE broadcasts the id list when it is small — the healthy
+    // case — and falls back to a keyed shuffle under adversarial candidate
+    // volume), THEN run the shingle kernel on just those rows. Persisted
+    // because both pair sides consume it.
+    val pids = plausible
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val shSets = shingled(docs.join(pids, Seq(idCol), "left_semi"))
+      .select(col("id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val inter = Sketch.column(SortedIntersectCount(
       Sketch.expr(col("sa.sh")), Sketch.expr(col("sb.sh"))))
     val verified = plausible
@@ -143,9 +159,11 @@ object Dedup {
         col("id_a"), col("id_b"),
         (inter.cast("double") / (size(col("sa.sh")) + size(col("sb.sh")) - inter)).as("jacc"))
       .where(col("jacc") >= cfg.threshold)
-    // release the sketch cache once the consuming action finishes — a
-    // session running many queries must not accumulate orphaned blocks
-    CacheScope.unpersistAfterUse(verified, withSig)
+    // release the caches once the consuming action finishes — a session
+    // running many queries must not accumulate orphaned blocks
+    CacheScope.unpersistAfterUse(
+      CacheScope.unpersistAfterUse(
+        CacheScope.unpersistAfterUse(verified, withSig), plausible), shSets)
   }
 
   /** SimHash fingerprints: one 16-bit content hash per doc; docs whose
