@@ -85,6 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomBuild(args(0), intArg(args(1), "numBits"), intArg(args(2), "numHashes"))))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_merge"),
+      new ExpressionInfo(classOf[BloomMerge].getName, "graft_bloom_merge"),
+      (args: Seq[Expression]) => BloomMerge(args(0))))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
       (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))

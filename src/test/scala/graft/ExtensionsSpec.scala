@@ -53,6 +53,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .head()
     assert(bloom.getBoolean(0)) // inserted -> always true
 
+    // bloom_merge: two shard filters OR-merged from SQL == one filter built
+    // over the union (bit-identical serialized bytes, the lifecycle contract)
+    val merged = spark.sql(
+      """WITH shards AS (
+        |  SELECT id % 2 AS shard, graft_bloom_build(xxhash64(id), 4096, 4) AS b
+        |  FROM range(200) GROUP BY id % 2),
+        |whole AS (SELECT graft_bloom_build(xxhash64(id), 4096, 4) AS b FROM range(200))
+        |SELECT (SELECT graft_bloom_merge(b) FROM shards) = (SELECT first(b) FROM whole) AS eq
+        |""".stripMargin).head().getBoolean(0)
+    assert(merged)
+
     val cm = spark.sql(
       """WITH s AS (SELECT graft_count_min(CAST(id % 3 AS STRING), 4, 256) AS sk FROM range(300))
         |SELECT graft_count_min_estimate(s.sk, '0') AS est FROM s""".stripMargin)
