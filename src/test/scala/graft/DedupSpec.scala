@@ -22,6 +22,42 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("LSH pair set equals brute-force exact Jaccard on random corpora " +
+    "(shared-band prefilter + survivor-only shingle fetch lose nothing)") {
+    import graft.expressions.{ShingleHashes, Sketch, SortedIntersectCount}
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(40)(i => s"w$i")
+      def doc(n: Int): String =
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (0L until 50L).map(i => (i, doc(25)))
+      // append-1 twins sit at jacc ~= 21/22 = 0.95 (kept at t=0.9);
+      // append-3 decoys sit at ~= 21/24 = 0.875 (dropped at t=0.9) — both
+      // exercise the exact-verify boundary, not just easy 1.0 copies
+      val twins = base.take(8).map { case (i, t) => (i + 1000L, t + " " + doc(1)) }
+      val decoys = base.slice(8, 16).map { case (i, t) => (i + 2000L, t + " " + doc(3)) }
+      val docs = (base ++ twins ++ decoys).toDF("id", "text")
+
+      val lsh = Dedup.minhashNearDupPairs(docs, "id", "text")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+      val sh = docs.select(col("id"),
+        Sketch.column(ShingleHashes(Sketch.expr(col("text")), 5, word = true)).as("sh"))
+      val inter = Sketch.column(SortedIntersectCount(
+        Sketch.expr(col("a.sh")), Sketch.expr(col("b.sh"))))
+      val exact = sh.as("a").crossJoin(sh.as("b"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (inter.cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jacc"))
+        .where(col("jacc") >= 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+      assert(exact.nonEmpty, s"seed $seed planted no exact pairs — generator broken")
+      assert(lsh === exact, s"seed $seed: LSH pairs != brute-force exact pairs")
+    }
+  }
+
   test("minhash sketch cache is released after the consuming action") {
     // the session is shared across suites, and a suite that CONSTRUCTS a
     // scoped pipeline without consuming it (plan-only tests) legitimately
