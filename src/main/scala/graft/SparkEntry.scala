@@ -443,7 +443,7 @@ object SparkEntry {
       val keys = Seq("l_returnflag")
       val qs = Seq("0.25", "0.50", "0.75", "0.95")
       val est = QuantileHist.estimate(li, keys, "l_extendedprice", 512.0, qs)
-      val exact = QuantileHist.exactRankValue(li, keys, "l_extendedprice", qs)
+      val exact = QuantileHist.exactRankValue(li, keys, "l_extendedprice", 512.0, qs)
       est.join(exact, keys :+ "q")
         .select(col("l_returnflag"), col("q"), col("est"), col("exact_v"),
           (col("exact_v") >= col("est") - lit(512.0) && col("exact_v") <= col("est")).as("ok"))

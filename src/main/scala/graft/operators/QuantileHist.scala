@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Mergeable fixed-width histogram quantiles — the bounded-state companion
   * to the exact interpolated percentiles of `agg_stats`.
@@ -36,18 +37,57 @@ import org.apache.spark.sql.functions._
   * product is exact (a double 0.9*n rounds across the integer boundary for
   * some n and engines disagree at the edge).
   *
+  * The EXACT side (`exactRankValue`) is distributed histogram selection,
+  * not a per-group sort: locate each rank's bucket on the cumulative
+  * table, then sort only the rows of the selected buckets (~n/|buckets|
+  * rows each, behind a broadcast semi filter). A naive
+  * `row_number over (partition by key order by value)` sorts every group
+  * on a single task — at sf10 that was 49 s of a 55 s query for three
+  * 20M-row groups; selection does the same rank statistic in two narrow
+  * scans plus a window over only the picked buckets.
+  *
+  * The histogram subtree is persisted and both halves build the identical
+  * plan, so Spark's cache manager serves estimate AND exact from one scan;
+  * CacheScope releases the blocks after the consuming action.
+  *
   * Reference behavior being re-expressed: reader's downstream consumers
   * compute latency/size distribution summaries over CDC streams; this is
   * the bounded-memory form of those rank statistics.
   */
 object QuantileHist {
 
-  /** (keys..., q DECIMAL(3,2), r BIGINT, n BIGINT) — one row per key x q. */
-  private def rankTargets(df: DataFrame, keys: Seq[String], qs: Seq[String]): DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n"))
+  private def bucketOf(valueCol: String, width: Double): Column =
+    floor(col(valueCol) / lit(width)).cast("long")
+
+  /** (keys..., bucket, cnt, cum, n) — the persisted histogram core. ONE
+    * scan + keyed agg of |keys| x |buckets| rows; `cum` and the per-key
+    * total `n` are windows over that tiny table, not over the data.
+    * Returns (cumulative frame, the persisted subtree to hand CacheScope).
+    */
+  private def cumHist(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      width: Double): (DataFrame, DataFrame) = {
+    val hist = df
+      .groupBy((keys.map(col) :+ bucketOf(valueCol, width).as("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byKey = Window.partitionBy(keys.map(col): _*).orderBy("bucket")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byKey))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(keys.map(col): _*)))
+    (cum, hist)
+  }
+
+  /** (keys..., q DECIMAL(3,2), r BIGINT) — one row per key x q, derived
+    * from the histogram's per-key totals (no extra scan of the data). */
+  private def rankTargets(cum: DataFrame, keys: Seq[String], qs: Seq[String]): DataFrame =
+    cum.groupBy(keys.map(col): _*)
+      .agg(max("n").as("n"))
       .withColumn("q", explode(array(qs.map(q => lit(q).cast("decimal(3,2)")): _*)))
       .withColumn("r", ceil(col("q") * col("n")).cast("long"))
+      .drop("n")
 
   /** Histogram-estimated quantiles: (keys..., q DOUBLE, est DOUBLE).
     *
@@ -60,42 +100,70 @@ object QuantileHist {
       valueCol: String,
       width: Double,
       qs: Seq[String]): DataFrame = {
-    val hist = df
-      .groupBy((keys.map(col) :+ floor(col(valueCol) / lit(width)).cast("long").as("bucket")): _*)
-      .agg(count(lit(1)).as("cnt"))
-    val byKey = Window.partitionBy(keys.map(col): _*).orderBy("bucket")
-    val cum = hist.withColumn("cum", sum("cnt").over(byKey))
+    val (cum, hist) = cumHist(df, keys, valueCol, width)
     // first bucket whose cumulative count reaches the rank target = min
     // surviving bucket after the >= filter — one keyed agg, no sort-limit
-    rankTargets(df, keys, qs)
-      .join(cum, keys)
+    val out = rankTargets(cum, keys, qs)
+      .join(cum.drop("n"), keys)
       .where(col("cum") >= col("r"))
       .groupBy((keys.map(col) :+ col("q")): _*)
       .agg(min(col("bucket")).as("est_bucket"))
       .select((keys.map(col) :+
         col("q").cast("double").as("q") :+
         ((col("est_bucket") + 1) * lit(width)).as("est")): _*)
+    CacheScope.unpersistAfterUse(out, hist)
   }
 
   /** The exact rank-r order statistic for each (key, q) — the verification
-    * side. This IS the expensive per-group sort the sketch exists to avoid;
-    * it rides along in the query (like `sketch_distinct`'s exact
-    * countDistinct) so the driver's hash compare pins the estimate against
-    * ground truth instead of trusting it. */
+    * side, via distributed histogram selection:
+    *
+    *   1. locate the bucket containing rank r on the cumulative table and
+    *      the residual rank INSIDE it (`r - count_below_bucket`);
+    *   2. broadcast the (key, bucket) picks and semi-filter the data to
+    *      just those buckets — a map-side hash probe, no shuffle of
+    *      non-candidate rows;
+    *   3. `row_number` over the surviving slices (each ~n/|buckets| rows,
+    *      spread across (key, bucket) window partitions) and join the
+    *      residual rank.
+    *
+    * Same value as a full per-group sort — the bucket is a pure function of
+    * the value, so the global rank-r row is structurally the in-bucket
+    * rank-(r - below) row — at a per-task cost bounded by the largest
+    * single bucket instead of the largest group. */
   def exactRankValue(
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
+      width: Double,
       qs: Seq[String]): DataFrame = {
-    val ranked = df
-      .select((keys.map(k => col(k).as(s"rk_$k")) :+ col(valueCol).as("v")): _*)
+    val (cum, hist) = cumHist(df, keys, valueCol, width)
+    // sel = min (bucket, count-below) struct per target: lexicographic min
+    // is the first bucket reaching the rank, carrying its below-count
+    val picked = rankTargets(cum, keys, qs)
+      .join(cum.drop("n"), keys)
+      .where(col("cum") >= col("r"))
+      .groupBy((keys.map(col) :+ col("q") :+ col("r")): _*)
+      .agg(min(struct(col("bucket"), (col("cum") - col("cnt")).as("below"))).as("sel"))
+      .select((keys.map(col) :+ col("q") :+
+        col("sel.bucket").as("tb") :+
+        (col("r") - col("sel.below")).as("lr")): _*)
+    val targetBuckets = picked
+      .select((keys.map(k => col(k).as(s"tk_$k")) :+ col("tb")): _*)
+      .distinct()
+    val inBucket = df
+      .select((keys.map(col) :+ col(valueCol).as("v") :+ bucketOf(valueCol, width).as("vb")): _*)
+      .join(broadcast(targetBuckets),
+        keys.map(k => col(k) === col(s"tk_$k")).reduce(_ && _) && col("vb") === col("tb"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(keys.map(k => col(s"rk_$k")): _*).orderBy(col("v"))))
-    rankTargets(df, keys, qs)
-      .join(ranked,
-        keys.map(k => col(k) === col(s"rk_$k")).reduce(_ && _) && col("rn") === col("r"))
+        Window.partitionBy((keys.map(col) :+ col("vb")): _*).orderBy(col("v"))))
+      .select((keys.map(k => col(k).as(s"rk_$k")) :+ col("vb") :+ col("v") :+ col("rn")): _*)
+    val out = picked
+      .join(inBucket,
+        keys.map(k => col(k) === col(s"rk_$k")).reduce(_ && _) &&
+          col("vb") === col("tb") && col("rn") === col("lr"))
       .select((keys.map(col) :+
         col("q").cast("double").as("q") :+
         col("v").as("exact_v")): _*)
+    CacheScope.unpersistAfterUse(out, hist)
   }
 }

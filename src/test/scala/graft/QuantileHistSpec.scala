@@ -21,7 +21,7 @@ class QuantileHistSpec extends AnyFunSuite {
     val df = rows.toDF("k", "v")
     val width = 25.0
     val est = QuantileHist.estimate(df, Seq("k"), "v", width, qs)
-    val exact = QuantileHist.exactRankValue(df, Seq("k"), "v", qs)
+    val exact = QuantileHist.exactRankValue(df, Seq("k"), "v", width, qs)
     val joined = est.join(exact, Seq("k", "q")).collect()
     assert(joined.length === 2 * qs.length)
     joined.foreach { r =>
@@ -49,11 +49,36 @@ class QuantileHistSpec extends AnyFunSuite {
     assert(est.map(_.getAs[Double]("est")).toSeq === Seq(0.0, 10.0))
   }
 
+  test("histogram selection equals the naive per-group rank statistic (randomized, ties + edge values)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 3000).map { i =>
+      val k = s"k${i % 5}"
+      val v = rnd.nextInt(10) match {
+        case 0 => rnd.nextInt(20) * 25.0            // exactly on a bucket edge
+        case 1 => -rnd.nextInt(300).toDouble        // negative
+        case _ => rnd.nextInt(500) * 1.7            // duplicated cluster values
+      }
+      (k, v)
+    }
+    val df = rows.toDF("k", "v")
+    val allQs = Seq("0.10", "0.25", "0.50", "0.75", "0.90", "0.95", "1.00")
+    val got = QuantileHist.exactRankValue(df, Seq("k"), "v", 25.0, allQs)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("q")) -> r.getAs[Double]("exact_v"))
+      .toMap
+    val byKey = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(got.size === byKey.size * allQs.length)
+    for ((k, sorted) <- byKey; q <- allQs) {
+      val r = (BigDecimal(q) * sorted.length).setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+      assert(got((k, q.toDouble)) === sorted(r - 1), s"k=$k q=$q r=$r")
+    }
+  }
+
   test("rank target uses exact decimal arithmetic at the integer boundary") {
     // n=10, q=0.90: double 0.9*10 rounds to 9.000000000000002 and ceil
     // would give 10; decimal gives exactly 9
     val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("k", "v")
-    val exact = QuantileHist.exactRankValue(df, Seq("k"), "v", Seq("0.90")).collect()
+    val exact = QuantileHist.exactRankValue(df, Seq("k"), "v", 10.0, Seq("0.90")).collect()
     assert(exact.head.getAs[Double]("exact_v") === 9.0)
   }
 }
