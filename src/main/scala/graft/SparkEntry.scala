@@ -1840,6 +1840,85 @@ object SparkEntry {
         .select("doc_id", "frame_idx", "byte_len", "sha_hex", "fake_w", "fake_h",
           "frame_text", "frame_sha")
         .orderBy("doc_id", "frame_idx")
+    },
+
+    "cdc_snapshot_diff" -> { (s, dir) =>
+      // CDC without a log: diff two PK-keyed snapshot versions into
+      // Debezium-shaped c/u/d events with before/after images — the
+      // fallback capture path when no binlog/WAL is reachable, feeding the
+      // same envelope/state tier as log-based CDC. v1/v2 derive from
+      // `orders` by arithmetic the oracle replays: v2 drops keys ≡7 (mod
+      // 10) [deletes], v1 lacks keys ≡3 (mod 10) [inserts], and v1 carries
+      // a +1.00 price perturbation on keys ≡0 (mod 5) [updates]. ONE
+      // full-outer PK join (unique keys — no skew; bucketed storage makes
+      // it shuffle-free), null-safe per-column change detection (no row
+      // digests, no stringification), unchanged rows dropped before
+      // anything wide happens.
+      import graft.operators.SnapshotDiff
+      val orders = Tables.orders(s, dir)
+      val v1 = orders.where(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice", col("o_totalprice") +
+          when(col("o_orderkey") % 5 === 0, lit(1.0)).otherwise(lit(0.0)))
+      val v2 = orders.where(col("o_orderkey") % 10 =!= 7)
+      SnapshotDiff.diff(v1, v2, Seq("o_orderkey")).orderBy("o_orderkey")
+    },
+
+    "cdc_incremental_agg" -> { (s, dir) =>
+      // Incremental view maintenance: the (priority -> count, revenue)
+      // aggregate is maintained from the v1 base plus the snapshot-diff
+      // event batch ALONE — the post-image table is never read. Update =
+      // delete(before) + insert(after), so group-moving updates land
+      // correctly; DECIMAL sums make the telescoping exact, so the
+      // oracle's full recompute over v2 must match bit for bit — the hash
+      // compare IS the incremental ≡ recompute equivalence proof. Deltas
+      // are |batch|-sized; the merge is one outer join on the group key
+      // against |groups| state rows.
+      import graft.operators.{CacheScope, IncrementalAgg, SnapshotDiff}
+      val orders = Tables.orders(s, dir)
+      val v1 = orders.where(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice", col("o_totalprice") +
+          when(col("o_orderkey") % 5 === 0, lit(1.0)).otherwise(lit(0.0)))
+      val v2 = orders.where(col("o_orderkey") % 10 =!= 7)
+      // both delta branches (minus/plus) read the diff — persist the event
+      // batch so the PK join runs once, not per branch
+      val events = SnapshotDiff.diff(v1, v2, Seq("o_orderkey")).persist()
+      val base = v1.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(dec2(col("o_totalprice"))).as("total"))
+      val out = IncrementalAgg.maintain(base, events, "op",
+          col("before_o_orderpriority"), col("after_o_orderpriority"),
+          dec2(col("before_o_totalprice")), dec2(col("after_o_totalprice")),
+          "o_orderpriority")
+        .select(col("o_orderpriority"), col("cnt"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+      CacheScope.unpersistAfterUse(out, events)
+    },
+
+    "mixture_rebalance" -> { (s, dir) =>
+      // Target-mixture thinning without upsampling: weights w_s =
+      // (idx mod 4)+1 over the sources, M = min_s(n_s/w_s); every row kept
+      // by the replayable 60-bit md5 coin under rate_s = w_s*M/n_s (the
+      // binding source keeps rate 1.0 — largest corpus with no repeats).
+      // One tiny keyed agg for counts, a one-row (M, W) broadcast onto the
+      // |sources|-row rate table, the rate table broadcast onto the
+      // corpus, map-only filter — nothing wide shuffles. Output is the
+      // per-source audit (counts before/after, share, rate); the oracle
+      // replays the exact kept-SET, not just its size.
+      import graft.operators.{CacheScope, Mixture}
+      val docs = Tables.documents(s, dir)
+      val weights = docs.select("source").distinct()
+        .withColumn("w",
+          (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("double"))
+      val r = Mixture.rates(docs, "source", weights).persist()
+      val kept = docs
+        .join(broadcast(r.select(col("source"), col("keep_rate"))), Seq("source"))
+        .where(Mixture.unitHash(col("doc_id").cast("string")) < col("keep_rate"))
+      val keptCounts = kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+      val out = r.join(keptCounts, Seq("source"), "left_outer")
+        .select(col("source"), col("n_src"), col("share"), col("keep_rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+      CacheScope.unpersistAfterUse(out, r)
     }
   )
 
@@ -3053,6 +3132,65 @@ object SparkEntry {
         |  CAST(1 + ((h60 // 640) % 480) AS BIGINT) AS fake_h,
         |  substr(text, CAST(fi * 100 + 1 AS INT), 32) AS frame_text,
         |  sha256(substr(text, CAST(fi * 100 + 1 AS INT), 32)) AS frame_sha
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |), v2 AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 7),
+        |d AS (
+        |  SELECT COALESCE(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+        |    CASE WHEN v1.o_orderkey IS NULL THEN 'c'
+        |         WHEN v2.o_orderkey IS NULL THEN 'd'
+        |         WHEN v1.o_custkey IS DISTINCT FROM v2.o_custkey
+        |           OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+        |           OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+        |           OR v1.o_orderdate IS DISTINCT FROM v2.o_orderdate
+        |           OR v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority
+        |         THEN 'u' END AS op,
+        |    v1.o_custkey AS before_o_custkey, v2.o_custkey AS after_o_custkey,
+        |    v1.o_orderstatus AS before_o_orderstatus, v2.o_orderstatus AS after_o_orderstatus,
+        |    v1.o_totalprice AS before_o_totalprice, v2.o_totalprice AS after_o_totalprice,
+        |    v1.o_orderdate AS before_o_orderdate, v2.o_orderdate AS after_o_orderdate,
+        |    v1.o_orderpriority AS before_o_orderpriority, v2.o_orderpriority AS after_o_orderpriority
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |)
+        |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle RECOMPUTES the aggregate from the post-image table — the
+    // hash compare proves the incrementally-maintained state equals a full
+    // recompute, which is the IVM correctness property itself
+    "cdc_incremental_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 10 <> 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mixture_rebalance" ->
+      """WITH w AS (
+        |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |), cw AS (
+        |  SELECT d.source, COUNT(*) AS n_src, MIN(w.w) AS w
+        |  FROM documents d JOIN w ON d.source = w.source GROUP BY 1
+        |), s AS (
+        |  SELECT MIN(n_src / w) AS m, SUM(w) AS wsum FROM cw
+        |), r AS (
+        |  SELECT cw.source, cw.n_src, cw.w / s.wsum AS share,
+        |    LEAST(1.0, cw.w * s.m / cw.n_src) AS keep_rate
+        |  FROM cw, s
+        |), k AS (
+        |  SELECT d.source, COUNT(*) AS n_kept
+        |  FROM documents d JOIN r ON d.source = r.source
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    / CAST(1152921504606846976 AS DOUBLE) < r.keep_rate
+        |  GROUP BY 1
+        |)
+        |SELECT r.source, r.n_src, r.share, r.keep_rate,
+        |  COALESCE(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin
   )
 }

@@ -42,8 +42,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // propagation rounds) only surface their trailing read plan here — the
     // interior join shapes are covered by their own specs
     // (SnapshotHandoffSpec, ConnectedComponentsSpec) rather than this gate.
+    // mixture_rebalance broadcasts a ONE-ROW (M, W) scalar aggregate onto
+    // the |sources|-row rate table — same O(tiny) map-side shape.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
-      "sketch_heavy_hitters")
+      "sketch_heavy_hitters", "mixture_rebalance")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
