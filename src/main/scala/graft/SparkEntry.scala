@@ -396,15 +396,33 @@ object SparkEntry {
     },
 
     "agg_stats" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      // Exact interpolated percentiles WITHOUT per-group value buffers:
+      // Spark's percentile() materializes every value of a group in one
+      // TypedImperativeAggregate buffer — a hot group at 100 TB is a
+      // straight OOM. QuantileHist.exactInterpolated reproduces its
+      // interpolation bit for bit via distributed histogram selection
+      // (r8's QuantileHistSpec pins the A/B), so results are unchanged
+      // while the plan carries only bucket counts plus the two
+      // boundary-rank slices. count/min/max remain one keyed agg.
+      import graft.operators.QuantileHist
+      val li = Tables.lineitem(s, dir)
+      val keys = Seq("l_returnflag")
+      val medQty = QuantileHist
+        .exactInterpolated(li, keys, "l_quantity", 1.0, Seq("0.5"))
+        .select(col("l_returnflag"), col("p").as("med_qty"))
+      val pricePcts = QuantileHist
+        .exactInterpolated(li, keys, "l_extendedprice", 512.0, Seq("0.25", "0.75"))
         .groupBy("l_returnflag")
+        .agg(max(when(col("q") === 0.25, col("p"))).as("p25_price"),
+          max(when(col("q") === 0.75, col("p"))).as("p75_price"))
+      li.groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
+        .join(medQty, keys).join(pricePcts, keys)
+        .select(col("l_returnflag"), col("n"), col("med_qty"),
+          col("p25_price"), col("p75_price"), col("min_price"), col("max_price"))
         .orderBy("l_returnflag")
     },
 

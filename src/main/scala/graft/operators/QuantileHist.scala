@@ -114,11 +114,11 @@ object QuantileHist {
     CacheScope.unpersistAfterUse(out, hist)
   }
 
-  /** The exact rank-r order statistic for each (key, q) — the verification
-    * side, via distributed histogram selection:
+  /** The order-statistic values at a set of integer ranks — the shared
+    * selection core:
     *
-    *   1. locate the bucket containing rank r on the cumulative table and
-    *      the residual rank INSIDE it (`r - count_below_bucket`);
+    *   1. locate the bucket containing each rank on the cumulative table
+    *      and the residual rank INSIDE it (`r - count_below_bucket`);
     *   2. broadcast the (key, bucket) picks and semi-filter the data to
     *      just those buckets — a map-side hash probe, no shuffle of
     *      non-candidate rows;
@@ -129,22 +129,24 @@ object QuantileHist {
     * Same value as a full per-group sort — the bucket is a pure function of
     * the value, so the global rank-r row is structurally the in-bucket
     * rank-(r - below) row — at a per-task cost bounded by the largest
-    * single bucket instead of the largest group. */
-  def exactRankValue(
+    * single bucket instead of the largest group.
+    *
+    * `ranks` is (keys..., r BIGINT), distinct; returns (keys..., r, v). */
+  private def valuesAtRanks(
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
       width: Double,
-      qs: Seq[String]): DataFrame = {
-    val (cum, hist) = cumHist(df, keys, valueCol, width)
+      cum: DataFrame,
+      ranks: DataFrame): DataFrame = {
     // sel = min (bucket, count-below) struct per target: lexicographic min
     // is the first bucket reaching the rank, carrying its below-count
-    val picked = rankTargets(cum, keys, qs)
+    val picked = ranks
       .join(cum.drop("n"), keys)
       .where(col("cum") >= col("r"))
-      .groupBy((keys.map(col) :+ col("q") :+ col("r")): _*)
+      .groupBy((keys.map(col) :+ col("r")): _*)
       .agg(min(struct(col("bucket"), (col("cum") - col("cnt")).as("below"))).as("sel"))
-      .select((keys.map(col) :+ col("q") :+
+      .select((keys.map(col) :+ col("r") :+
         col("sel.bucket").as("tb") :+
         (col("r") - col("sel.below")).as("lr")): _*)
     val targetBuckets = picked
@@ -157,13 +159,80 @@ object QuantileHist {
       .withColumn("rn", row_number().over(
         Window.partitionBy((keys.map(col) :+ col("vb")): _*).orderBy(col("v"))))
       .select((keys.map(k => col(k).as(s"rk_$k")) :+ col("vb") :+ col("v") :+ col("rn")): _*)
-    val out = picked
+    picked
       .join(inBucket,
         keys.map(k => col(k) === col(s"rk_$k")).reduce(_ && _) &&
           col("vb") === col("tb") && col("rn") === col("lr"))
+      .select((keys.map(col) :+ col("r") :+ col("v")): _*)
+  }
+
+  /** The exact rank-r order statistic for each (key, q), r = ceil(q·n) —
+    * the verification side of `estimate`, via distributed histogram
+    * selection (see `valuesAtRanks`). */
+  def exactRankValue(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      width: Double,
+      qs: Seq[String]): DataFrame = {
+    val (cum, hist) = cumHist(df, keys, valueCol, width)
+    val targets = rankTargets(cum, keys, qs)
+    val vals = valuesAtRanks(df, keys, valueCol, width, cum,
+      targets.select((keys.map(col) :+ col("r")): _*).distinct())
+    val out = targets
+      .join(vals, keys :+ "r")
       .select((keys.map(col) :+
         col("q").cast("double").as("q") :+
         col("v").as("exact_v")): _*)
+    CacheScope.unpersistAfterUse(out, hist)
+  }
+
+  /** Exact CONTINUOUS (interpolated) percentiles at scale — the
+    * distributed replacement for Spark's `percentile`, whose
+    * TypedImperativeAggregate buffers every value of a group on one node
+    * (a hot group at 100 TB is a straight OOM).
+    *
+    * Replicates Spark's interpolation BIT FOR BIT: position = q·(n−1)
+    * (0-based), and for lo = floor(position) ≠ hi = ceil(position) the
+    * value is `(hi − position)·v_lo + (position − lo)·v_hi` — the exact
+    * expression Percentile.getPercentile evaluates, in the same operation
+    * order, over the same rank values — so swapping implementations
+    * changes nothing observable. Both boundary values come from ONE
+    * selection pass over the shared histogram.
+    *
+    * Output: (keys..., q DOUBLE, p DOUBLE). */
+  def exactInterpolated(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      width: Double,
+      qs: Seq[String]): DataFrame = {
+    val (cum, hist) = cumHist(df, keys, valueCol, width)
+    val t = cum.groupBy(keys.map(col): _*)
+      .agg(max("n").as("n"))
+      .withColumn("q", explode(array(qs.map(q => lit(q).cast("double")): _*)))
+      .withColumn("pos", col("q") * (col("n") - lit(1L)).cast("double"))
+      .withColumn("lo0", floor(col("pos")).cast("long"))
+      .withColumn("hi0", ceil(col("pos")).cast("long"))
+    val ranks = t
+      .select((keys.map(col) :+
+        explode(array(col("lo0") + 1, col("hi0") + 1)).as("r")): _*)
+      .distinct()
+    val vals = valuesAtRanks(df, keys, valueCol, width, cum, ranks)
+    val lo = vals.select((keys.map(k => col(k).as(s"lk_$k")) :+
+      col("r").as("rl") :+ col("v").as("vlo")): _*)
+    val hi = vals.select((keys.map(k => col(k).as(s"hk_$k")) :+
+      col("r").as("rh") :+ col("v").as("vhi")): _*)
+    val out = t
+      .join(lo, keys.map(k => col(k) === col(s"lk_$k")).reduce(_ && _) &&
+        col("lo0") + 1 === col("rl"))
+      .join(hi, keys.map(k => col(k) === col(s"hk_$k")).reduce(_ && _) &&
+        col("hi0") + 1 === col("rh"))
+      .select((keys.map(col) :+ col("q") :+
+        when(col("lo0") === col("hi0"), col("vlo"))
+          .otherwise((col("hi0").cast("double") - col("pos")) * col("vlo") +
+            (col("pos") - col("lo0").cast("double")) * col("vhi"))
+          .as("p")): _*)
     CacheScope.unpersistAfterUse(out, hist)
   }
 }

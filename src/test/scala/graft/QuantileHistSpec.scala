@@ -74,6 +74,33 @@ class QuantileHistSpec extends AnyFunSuite {
     }
   }
 
+  test("exactInterpolated is bit-identical to Spark's percentile() (randomized A/B)") {
+    val rnd = new scala.util.Random(97)
+    // ragged group sizes incl. a singleton; duplicated + negative values
+    val rows = (1 to 2500).map { i =>
+      val k = s"k${i % 7}"
+      (k, if (i % 11 == 0) -rnd.nextInt(40) * 2.5 else rnd.nextInt(300) * 1.25)
+    } :+ (("solo", 42.0))
+    val df = rows.toDF("k", "v")
+    val allQs = Seq("0.0", "0.25", "0.5", "0.75", "0.9", "1.0")
+    val got = QuantileHist.exactInterpolated(df, Seq("k"), "v", 20.0, allQs)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("q")) -> r.getAs[Double]("p"))
+      .toMap
+    val exp = df.groupBy("k")
+      .agg(expr(s"percentile(v, array(${allQs.mkString(",")}))").as("ps"))
+      .collect()
+      .flatMap { r =>
+        val ps = r.getAs[scala.collection.Seq[Double]]("ps")
+        allQs.map(_.toDouble).zip(ps).map { case (q, p) => (r.getString(0), q) -> p }
+      }.toMap
+    assert(got.size === exp.size)
+    exp.foreach { case (kq, p) =>
+      // === : bit-identical, not approximately equal
+      assert(got(kq) === p, s"at $kq")
+    }
+  }
+
   test("rank target uses exact decimal arithmetic at the integer boundary") {
     // n=10, q=0.90: double 0.9*10 rounds to 9.000000000000002 and ceil
     // would give 10; decimal gives exactly 9
