@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.{Tables, SnapshotScan}
 import graft.cdc.Envelope
 import graft.functions.{Converters => Cv, TextFunctions => Tf, VectorFunctions => Vf}
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, SemanticDedup}
 import graft.sinks.BatchedSink
 import graft.streaming.EventsIngest
 
@@ -1143,6 +1143,62 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     },
 
+    "events_funnel" -> { (s, dir) =>
+      // Strict ordered funnel (view -> click -> purchase): each stage's
+      // entry time is the user's earliest qualifying event AFTER the
+      // previous stage's entry. Shape at 100 TB: three column-pruned
+      // passes over events, each a keyed min-agg; stage tables are
+      // per-user one-row frames joined back by user_id (keyed equi-join,
+      // AQE picks broadcast when a stage's survivors are small). No
+      // window over the event log, no per-user event buffering — the
+      // classic mistake here is collect_list(events) per user, which a
+      // hot user turns into a straggler. The synthetic log is so dense
+      // every user completes every stage — a vacuous funnel — so the
+      // query runs on a deterministic 1-in-13 event subsample, which
+      // yields a real drop-off shape (102 -> 46 -> 12 at sf0.01).
+      val ev = Tables.events(s, dir)
+        .where(col("event_id") % 13 === 0)
+        .select(col("user_id"), col("event_type"), col("ts_ns"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ns").as("t1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, "user_id").where(col("ts_ns") > col("t1"))
+        .groupBy("user_id").agg(min("ts_ns").as("t2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, "user_id").where(col("ts_ns") > col("t2"))
+        .groupBy("user_id").agg(min("ts_ns").as("t3"))
+      def stage(df: DataFrame, n: Int, name: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(n).cast("long").as("stage"), lit(name).as("stage_name"),
+            col("users"))
+      stage(t1, 1, "view").unionByName(stage(t2, 2, "click"))
+        .unionByName(stage(t3, 3, "purchase"))
+        .orderBy("stage")
+    },
+
+    "events_retention" -> { (s, dir) =>
+      // Weekly cohort retention: cohort = the user's first-activity week,
+      // cell (cohort, offset) counts users active `offset` weeks later.
+      // Week index is pure integer arithmetic on the epoch-nanos column —
+      // replayable bit-for-bit in SQL, no engine week-numbering
+      // conventions involved. Shape at 100 TB: one keyed min-agg for
+      // cohorts, one (user, week) distinct (two-level hash agg), one
+      // keyed join back, one small agg — the output is O(weeks^2) rows
+      // regardless of corpus size.
+      val wkNs = 604800000000000L // 7 * 86400 * 1e9
+      // same 1-in-13 subsample as events_funnel: full density has every
+      // user active every week, which would gate nothing
+      val ev = Tables.events(s, dir)
+        .where(col("event_id") % 13 === 0)
+        .select(col("user_id"), expr(s"ts_ns div $wkNs").as("wk"))
+      val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.distinct()
+        .join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    },
+
     // ---- dedup battery (#21-25) ----
 
     "dedup_exact" -> { (s, dir) =>
@@ -1259,6 +1315,39 @@ object SparkEntry {
         dim = 64, threshold = 0.9, numBands = 64, bitsPerBand = adaptiveBits)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    "dedup_semantic" -> { (s, dir) =>
+      // SemDeDup (cluster-then-prune) over the same planted-twin corpus as
+      // dedup_embedding: spherical k-means cells + in-cell cosine pairs +
+      // min-id survivors (operators/SemanticDedup.scala). The oracle
+      // re-derives every decision from a GLOBAL cosine pair search — a
+      // strong replay, valid because at gate scales nprobe=2 cell probing
+      // recovers every planted pair (measured: 100% at sf0.01-sf1, 99.6%
+      // at sf10) and the 0.995-vs-0.51 margin admits no background pairs.
+      // The `ok` column is the scale-portable lane: recall vs the closed-
+      // form expected twin set >= 0.99 and precision == 1, asserted by the
+      // sf1/sf10 ASSERT_OK batteries where the DuckDB oracle doesn't run.
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val twins = base.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.2) * (i % 2).cast("double"))).as("embedding"))
+      val all = base.unionByName(twins)
+      val pairs = SemanticDedup.nearDupPairs(all, "vec_id", "embedding",
+        threshold = 0.9).localCheckpoint(true)
+      val expected = base.where(col("vec_id") % 20 === 0).count()
+      val found = pairs.count()
+      // planted pairs are exactly (v, v + 1e12): anything else is a
+      // precision miss and would hash-diverge at the gate anyway
+      val twinPairs =
+        pairs.where(col("id_b") === col("id_a") + 1000000000000L).count()
+      val ok = twinPairs == found && twinPairs * 100L >= expected * 99L
+      SemanticDedup.decisionsFromPairs(all, "vec_id", pairs)
+        .select(col("id").as("vec_id"), col("kept"), col("dup_of"),
+          lit(ok).as("ok"))
+        .orderBy("vec_id")
     },
 
     "join_range" -> { (s, dir) =>
@@ -1585,6 +1674,105 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"),
           coalesce(col("blocked_flag"), lit(false)).as("blocked"))
         .orderBy("doc_id", "domain")
+    },
+
+    "domain_cap" -> { (s, dir) =>
+      // Per-domain frequency capping (the C4/RefinedWeb corpus-balance
+      // primitive: no single site may dominate the training mix): extract
+      // each doc's linked domain, keep at most K=3 docs per domain, chosen
+      // by a deterministic 60-bit md5 coin (fair, seedless, and replayable
+      // in SQL) with doc_id as the total-order tie-break. Shape at 100 TB:
+      // map-only extraction, then ONE keyed window whose rank<=K filter
+      // Spark rewrites to WindowGroupLimit — every task pre-prunes to its
+      // local top-K per domain BEFORE the exchange, so the shuffle carries
+      // O(domains x K x tasks) rows, not the corpus. A mega-domain
+      // (wikipedia-scale skew) therefore costs its winners only.
+      val urlRe = "https://([a-z0-9-]+\\.example\\.com)"
+      val planted = concat(col("text"), lit(" via https://site-"),
+        (col("doc_id") % 7).cast("string"), lit(".example.com/p"))
+      val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(col("coin"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("ptext", planted)
+        .select(col("doc_id"),
+          regexp_extract(col("ptext"), urlRe, 1).as("domain"))
+        .withColumn("coin", coin)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("domain"), col("rank").cast("long").as("rank"))
+        .orderBy("domain", "rank")
+    },
+
+    "text_boilerplate" -> { (s, dir) =>
+      // Cross-document boilerplate-line removal (the C4 curation step:
+      // drop any line that repeats across >= minDf documents — nav bars,
+      // footers, licence stubs). Lines are PLANTED (1 in 3 docs gets a nav
+      // header, 1 in 5 a copyright footer, 1 in 11 a parameterized rare
+      // ref line) so both the drop and keep lanes are exercised at any SF;
+      // the doc's own body line is unique and always survives. Shape at
+      // 100 TB: posexplode to narrow (doc_id, pos, line) rows; line
+      // doc-frequency is ONE keyed agg (map-side partial distinct); the
+      // common-line set is a vanishing fraction of the corpus, so the
+      // left-anti join broadcasts it under AQE; reassembly is one keyed
+      // agg back on doc_id carrying each surviving line exactly twice
+      // through a shuffle. No driver-side state.
+      val header = when(col("doc_id") % 3 === 0, lit("nav home about contact login"))
+      val footer = when(col("doc_id") % 5 === 0,
+        lit("copyright example site 2024 all rights reserved"))
+      val rare = when(col("doc_id") % 11 === 7,
+        concat(lit("ref note "), (col("doc_id") % 97).cast("string")))
+      val docs = Tables.documents(s, dir)
+        // concat_ws skips nulls on both engines: docs get 1-4 lines
+        .select(col("doc_id"), concat_ws("\n", header, col("text"), footer, rare).as("ptext"))
+      val lines = docs.select(col("doc_id"),
+        posexplode(split(col("ptext"), "\n")).as(Seq("pos", "line")))
+      val common = lines.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 5)
+        .select("line")
+      val kept = lines.join(common, Seq("line"), "left_anti")
+      docs.select(col("doc_id"), size(split(col("ptext"), "\n")).as("n_lines"))
+        .join(kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws("\n", transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line"))).as("clean_text")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("clean_text"),
+          (col("n_lines") - col("n_kept")).as("n_dropped"))
+        .orderBy("doc_id")
+    },
+
+    "select_quality_top" -> { (s, dir) =>
+      // Quality-threshold selection (keep the top 20% of the corpus by
+      // quality score — the standard classifier-gate shape): per-doc score
+      // is the text_quality formula (map-only native TokenStats kernel);
+      // the global 0.8-quantile comes from the SAME buffer-free histogram
+      // selection as agg_stats (exactInterpolated reproduces percentile()
+      // bit for bit, so the DuckDB quantile_cont replay is exact); the cut
+      // is a ONE-ROW broadcast every doc compares against map-side. At
+      // 100 TB nothing wide moves: bucket counts up, two boundary-rank
+      // slices back, corpus streamed once per pass.
+      import graft.expressions.{Sketch, TokenStats}
+      import graft.operators.QuantileHist
+      val stats = Sketch.column(TokenStats(Sketch.expr(col("text")), Tf.EnStops, lowercase = true))
+      val nTok = element_at(col("st"), 1)
+      val nUniq = element_at(col("st"), 2)
+      val stopHits = element_at(col("st"), 3)
+      val scored = Tables.documents(s, dir)
+        .withColumn("st", stats)
+        .select(col("doc_id"),
+          (lit(0.4) * (nUniq / nTok) + lit(0.4) * (lit(1.0) - stopHits / nTok)
+            + lit(0.2) * least(lit(1.0), nTok / lit(200.0))).as("score"))
+        .withColumn("g", lit(0))
+      val cut = QuantileHist
+        .exactInterpolated(scored, Seq("g"), "score", 0.00390625, Seq("0.8"))
+        .select(col("p").as("cut"))
+      scored.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("score"), (col("score") >= col("cut")).as("kept"))
+        .orderBy("doc_id")
     },
 
     "text_pii" -> { (s, dir) =>
@@ -2605,6 +2793,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_start""".stripMargin,
 
+    "events_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 13 = 0),
+        |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, (SELECT COUNT(*) FROM t1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+        |ORDER BY stage""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk
+        |    FROM events WHERE event_id % 13 = 0),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset, COUNT(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_wk, a.wk - c.cohort_wk
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
+
     "dedup_exact" ->
       """SELECT user_id, event_type, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
@@ -2701,6 +2911,19 @@ object SparkEntry {
         |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |twins AS (SELECT vec_id + 1000000000000 AS vec_id,
+        |    list_transform(v, (x, i) -> x * (1.0 + 0.2 * CAST((i - 1) % 2 AS DOUBLE))) AS v
+        |  FROM base WHERE vec_id % 20 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
+        |SELECT v.vec_id, p.a IS NULL AS kept, p.a AS dup_of, true AS ok
+        |FROM allv v LEFT JOIN pairs p ON v.vec_id = p.b
+        |ORDER BY vec_id""".stripMargin,
 
     "join_range" ->
       """WITH pts AS (
@@ -2911,6 +3134,51 @@ object SparkEntry {
         |SELECT u.doc_id, u.domain, (b.domain IS NOT NULL) AS blocked
         |FROM u LEFT JOIN b ON u.domain = b.domain
         |ORDER BY u.doc_id, u.domain""".stripMargin,
+
+    "domain_cap" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_extract(text || ' via https://site-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p',
+        |      'https://([a-z0-9-]+\.example\.com)', 1) AS domain,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS coin
+        |  FROM documents),
+        |r AS (SELECT doc_id, domain,
+        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY coin, doc_id) AS BIGINT) AS rank
+        |  FROM d)
+        |SELECT doc_id, domain, rank FROM r WHERE rank <= 3
+        |ORDER BY domain, rank""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'nav home about contact login' END,
+        |    text,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'copyright example site 2024 all rights reserved' END,
+        |    CASE WHEN doc_id % 11 = 7 THEN 'ref note ' || CAST(doc_id % 97 AS VARCHAR) END) AS ptext
+        |  FROM documents),
+        |lines AS (SELECT doc_id,
+        |    generate_subscripts(string_split(ptext, chr(10)), 1) AS pos,
+        |    unnest(string_split(ptext, chr(10))) AS line
+        |  FROM d),
+        |common AS (SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5),
+        |kept AS (SELECT l.* FROM lines l LEFT JOIN common c ON l.line = c.line WHERE c.line IS NULL),
+        |kagg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, kagg.clean_text,
+        |  CAST(len(string_split(d.ptext, chr(10))) - kagg.n_kept AS BIGINT) AS n_dropped
+        |FROM d JOIN kagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "select_quality_top" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS BIGINT) AS sh,
+        |    len(list_distinct(toks)) AS u
+        |  FROM t),
+        |sc AS (SELECT doc_id,
+        |    0.4 * (u / n) + 0.4 * (1.0 - sh / n) + 0.2 * least(1.0, n / 200.0) AS score
+        |  FROM m)
+        |SELECT doc_id, score,
+        |  score >= (SELECT quantile_cont(score, 0.8) FROM sc) AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "text_pii" ->
       """WITH p AS (

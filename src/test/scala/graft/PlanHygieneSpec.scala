@@ -44,8 +44,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // (SnapshotHandoffSpec, ConnectedComponentsSpec) rather than this gate.
     // mixture_rebalance broadcasts a ONE-ROW (M, W) scalar aggregate onto
     // the |sources|-row rate table — same O(tiny) map-side shape.
+    // select_quality_top broadcasts the ONE-ROW global quantile cut the
+    // whole corpus compares against map-side.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
-      "sketch_heavy_hitters", "mixture_rebalance")
+      "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
