@@ -1338,11 +1338,14 @@ object SparkEntry {
       val pairs = SemanticDedup.nearDupPairs(all, "vec_id", "embedding",
         threshold = 0.9).localCheckpoint(true)
       val expected = base.where(col("vec_id") % 20 === 0).count()
-      val found = pairs.count()
       // planted pairs are exactly (v, v + 1e12): anything else is a
-      // precision miss and would hash-diverge at the gate anyway
-      val twinPairs =
-        pairs.where(col("id_b") === col("id_a") + 1000000000000L).count()
+      // precision miss and would hash-diverge at the gate anyway. ONE
+      // aggregation job yields both counts (single-shot job overhead is
+      // the dominant cost at small SF).
+      val pairStats = pairs.agg(count(lit(1)).as("found"),
+        count(when(col("id_b") === col("id_a") + 1000000000000L, 1)).as("twin"))
+        .head()
+      val (found, twinPairs) = (pairStats.getLong(0), pairStats.getLong(1))
       val ok = twinPairs == found && twinPairs * 100L >= expected * 99L
       SemanticDedup.decisionsFromPairs(all, "vec_id", pairs)
         .select(col("id").as("vec_id"), col("kept"), col("dup_of"),

@@ -74,6 +74,42 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(p1.subsetOf(p2))
   }
 
+  test("property: pairs vs driver-side brute force on random twin-planted " +
+    "corpora — precision is a strict subset invariant, planted recall total") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31)
+      val dim = 24
+      val base = Array.tabulate(120)(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+      val twins = base.filter(_._1 % 9 == 0).map { case (i, v) =>
+        (i + 5000L, v.zipWithIndex.map { case (x, j) => if (j % 2 == 1) x * 1.2 else x })
+      }
+      val all = base ++ twins
+
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val brute = (for {
+        x <- all.indices; y <- all.indices
+        if all(x)._1 < all(y)._1 && cos(all(x)._2, all(y)._2) >= 0.9
+      } yield (all(x)._1, all(y)._1)).toSet
+      val planted = base.filter(_._1 % 9 == 0).map(p => (p._1, p._1 + 5000L)).toSet
+
+      val got = SemanticDedup.nearDupPairs(all.toSeq.toDF("id", "v"), "id", "v",
+        threshold = 0.9, targetCellSize = 24)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // precision: every emitted pair carries a verified cosine, so the
+      // cell approximation can only MISS pairs, never invent them
+      assert(got.subsetOf(brute), s"seed $seed: emitted non-threshold pair")
+      // recall on the planted twins: the 0.995 margin is wide enough that
+      // nprobe=2 probing recovers every one on these corpora
+      assert(planted.subsetOf(got), s"seed $seed: missed planted twins ${planted -- got}")
+    }
+  }
+
   test("transitive chains collapse to one min-id exemplar") {
     // a ~ b ~ c by construction: b = a scaled, c = b scaled (all cos ~1)
     val a = vec(7L)
