@@ -1778,6 +1778,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_bpe_train" -> { (s, dir) =>
+      // BPE merge training (operators/BpeTrain.scala): six rounds of
+      // count-pairs -> deterministic global top-1 -> map-only merge over
+      // the word-frequency table (the corpus collapses to distinct words
+      // first — the reduction that makes tokenizer training tractable at
+      // 100 TB). The oracle replays all six rounds exactly: the canonical
+      // double-separator sequence encoding makes merge application a
+      // plain greedy-left string replace with identical semantics in both
+      // engines, so even the tie-breaks are bit-reproducible.
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeTrain.train(words, "word", "freq", numMerges = 6)
+        .toDF()
+        .select(col("step"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
+        .orderBy("step")
+    },
+
     "text_pii" -> { (s, dir) =>
       // PII scrub gate: emails / dotted-quad IPs / card-like digit runs →
       // placeholders, counted pre-scrub. PII is PLANTED (1 in 3 docs gets
@@ -3182,6 +3202,62 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  score >= (SELECT quantile_cont(score, 0.8) FROM sc) AS kept
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_train" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) u
+        |  WHERE len(word) > 0 GROUP BY word),
+        |s0 AS MATERIALIZED (SELECT '·' || array_to_string(list_append(string_split(word, ''), '</w>'), '··') || '·' AS seq, freq FROM w),
+        |tk1 AS MATERIALIZED (SELECT seq, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT seq, freq, string_split(trim(seq, '·'), '··') AS toks FROM s0) q1),
+        |c1 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk1 a JOIN tk1 b ON a.seq = b.seq AND b.pos = a.pos + 1 GROUP BY pair),
+        |t1 AS MATERIALIZED (SELECT pair, c FROM c1 ORDER BY c DESC, pair LIMIT 1),
+        |s1 AS MATERIALIZED (SELECT replace(seq, '·' || (SELECT pair FROM t1) || '·',
+        |  '·' || replace((SELECT pair FROM t1), '··', '') || '·') AS seq, freq FROM s0),
+        |tk2 AS MATERIALIZED (SELECT seq, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT seq, freq, string_split(trim(seq, '·'), '··') AS toks FROM s1) q2),
+        |c2 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk2 a JOIN tk2 b ON a.seq = b.seq AND b.pos = a.pos + 1 GROUP BY pair),
+        |t2 AS MATERIALIZED (SELECT pair, c FROM c2 ORDER BY c DESC, pair LIMIT 1),
+        |s2 AS MATERIALIZED (SELECT replace(seq, '·' || (SELECT pair FROM t2) || '·',
+        |  '·' || replace((SELECT pair FROM t2), '··', '') || '·') AS seq, freq FROM s1),
+        |tk3 AS MATERIALIZED (SELECT seq, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT seq, freq, string_split(trim(seq, '·'), '··') AS toks FROM s2) q3),
+        |c3 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk3 a JOIN tk3 b ON a.seq = b.seq AND b.pos = a.pos + 1 GROUP BY pair),
+        |t3 AS MATERIALIZED (SELECT pair, c FROM c3 ORDER BY c DESC, pair LIMIT 1),
+        |s3 AS MATERIALIZED (SELECT replace(seq, '·' || (SELECT pair FROM t3) || '·',
+        |  '·' || replace((SELECT pair FROM t3), '··', '') || '·') AS seq, freq FROM s2),
+        |tk4 AS MATERIALIZED (SELECT seq, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT seq, freq, string_split(trim(seq, '·'), '··') AS toks FROM s3) q4),
+        |c4 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk4 a JOIN tk4 b ON a.seq = b.seq AND b.pos = a.pos + 1 GROUP BY pair),
+        |t4 AS MATERIALIZED (SELECT pair, c FROM c4 ORDER BY c DESC, pair LIMIT 1),
+        |s4 AS MATERIALIZED (SELECT replace(seq, '·' || (SELECT pair FROM t4) || '·',
+        |  '·' || replace((SELECT pair FROM t4), '··', '') || '·') AS seq, freq FROM s3),
+        |tk5 AS MATERIALIZED (SELECT seq, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT seq, freq, string_split(trim(seq, '·'), '··') AS toks FROM s4) q5),
+        |c5 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk5 a JOIN tk5 b ON a.seq = b.seq AND b.pos = a.pos + 1 GROUP BY pair),
+        |t5 AS MATERIALIZED (SELECT pair, c FROM c5 ORDER BY c DESC, pair LIMIT 1),
+        |s5 AS MATERIALIZED (SELECT replace(seq, '·' || (SELECT pair FROM t5) || '·',
+        |  '·' || replace((SELECT pair FROM t5), '··', '') || '·') AS seq, freq FROM s4),
+        |tk6 AS MATERIALIZED (SELECT seq, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT seq, freq, string_split(trim(seq, '·'), '··') AS toks FROM s5) q6),
+        |c6 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk6 a JOIN tk6 b ON a.seq = b.seq AND b.pos = a.pos + 1 GROUP BY pair),
+        |t6 AS MATERIALIZED (SELECT pair, c FROM c6 ORDER BY c DESC, pair LIMIT 1),
+        |s6 AS MATERIALIZED (SELECT replace(seq, '·' || (SELECT pair FROM t6) || '·',
+        |  '·' || replace((SELECT pair FROM t6), '··', '') || '·') AS seq, freq FROM s5)
+        |SELECT CAST(1 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t1
+        |UNION ALL SELECT CAST(2 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t2
+        |UNION ALL SELECT CAST(3 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t3
+        |UNION ALL SELECT CAST(4 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t4
+        |UNION ALL SELECT CAST(5 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t5
+        |UNION ALL SELECT CAST(6 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t6
+        |ORDER BY step""".stripMargin,
 
     "text_pii" ->
       """WITH p AS (

@@ -1,0 +1,100 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016,
+  * arXiv:1508.07909 — the standard subword-tokenizer trainer) as an
+  * iterative distributed computation.
+  *
+  * BPE trains on the WORD-FREQUENCY table, not the raw corpus — the first
+  * aggregation collapses a 100 TB corpus to its distinct words (millions of
+  * rows, each a short symbol sequence), and every subsequent pass runs over
+  * that table only. Each merge round is: (1) explode adjacent symbol pairs
+  * per word (map-only HOF over arrays that never exceed word length),
+  * (2) ONE keyed sum(freq) aggregate with map-side partials, (3) a
+  * deterministic global top-1 (TakeOrdered — count desc, pair lex asc as
+  * the total-order tie-break; one row to the driver per round, the same
+  * bounded-collect contract as the CC fixpoint checks), (4) a map-only
+  * merge application. The loop localCheckpoints per round so the plan
+  * stays flat at any merge count.
+  *
+  * Symbol sequences travel as ONE string per word in a canonical
+  * double-separator encoding: `·tok··tok··tok·`. Merging pair (a, b) is
+  * then a plain (non-regex) `replace(seq, '·a··b·', '·ab·')`:
+  *  - token boundaries carry TWO separators, so adjacent merge sites each
+  *    consume one and greedy left-to-right replace implements exactly
+  *    BPE's left-to-right non-overlapping application ('l l l' -> 'll l');
+  *  - the single flanking separators make intra-token false matches
+  *    impossible ('ba l' cannot match pair (a, l));
+  *  - plain `replace` has identical scan semantics in Spark and DuckDB,
+  *    so the oracle replays every round bit-for-bit without regex
+  *    lookahead (which RE2 lacks).
+  *
+  * Reference corollary: reader has no tokenizer tier; this extends the
+  * LLM-pipeline family (SURVEY §2 rows 27-29) with the trainer that
+  * produces the vocab those rows consume.
+  */
+object BpeTrain {
+
+  final case class Merge(step: Long, lhs: String, rhs: String,
+      merged: String, cnt: Long)
+
+  private val Sep = "·" // '·': outside the ASCII corpus alphabet
+
+  /** Learned merge rules, in order. `words` must be a (word, freq) table
+    * with distinct words. */
+  def train(
+      words: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      numMerges: Int,
+      endMarker: String = "</w>"): Seq[Merge] = {
+    var seqs = words
+      .select(
+        concat(lit(Sep),
+          array_join(concat(split(col(wordCol), ""), array(lit(endMarker))),
+            Sep + Sep),
+          lit(Sep)).as("seq"),
+        col(freqCol).cast("long").as("freq"))
+      .localCheckpoint(true)
+
+    val merges = ArrayBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val top = seqs
+        .select(col("freq"),
+          split(regexp_replace(col("seq"), s"^$Sep|$Sep$$", ""), Sep + Sep)
+            .as("toks"))
+        .select(col("freq"), explode(expr(
+          s"transform(slice(toks, 1, size(toks) - 1), " +
+            s"(x, j) -> concat(x, '$Sep$Sep', element_at(toks, j + 2)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("c"))
+        .orderBy(desc("c"), asc("pair"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val c = top(0).getLong(1)
+        // tokens never contain the separator or quotes (corpus chars plus
+        // the end marker), so splitting on '··' and embedding in a SQL
+        // literal are both safe; guard anyway
+        require(!pair.contains("'"), s"unexpected quote in pair $pair")
+        val Array(lhs, rhs) = pair.split(Sep + Sep)
+        merges += Merge(step.toLong, lhs, rhs, lhs + rhs, c)
+        seqs = seqs
+          .select(expr(
+            s"replace(seq, '$Sep$pair$Sep', '$Sep${lhs + rhs}$Sep')")
+            .as("seq"), col("freq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+}
