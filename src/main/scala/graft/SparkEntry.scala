@@ -1047,6 +1047,24 @@ object SparkEntry {
         .orderBy("batch_id")
     },
 
+    "stream_enrich" -> { (s, dir) =>
+      // Stream-static dimension join (streaming/StreamEnrich.scala): the
+      // event stream picks up a customer segment from a broadcast static
+      // dim per micro-batch — stateless in append mode, so the landed
+      // result equals the batch join and the oracle replays it directly.
+      // The dim key folds both sides mod 150 so the mapping is dense and
+      // deterministic at any SF (min(segment) collapses key collisions).
+      val dim = Tables.customer(s, dir)
+        .groupBy((col("c_custkey") % 150).as("ukey"))
+        .agg(min("c_mktsegment").as("segment"))
+      graft.streaming.StreamEnrich.enrichAvailableNow(
+        s, s"$dir/events.parquet", workDir("enrich", dir),
+        _.withColumn("ukey", col("user_id") % 150), dim, Seq("ukey"))
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"), sumd(dec2(col("value"))).as("sum_value"))
+        .orderBy("segment", "event_type")
+    },
+
     "stream_watermark_agg" -> { (s, dir) =>
       // append-mode watermarked daily windows: emitted set = windows whose
       // end <= max(ts) - 1h, deterministic arithmetic the oracle replays
@@ -1775,6 +1793,30 @@ object SparkEntry {
         .select(col("p").as("cut"))
       scored.crossJoin(broadcast(cut))
         .select(col("doc_id"), col("score"), (col("score") >= col("cut")).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    "text_oov" -> { (s, dir) =>
+      // Vocabulary-coverage stats: out-of-vocabulary rate per doc against
+      // the corpus's own top-15 words (count desc, word lex asc — a total
+      // order, so the vocab is deterministic at any SF). The pre-training
+      // sanity check that a tokenizer/vocab actually covers the corpus.
+      // Shape at 100 TB: vocab is ONE keyed agg + bounded top-K
+      // (TakeOrdered); it then broadcasts into the token-level left join
+      // (curated vocabs are KBs-MBs), so the corpus is map-only after its
+      // explode; per-doc rollup is one keyed agg.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+      val vocab = toks.groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("word")).limit(15)
+        .select(col("word"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
         .orderBy("doc_id")
     },
 
@@ -2778,6 +2820,14 @@ object SparkEntry {
         |  CAST(MIN(l_orderkey) AS BIGINT) AS min_pk, CAST(MAX(l_orderkey) AS BIGINT) AS max_pk
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "stream_enrich" ->
+      """WITH dim AS (SELECT c_custkey % 150 AS ukey, MIN(c_mktsegment) AS segment
+        |  FROM customer GROUP BY c_custkey % 150)
+        |SELECT d.segment, e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.user_id % 150 = d.ukey
+        |GROUP BY d.segment, e.event_type ORDER BY segment, event_type""".stripMargin,
+
     "stream_watermark_agg" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |  COUNT(*) AS n,
@@ -3202,6 +3252,19 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  score >= (SELECT quantile_cont(score, 0.8) FROM sc) AS kept
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents),
+        |t AS (SELECT * FROM toks WHERE len(word) > 0),
+        |vocab AS (SELECT word FROM t GROUP BY word
+        |  ORDER BY COUNT(*) DESC, word LIMIT 15)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM t LEFT JOIN vocab v ON t.word = v.word
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "text_bpe_train" ->
       """WITH w AS MATERIALIZED (
