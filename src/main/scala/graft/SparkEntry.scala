@@ -1437,6 +1437,42 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_lsh_incremental" -> { (s, dir) =>
+      // Incremental NEAR-dup index maintenance (the LSH sibling of the
+      // exact Bloom lane above): the base corpus (doc_id % 10 != 0) owns a
+      // persisted (id, band_id, band_hash) table — the index — and each
+      // arriving delta batch (doc_id % 10 == 0) sketches only its own rows,
+      // probes the index with a keyed equi-join, and exact-verifies inside
+      // buckets (Dedup.minhashProbePairs). Within-batch near-dups are the
+      // existing self-join lane over the small delta only. A delta doc is
+      // kept iff it near-matches neither the index nor an earlier delta
+      // doc; kept docs' band rows are what the next round appends to the
+      // index. Within-batch twins are PLANTED (doc_id % 30 == 10 copies
+      // doc_id+10's text plus a tail token -> shingle Jaccard ~0.96) so
+      // that lane is non-vacuous at any SF; cross-boundary matches occur
+      // naturally (the generator's near-dup pairs straddle the % 10
+      // split). Exact verification at threshold makes the whole pipeline
+      // row-identical to the all-pairs cross/self oracle.
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twin = docs.select((col("doc_id") - 10).as("tw_id"), col("text").as("tw_text"))
+      val w = docs.join(twin, col("doc_id") === col("tw_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 30 === 10 && col("tw_text").isNotNull,
+            concat(col("tw_text"), lit(" probetail"))).otherwise(col("text")).as("text"))
+      val base = w.where(col("doc_id") % 10 =!= 0)
+      val delta = w.where(col("doc_id") % 10 === 0)
+      val baseHits = Dedup.minhashProbePairs(base, delta, "doc_id", "text")
+        .groupBy(col("id_delta").as("bh_id")).agg(min(col("id_base")).as("dup_of_base"))
+      val deltaHits = Dedup.minhashNearDupPairs(delta, "doc_id", "text")
+        .groupBy(col("id_b").as("dh_id")).agg(min(col("id_a")).as("dup_of_delta"))
+      delta.select(col("doc_id"))
+        .join(baseHits, col("doc_id") === col("bh_id"), "left")
+        .join(deltaHits, col("doc_id") === col("dh_id"), "left")
+        .select(col("doc_id"), col("dup_of_base"), col("dup_of_delta"),
+          (col("dup_of_base").isNull && col("dup_of_delta").isNull).as("kept"))
+        .orderBy("doc_id")
+    },
+
     "decontaminate" -> { (s, dir) =>
       // Benchmark decontamination: flag corpus docs sharing word 8-grams
       // with an eval set (docs with doc_id % 41 == 0). Contamination is
@@ -1838,6 +1874,71 @@ object SparkEntry {
         .toDF()
         .select(col("step"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
         .orderBy("step")
+    },
+
+    "text_lm_score" -> { (s, dir) =>
+      // CCNet-style LM quality filter: train an add-one-smoothed bigram LM
+      // on a reference slice (doc_id % 7 == 0 — the "clean corpus" role
+      // Wikipedia plays in the published pipeline), score EVERY doc by its
+      // average smoothed bigram probability, keep docs at or above the
+      // corpus average. Published pipelines rank by log-perplexity; an
+      // exact-replay oracle can't follow transcendental functions across
+      // engines, so the score is the scaled-INTEGER probability mean —
+      // floor(1e9 * (c(v,w)+1) / (c(v)+V)) per bigram, summed as BIGINT
+      // (order-independent, hash-exact) — which induces the same keep set
+      // as any monotone transform of the per-bigram probabilities would
+      // under a mean-threshold rule on this statistic. The keep decision
+      // is EXACT integer cross-multiplication (score_sum * total_n >=
+      // n * total_sum in DECIMAL(19,0) products), no float compare.
+      // Shape at 100 TB: bigram explode is map-only (HOF over the token
+      // array, no posexplode join-back); LM counts are two keyed aggs over
+      // the REFERENCE slice only; scoring joins are keyed on (v,w) and v
+      // (AQE broadcasts them while the LM is small, falls back to shuffle
+      // when it isn't — a Wikipedia-scale LM is GBs, never driver-bound);
+      // V and the global mean are one-row broadcasts.
+      val toksArr = filter(split(lower(col("text")), " "),
+        w => length(w) > lit(0))
+      val bigrams = Tables.documents(s, dir)
+        .select(col("doc_id"), toksArr.as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            element_at(col("toks"), i + 1).as("v"),
+            element_at(col("toks"), i + 2).as("w")))).as("bg"))
+        .select(col("doc_id"), col("bg.v"), col("bg.w"))
+      val refBg = bigrams.where(col("doc_id") % 7 === 0)
+      val cb = refBg.groupBy("v", "w").agg(count(lit(1)).as("cb"))
+      val cv = refBg.groupBy("v").agg(count(lit(1)).as("cv"))
+      val vsz = Tables.documents(s, dir)
+        .where(col("doc_id") % 7 === 0)
+        .select(explode(toksArr).as("word"))
+        .agg(countDistinct(col("word")).as("vsz"))
+      // `scored` feeds BOTH the global mean and the final projection —
+      // persist the narrow (doc_id, n, sum) frame or the whole
+      // bigram/LM-join subtree re-executes once per consumer (the r7
+      // union-re-executes lesson)
+      val scored = bigrams
+        .join(cb, Seq("v", "w"), "left")
+        .join(cv, Seq("v"), "left")
+        .crossJoin(broadcast(vsz))
+        .select(col("doc_id"),
+          floor(lit(1e9) * (coalesce(col("cb"), lit(0L)) + 1) /
+            (coalesce(col("cv"), lit(0L)) + col("vsz"))).as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("score_sum"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = scored.agg(
+        sum(col("score_sum")).as("tot_sum"), sum(col("n_bigrams")).as("tot_n"))
+      val out = scored.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_bigrams"), col("score_sum"),
+          (col("score_sum").cast("double") / col("n_bigrams").cast("double"))
+            .as("avg_p_e9"),
+          (col("score_sum").cast("decimal(19,0)") * col("tot_n").cast("decimal(19,0)") >=
+            col("n_bigrams").cast("decimal(19,0)") * col("tot_sum").cast("decimal(19,0)"))
+            .as("kept"))
+        .orderBy("doc_id")
+      graft.operators.CacheScope.unpersistAfterUse(out, scored)
     },
 
     "text_pii" -> { (s, dir) =>
@@ -3033,6 +3134,31 @@ object SparkEntry {
         |WHERE fp NOT IN (SELECT fp FROM corpus)
         |ORDER BY doc_id""".stripMargin,
 
+    "dedup_lsh_incremental" ->
+      """WITH wt AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 30 = 10 AND t.text IS NOT NULL
+        |         THEN t.text || ' probetail' ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents t ON t.doc_id = d.doc_id + 10),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM wt),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        |      FROM w WHERE len(toks) >= 5),
+        |sb AS (SELECT * FROM s WHERE doc_id % 10 != 0),
+        |sd AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+        |bh AS (SELECT d.doc_id AS id, MIN(b.doc_id) AS dup_of_base
+        |       FROM sd d JOIN sb b ON CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(d.sh || b.sh)) >= 0.9
+        |       GROUP BY d.doc_id),
+        |dh AS (SELECT b.doc_id AS id, MIN(a.doc_id) AS dup_of_delta
+        |       FROM sd a JOIN sd b ON a.doc_id < b.doc_id
+        |        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(a.sh || b.sh)) >= 0.9
+        |       GROUP BY b.doc_id)
+        |SELECT w.doc_id, bh.dup_of_base, dh.dup_of_delta,
+        |  bh.dup_of_base IS NULL AND dh.dup_of_delta IS NULL AS kept
+        |FROM wt w LEFT JOIN bh ON w.doc_id = bh.id LEFT JOIN dh ON w.doc_id = dh.id
+        |WHERE w.doc_id % 10 = 0 ORDER BY w.doc_id""".stripMargin,
+
     "decontaminate" ->
       """WITH bench AS (
         |  SELECT doc_id AS bench_id, text AS bench_text FROM documents WHERE doc_id % 41 = 0
@@ -3321,6 +3447,34 @@ object SparkEntry {
         |UNION ALL SELECT CAST(5 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t5
         |UNION ALL SELECT CAST(6 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t6
         |ORDER BY step""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS arr
+        |  FROM documents),
+        |tk AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS word
+        |  FROM d),
+        |bg AS (SELECT a.doc_id, a.word AS v, b.word AS w
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |refbg AS (SELECT v, w FROM bg WHERE doc_id % 7 = 0),
+        |cb AS (SELECT v, w, COUNT(*) AS cb FROM refbg GROUP BY v, w),
+        |cv AS (SELECT v, COUNT(*) AS cv FROM refbg GROUP BY v),
+        |vv AS (SELECT COUNT(DISTINCT word) AS vsz FROM tk WHERE doc_id % 7 = 0),
+        |sc AS (SELECT bg.doc_id,
+        |    CAST(floor(1000000000.0 * (coalesce(cb.cb, 0) + 1)
+        |      / (coalesce(cv.cv, 0) + vv.vsz)) AS BIGINT) AS p
+        |  FROM bg LEFT JOIN cb ON bg.v = cb.v AND bg.w = cb.w
+        |          LEFT JOIN cv ON bg.v = cv.v, vv),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(p) AS BIGINT) AS score_sum
+        |  FROM sc GROUP BY doc_id),
+        |tot AS (SELECT CAST(SUM(score_sum) AS BIGINT) AS tot_sum,
+        |    CAST(SUM(n_bigrams) AS BIGINT) AS tot_n FROM agg)
+        |SELECT doc_id, n_bigrams, score_sum,
+        |  CAST(score_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_p_e9,
+        |  CAST(score_sum AS DECIMAL(19,0)) * CAST(tot_n AS DECIMAL(19,0))
+        |    >= CAST(n_bigrams AS DECIMAL(19,0)) * CAST(tot_sum AS DECIMAL(19,0)) AS kept
+        |FROM agg, tot ORDER BY doc_id""".stripMargin,
 
     "text_pii" ->
       """WITH p AS (

@@ -182,6 +182,91 @@ object Dedup {
         CacheScope.unpersistAfterUse(verified, withSig), plausible), shSets)
   }
 
+  /** Incremental LSH index probe: near-dup pairs between a DELTA batch and
+    * an already-indexed BASE corpus, without re-shingling the base.
+    *
+    * The base's (id, band_id, band_hash) table IS the persisted index — at
+    * cluster scale it is written once, bucketed by (band_id, band_hash),
+    * and each arriving batch only (1) sketches ITS OWN rows, (2) probes the
+    * index with a keyed equi-join, (3) exact-verifies inside buckets. Base
+    * shingle sets are re-derived for VERIFY SURVIVORS only (a semi-join of
+    * matched ids against the base — the same survivor-only discipline as
+    * [[minhashNearDupPairs]]), so a TB-scale base costs the delta probe
+    * O(delta · bands) shuffle rows plus the survivors' text, never a
+    * corpus re-scan. Returns (id_base, id_delta, jacc), exact-verified at
+    * `cfg.threshold`, so the output equals the all-pairs cross oracle.
+    * Same banding math as the self-join variant: recall at the threshold
+    * is 1 − (1 − t^r)^bands ≈ 1 − 3e-15 at the 128/32 defaults. */
+  def minhashProbePairs(
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val shExpr = Sketch.column(
+      ShingleHashes(Sketch.expr(col(textCol)), cfg.shingleSize, word = true))
+    def shingled(src: DataFrame): DataFrame =
+      src.select(col(idCol).as("id"), shExpr.as("sh"))
+        .where(size(col("sh")) > 0)
+    def withSig(src: DataFrame): DataFrame =
+      shingled(src)
+        .withColumn("sig", Sketch.column(MinHashSig(Sketch.expr(col("sh")), cfg.numPerm)))
+        .withColumn("bands", lshBandHashes(col("sig"), cfg.bands, cfg.rowsPerBand))
+        .select(col("id"), col("sig"), col("bands"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandTable(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), posexplode(col("bands")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_hash")
+
+    val baseSig = withSig(base)
+    val deltaSig = withSig(delta)
+
+    // same μ−6σ shared-band prefilter as the self-join path: the count is
+    // free from the pair groupBy and discards the low-similarity collision
+    // mass before any signature is fetched
+    val pBand = math.pow(cfg.threshold, cfg.rowsPerBand)
+    val muBands = cfg.bands * pBand
+    val minShared = math.max(1.0,
+      math.ceil(muBands - 6 * math.sqrt(muBands * (1 - pBand)))).toInt
+    val candidates = bandTable(deltaSig).as("x")
+      .join(bandTable(baseSig).as("y"), Seq("band_id", "band_hash"), "inner")
+      .groupBy(col("x.id").as("id_delta"), col("y.id").as("id_base"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .where(col("shared_bands") >= minShared)
+      .select(col("id_delta"), col("id_base"))
+
+    val est = Sketch.column(EqualPositionCount(
+      Sketch.expr(col("ga.sig")), Sketch.expr(col("gb.sig"))))
+    val plausible = candidates
+      .join(deltaSig.select(col("id"), col("sig")).as("ga"), col("id_delta") === col("ga.id"))
+      .join(baseSig.select(col("id"), col("sig")).as("gb"), col("id_base") === col("gb.id"))
+      .where(est.cast("double") / cfg.numPerm >= cfg.threshold - 0.15)
+      .select(col("id_delta"), col("id_base"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // survivor-only shingle fetch, per side — the only point the BASE text
+    // is touched, and only for ids that cleared the signature estimate
+    val shDelta = shingled(
+      delta.join(plausible.select(col("id_delta").as(idCol)).distinct(), Seq(idCol), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shBase = shingled(
+      base.join(plausible.select(col("id_base").as(idCol)).distinct(), Seq(idCol), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val inter = Sketch.column(SortedIntersectCount(
+      Sketch.expr(col("sa.sh")), Sketch.expr(col("sb.sh"))))
+    val verified = plausible
+      .join(shDelta.as("sa"), col("id_delta") === col("sa.id"))
+      .join(shBase.as("sb"), col("id_base") === col("sb.id"))
+      .select(
+        col("id_base"), col("id_delta"),
+        (inter.cast("double") / (size(col("sa.sh")) + size(col("sb.sh")) - inter)).as("jacc"))
+      .where(col("jacc") >= cfg.threshold)
+    Seq(baseSig, deltaSig, plausible, shDelta, shBase)
+      .foldLeft(verified)(CacheScope.unpersistAfterUse)
+  }
+
   /** SimHash fingerprints: one 16-bit content hash per doc; docs whose
     * fingerprints collide (or sit within small Hamming distance) are dup
     * candidates. Pure single-pass projection. */

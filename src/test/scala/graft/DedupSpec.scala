@@ -58,6 +58,73 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("index probe pair set equals brute-force cross Jaccard on random corpora " +
+    "(delta-vs-base probe loses nothing, emits no within-side pairs)") {
+    import graft.expressions.{ShingleHashes, Sketch, SortedIntersectCount}
+    for (seed <- 11 to 13) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(40)(i => s"w$i")
+      def doc(n: Int): String =
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (0L until 50L).map(i => (i, doc(25)))
+      // delta = fresh docs + twins of base docs (append-1, jacc ~0.95) +
+      // decoys (append-3, ~0.875 — below t=0.9, must NOT match)
+      val fresh = (0L until 20L).map(i => (i + 500L, doc(25)))
+      val twins = base.take(6).map { case (i, t) => (i + 1000L, t + " " + doc(1)) }
+      val decoys = base.slice(6, 12).map { case (i, t) => (i + 2000L, t + " " + doc(3)) }
+      val baseDf = base.toDF("id", "text")
+      val deltaDf = (fresh ++ twins ++ decoys).toDF("id", "text")
+
+      val probe = Dedup.minhashProbePairs(baseDf, deltaDf, "id", "text")
+        .select("id_base", "id_delta").as[(Long, Long)].collect().toSet
+
+      def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+        Sketch.column(ShingleHashes(Sketch.expr(col("text")), 5, word = true)).as("sh"))
+      val inter = Sketch.column(SortedIntersectCount(
+        Sketch.expr(col("a.sh")), Sketch.expr(col("b.sh"))))
+      val exact = sh(baseDf).as("a").crossJoin(sh(deltaDf).as("b"))
+        .select(col("a.id").as("id_base"), col("b.id").as("id_delta"),
+          (inter.cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jacc"))
+        .where(col("jacc") >= 0.9)
+        .select("id_base", "id_delta").as[(Long, Long)].collect().toSet
+
+      assert(exact.nonEmpty, s"seed $seed planted no cross pairs — generator broken")
+      assert(probe === exact, s"seed $seed: probe pairs != brute-force cross pairs")
+      assert(probe.forall { case (b, d) => b < 500L && d >= 500L },
+        s"seed $seed: probe emitted a within-side pair")
+    }
+  }
+
+  test("lm score: kept flag replays the exact integer mean rule, both classes non-empty") {
+    // Driver-side BigInt model of the decision rule over the real sf0.001
+    // run: kept ⇔ score_sum · Σn ≥ n · Σscore_sum, computed without the
+    // DECIMAL(19,0) path the query uses — a divergence means the cross-
+    // multiplication overflowed or the one-row broadcast picked up stale
+    // totals. Also pins that the threshold actually splits the corpus.
+    val rows = SparkEntry.queries("text_lm_score")(spark, Sf)
+      .select("doc_id", "n_bigrams", "score_sum", "kept").collect()
+      .map(r => (r.getLong(0), BigInt(r.getLong(1)), BigInt(r.getLong(2)), r.getBoolean(3)))
+    val totN = rows.map(_._2).sum
+    val totS = rows.map(_._3).sum
+    rows.foreach { case (id, n, s, kept) =>
+      assert(kept === (s * totN >= n * totS), s"doc $id kept flag diverges from BigInt model")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "mean threshold did not split the corpus — the gate is vacuous")
+  }
+
+  test("index probe candidate generation has no cartesian product in the plan") {
+    val baseDf = (0L until 20L).map(i => (i, s"alpha beta gamma delta epsilon zeta token$i end"))
+      .toDF("id", "text")
+    val deltaDf = (100L until 110L).map(i => (i, s"alpha beta gamma delta epsilon zeta token$i end"))
+      .toDF("id", "text")
+    val plan = Dedup.minhashProbePairs(baseDf, deltaDf, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("minhash sketch cache is released after the consuming action") {
     // the session is shared across suites, and a suite that CONSTRUCTS a
     // scoped pipeline without consuming it (plan-only tests) legitimately

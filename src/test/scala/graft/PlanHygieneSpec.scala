@@ -45,9 +45,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // mixture_rebalance broadcasts a ONE-ROW (M, W) scalar aggregate onto
     // the |sources|-row rate table — same O(tiny) map-side shape.
     // select_quality_top broadcasts the ONE-ROW global quantile cut the
-    // whole corpus compares against map-side.
+    // whole corpus compares against map-side. text_lm_score broadcasts two
+    // ONE-ROW scalars the same way (vocab size V onto the bigram stream,
+    // the global (tot_sum, tot_n) mean onto the per-doc scores).
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
-      "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top")
+      "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
+      "text_lm_score")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
