@@ -1437,6 +1437,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_editdistance" -> { (s, dir) =>
+      // Character-level edit-distance dedup at Levenshtein ≤ 1 over a
+      // derived 40-char title key (FastSS deletion neighborhoods,
+      // Dedup.editDistancePairs) — the typo-variant family shingle
+      // Jaccard cannot resolve on short keys. Typo twins are PLANTED
+      // (doc_id % 23 == 1 takes doc_id−1's title with char 8 substituted
+      // by 'Z' — one substitution, replayable arithmetic) so the gate is
+      // non-vacuous at any SF; natural dist-0 pairs (docs sharing a
+      // 40-char prefix) surface identically on both engines. Exact
+      // levenshtein verification inside key buckets makes the pair set
+      // row-identical to the brute-force all-pairs oracle.
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t0"))
+      val prev = base.select((col("doc_id") + 1).as("p_id"), col("t0").as("p_t"))
+      val titled = base.join(prev, col("doc_id") === col("p_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 23 === 1 && col("p_t").isNotNull && length(col("p_t")) >= 9,
+            concat(substring(col("p_t"), 1, 7), lit("Z"), substring(col("p_t"), 9, 100)))
+            .otherwise(col("t0")).as("title"))
+      Dedup.editDistancePairs(titled, "doc_id", "title")
+        .orderBy("id_a", "id_b")
+    },
+
     "dedup_lsh_incremental" -> { (s, dir) =>
       // Incremental NEAR-dup index maintenance (the LSH sibling of the
       // exact Bloom lane above): the base corpus (doc_id % 10 != 0) owns a
@@ -3133,6 +3156,20 @@ object SparkEntry {
         |SELECT doc_id, fp FROM inc
         |WHERE fp NOT IN (SELECT fp FROM corpus)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_editdistance" ->
+      """WITH t0 AS (SELECT doc_id, substr(text, 1, 40) AS t0 FROM documents),
+        |tt0 AS (SELECT a.doc_id,
+        |    CASE WHEN a.doc_id % 23 = 1 AND p.t0 IS NOT NULL AND len(p.t0) >= 9
+        |         THEN substr(p.t0, 1, 7) || 'Z' || substr(p.t0, 9, 100)
+        |         ELSE a.t0 END AS title
+        |  FROM t0 a LEFT JOIN t0 p ON p.doc_id = a.doc_id - 1),
+        |tt AS (SELECT * FROM tt0 WHERE len(title) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_lsh_incremental" ->
       """WITH wt AS (SELECT d.doc_id,

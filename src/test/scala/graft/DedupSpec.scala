@@ -114,6 +114,52 @@ class DedupSpec extends AnyFunSuite {
       "mean threshold did not split the corpus — the gate is vacuous")
   }
 
+  test("edit-distance pair set equals brute-force Levenshtein on random corpora " +
+    "(deletion-neighborhood candidates lose no substitution/insert/delete twin)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    for (seed <- 21 to 23) {
+      val rnd = new scala.util.Random(seed)
+      def word(n: Int): String =
+        Seq.fill(n)(('a' + rnd.nextInt(6)).toChar).mkString
+      val base = (0L until 60L).map(i => (i, word(12 + rnd.nextInt(6))))
+      // one twin per edit class (must all be found) + dist-2 decoys (must
+      // be candidate-generated or not — either way verification drops them)
+      val twins = base.take(9).zipWithIndex.map { case ((i, t), ix) =>
+        val pos = 1 + rnd.nextInt(t.length - 2)
+        val mutated = ix % 3 match {
+          case 0 => t.updated(pos, 'Z')                         // substitution
+          case 1 => t.substring(0, pos) + "Z" + t.substring(pos) // insertion
+          case _ => t.substring(0, pos) + t.substring(pos + 1)   // deletion
+        }
+        (i + 100L, mutated)
+      }
+      val decoys = base.slice(9, 15).map { case (i, t) =>
+        (i + 200L, "ZZ" + t.substring(2)) }
+      val all = base ++ twins ++ decoys
+      val got = Dedup.editDistancePairs(all.toDF("id", "t"), "id", "t")
+        .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, ta) <- all; (ib, tb) <- all
+        if ia < ib
+        d = lev(ta, tb) if d <= 1
+      } yield (ia, ib, d.toLong)).toSet
+      assert(want.size >= 9, s"seed $seed planted fewer twins than expected")
+      assert(got === want, s"seed $seed: FastSS pairs != brute-force Levenshtein pairs")
+    }
+  }
+
   test("index probe candidate generation has no cartesian product in the plan") {
     val baseDf = (0L until 20L).map(i => (i, s"alpha beta gamma delta epsilon zeta token$i end"))
       .toDF("id", "text")
