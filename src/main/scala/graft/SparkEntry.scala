@@ -1899,6 +1899,38 @@ object SparkEntry {
         .orderBy("step")
     },
 
+    "text_textrank" -> { (s, dir) =>
+      // TextRank keyword salience (operators/TextRank.scala): weighted
+      // PageRank over the corpus word-adjacency graph, 5 rounds, damping
+      // 0.85 — ranks vocabulary by graph centrality instead of raw
+      // frequency (the published keyword-extraction fixed point, run
+      // corpus-level as a curation vocabulary signal). The corpus
+      // collapses to the weighted edge list FIRST (adjacent lowercase
+      // word pairs, self-loops dropped, both orientations → one keyed
+      // agg), so iteration cost tracks VOCABULARY size, not corpus size.
+      // Scaled-integer arithmetic (ranks at 1e9, integral division only)
+      // makes all 5 rounds replay bit-for-bit in the DuckDB oracle —
+      // BIGINT sums are order-independent where float PageRank is not.
+      val toksArr = filter(split(lower(col("text")), " "),
+        w => length(w) > lit(0))
+      val adj = Tables.documents(s, dir)
+        .select(toksArr.as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            element_at(col("toks"), i + 1).as("v"),
+            element_at(col("toks"), i + 2).as("w")))).as("bg"))
+        .select(col("bg.v").as("v"), col("bg.w").as("w"))
+        .where(col("v") =!= col("w"))
+      val und = adj.union(adj.select(col("w").as("v"), col("v").as("w")))
+      val edges = und.groupBy(col("v").as("src"), col("w").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.TextRank.rankWords(edges, iterations = 5)
+        .select(col("word"), col("r").as("rank"))
+        .orderBy("word")
+    },
+
     "text_lm_score" -> { (s, dir) =>
       // CCNet-style LM quality filter: train an add-one-smoothed bigram LM
       // on a reference slice (doc_id % 7 == 0 — the "clean corpus" role
@@ -3484,6 +3516,39 @@ object SparkEntry {
         |UNION ALL SELECT CAST(5 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t5
         |UNION ALL SELECT CAST(6 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t6
         |ORDER BY step""".stripMargin,
+
+    "text_textrank" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS arr
+        |  FROM documents),
+        |tk AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS word
+        |  FROM d WHERE len(arr) >= 2),
+        |bg AS (SELECT a.word AS v, b.word AS w
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.word != b.word),
+        |und AS (SELECT v, w FROM bg UNION ALL SELECT w AS v, v AS w FROM bg),
+        |e0 AS MATERIALIZED (SELECT v AS src, w AS dst, CAST(COUNT(*) AS BIGINT) AS wt
+        |  FROM und GROUP BY 1, 2),
+        |ws AS MATERIALIZED (SELECT src, CAST(SUM(wt) AS BIGINT) AS wsum FROM e0 GROUP BY src),
+        |e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.wt, ws.wsum FROM e0 JOIN ws USING (src)),
+        |n AS MATERIALIZED (SELECT DISTINCT src AS word FROM e0),
+        |r0 AS MATERIALIZED (SELECT word, CAST(1000000000 AS BIGINT) AS r FROM n),
+        |r1 AS MATERIALIZED (SELECT n.word, 150000000 + (85 * COALESCE(c.csum, 0)) // 100 AS r
+        |  FROM n LEFT JOIN (SELECT e.dst, CAST(SUM((x.r * e.wt) // e.wsum) AS BIGINT) AS csum
+        |    FROM e JOIN r0 x ON e.src = x.word GROUP BY e.dst) c ON n.word = c.dst),
+        |r2 AS MATERIALIZED (SELECT n.word, 150000000 + (85 * COALESCE(c.csum, 0)) // 100 AS r
+        |  FROM n LEFT JOIN (SELECT e.dst, CAST(SUM((x.r * e.wt) // e.wsum) AS BIGINT) AS csum
+        |    FROM e JOIN r1 x ON e.src = x.word GROUP BY e.dst) c ON n.word = c.dst),
+        |r3 AS MATERIALIZED (SELECT n.word, 150000000 + (85 * COALESCE(c.csum, 0)) // 100 AS r
+        |  FROM n LEFT JOIN (SELECT e.dst, CAST(SUM((x.r * e.wt) // e.wsum) AS BIGINT) AS csum
+        |    FROM e JOIN r2 x ON e.src = x.word GROUP BY e.dst) c ON n.word = c.dst),
+        |r4 AS MATERIALIZED (SELECT n.word, 150000000 + (85 * COALESCE(c.csum, 0)) // 100 AS r
+        |  FROM n LEFT JOIN (SELECT e.dst, CAST(SUM((x.r * e.wt) // e.wsum) AS BIGINT) AS csum
+        |    FROM e JOIN r3 x ON e.src = x.word GROUP BY e.dst) c ON n.word = c.dst),
+        |r5 AS MATERIALIZED (SELECT n.word, 150000000 + (85 * COALESCE(c.csum, 0)) // 100 AS r
+        |  FROM n LEFT JOIN (SELECT e.dst, CAST(SUM((x.r * e.wt) // e.wsum) AS BIGINT) AS csum
+        |    FROM e JOIN r4 x ON e.src = x.word GROUP BY e.dst) c ON n.word = c.dst)
+        |SELECT word, CAST(r AS BIGINT) AS rank FROM r5 ORDER BY word""".stripMargin,
 
     "text_lm_score" ->
       """WITH d AS (SELECT doc_id,
