@@ -1371,6 +1371,34 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "join_fuzzy" -> { (s, dir) =>
+      // Fuzzy record linkage (the cross-table sibling of
+      // dedup_editdistance, as minhashProbePairs is of the LSH
+      // self-join): a dirty feed (doc_id % 3 == 0) links against a
+      // master catalog (doc_id % 3 != 0) on a 40-char title key at
+      // Levenshtein ≤ 1 via Dedup.editDistanceProbePairs. Typos are
+      // PLANTED: every doc_id % 6 == 0 feed row takes master
+      // doc_id+1's title with char 5 substituted by 'Q' — one edit,
+      // replayable arithmetic — so the linkage is non-vacuous at any
+      // SF; unplanted feed rows mostly link nowhere (natural shared
+      // 40-char prefixes surface identically on both engines). Exact
+      // levenshtein verification in hashed-key buckets keeps the
+      // result row-identical to the brute-force cross oracle.
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t0"))
+      val next = base.select((col("doc_id") - 1).as("n_id"), col("t0").as("n_t"))
+      val titled = base.join(next, col("doc_id") === col("n_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 6 === 0 && col("n_t").isNotNull && length(col("n_t")) >= 6,
+            concat(substring(col("n_t"), 1, 4), lit("Q"), substring(col("n_t"), 6, 100)))
+            .otherwise(col("t0")).as("title"))
+      Dedup.editDistanceProbePairs(
+        titled.where(col("doc_id") % 3 =!= 0),
+        titled.where(col("doc_id") % 3 === 0),
+        "doc_id", "title")
+        .orderBy("id_master", "id_probe")
+    },
+
     "join_range" -> { (s, dir) =>
       // Range join without a nested loop: lineitem ship dates (points)
       // against 7-day order windows (intervals) — bucketized to a plain
@@ -3153,6 +3181,20 @@ object SparkEntry {
         |SELECT v.vec_id, p.a IS NULL AS kept, p.a AS dup_of, true AS ok
         |FROM allv v LEFT JOIN pairs p ON v.vec_id = p.b
         |ORDER BY vec_id""".stripMargin,
+
+    "join_fuzzy" ->
+      """WITH t0 AS (SELECT doc_id, substr(text, 1, 40) AS t0 FROM documents),
+        |tt0 AS (SELECT a.doc_id,
+        |    CASE WHEN a.doc_id % 6 = 0 AND n.t0 IS NOT NULL AND len(n.t0) >= 6
+        |         THEN substr(n.t0, 1, 4) || 'Q' || substr(n.t0, 6, 100)
+        |         ELSE a.t0 END AS title
+        |  FROM t0 a LEFT JOIN t0 n ON n.doc_id = a.doc_id + 1),
+        |tt AS (SELECT * FROM tt0 WHERE len(title) > 0)
+        |SELECT m.doc_id AS id_master, p.doc_id AS id_probe,
+        |  CAST(levenshtein(m.title, p.title) AS BIGINT) AS dist
+        |FROM tt m JOIN tt p ON m.doc_id % 3 != 0 AND p.doc_id % 3 = 0
+        |WHERE levenshtein(m.title, p.title) <= 1
+        |ORDER BY id_master, id_probe""".stripMargin,
 
     "join_range" ->
       """WITH pts AS (

@@ -298,16 +298,7 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val strs = df.select(col(idCol).as("id"), col(strCol).as("t"))
       .where(length(col("t")) > 0)
-    val t = col("t")
-    // i = 0 keeps the string itself (covers exact match and the short side
-    // of insert/delete); i = 1..L deletes the i-th char. array_distinct
-    // collapses the equal keys a run of repeated chars produces, cutting
-    // join multiplicity before the explode.
-    val delKeys = array_distinct(transform(
-      sequence(lit(0), length(t)),
-      i => xxhash64(when(i === 0, t)
-        .otherwise(concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t)))))))
-    val keyed = strs.select(col("id"), explode(delKeys).as("k"))
+    val keyed = strs.select(col("id"), explode(deletionKeys(col("t"))).as("k"))
     val cand = keyed.as("a").join(keyed.as("b"), Seq("k"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -319,6 +310,45 @@ object Dedup {
         levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
       .where(col("dist") <= 1)
   }
+
+  /** Two-table FastSS probe: fuzzy record linkage of a (dirty) probe feed
+    * against a master catalog at Levenshtein ≤ 1 — the cross-table sibling
+    * of [[editDistancePairs]], exactly as [[minhashProbePairs]] is the
+    * cross-table sibling of the LSH self-join. Same deletion-neighborhood
+    * exactness claim, same hashed-key equi-join shape; at cluster scale
+    * the master's key table is built once and persisted (the linkage
+    * index) while each arriving feed batch explodes only its own
+    * neighborhoods. Emits (id_master, id_probe, dist) with no within-side
+    * pairs. */
+  def editDistanceProbePairs(
+      master: DataFrame, probe: DataFrame,
+      idCol: String, strCol: String): DataFrame = {
+    def strs(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(strCol).as("t"))
+        .where(length(col("t")) > 0)
+    def keyed(df: DataFrame): DataFrame =
+      strs(df).select(col("id"), explode(deletionKeys(col("t"))).as("k"))
+    val cand = keyed(master).as("a").join(keyed(probe).as("b"), Seq("k"))
+      .select(col("a.id").as("id_master"), col("b.id").as("id_probe"))
+      .distinct()
+    cand
+      .join(strs(master).select(col("id").as("id_master"), col("t").as("t_m")), Seq("id_master"))
+      .join(strs(probe).select(col("id").as("id_probe"), col("t").as("t_p")), Seq("id_probe"))
+      .select(col("id_master"), col("id_probe"),
+        levenshtein(col("t_m"), col("t_p")).cast("long").as("dist"))
+      .where(col("dist") <= 1)
+  }
+
+  /** 1-deletion neighborhood of `t`, each member xxhash64'd to a fixed
+    * 8-byte key. Index 0 keeps the string itself (covers exact match and
+    * the short side of insert/delete); i = 1..L deletes the i-th char.
+    * array_distinct collapses the equal keys a run of repeated chars
+    * produces, cutting join multiplicity before the explode. */
+  private def deletionKeys(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), length(t)),
+      i => xxhash64(when(i === 0, t)
+        .otherwise(concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t)))))))
 
   /** SimHash fingerprints: one 16-bit content hash per doc; docs whose
     * fingerprints collide (or sit within small Hamming distance) are dup

@@ -157,6 +157,20 @@ class DedupSpec extends AnyFunSuite {
       } yield (ia, ib, d.toLong)).toSet
       assert(want.size >= 9, s"seed $seed planted fewer twins than expected")
       assert(got === want, s"seed $seed: FastSS pairs != brute-force Levenshtein pairs")
+
+      // two-table probe variant over a master/feed split of the same
+      // corpus: pair set must equal the brute-force cross restricted to
+      // (master, feed), with no within-side pairs by construction
+      val (master, feed) = all.partition(_._1 % 2 == 0)
+      val gotProbe = Dedup.editDistanceProbePairs(
+        master.toDF("id", "t"), feed.toDF("id", "t"), "id", "t")
+        .select("id_master", "id_probe", "dist").as[(Long, Long, Long)].collect().toSet
+      val wantProbe = (for {
+        (im, tm) <- master; (ip, tp) <- feed
+        d = lev(tm, tp) if d <= 1
+      } yield (im, ip, d.toLong)).toSet
+      assert(gotProbe === wantProbe,
+        s"seed $seed: probe pairs != brute-force master x feed Levenshtein pairs")
     }
   }
 
