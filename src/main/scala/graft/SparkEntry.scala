@@ -1927,6 +1927,29 @@ object SparkEntry {
         .orderBy("step")
     },
 
+    "text_bpe_encode" -> { (s, dir) =>
+      // BPE application — the train→apply loop closed: train 6 merges on
+      // the word-frequency table (text_bpe_train's trainer), then encode
+      // the DISTINCT vocabulary map-only (one plain replace per merge, in
+      // training order — the corpus is never re-walked symbol-by-symbol)
+      // and join the token stream against the encoded vocab for a per-doc
+      // (n_words, n_subwords) rollup. Shape at 100 TB: vocab encode is
+      // O(vocab·merges) map-only; the corpus-side cost is one explode +
+      // one keyed join (AQE broadcasts the vocab while it is small) + one
+      // keyed agg. The oracle replays training AND application bit-for-bit
+      // via the canonical double-separator encoding.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+      val words = toks.groupBy("word").agg(count(lit(1)).as("freq"))
+      val merges = graft.operators.BpeTrain.train(words, "word", "freq", numMerges = 6)
+      val enc = graft.operators.BpeTrain.encodeWords(words, "word", merges)
+      toks.join(enc, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_subwords").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
     "text_textrank" -> { (s, dir) =>
       // TextRank keyword salience (operators/TextRank.scala): weighted
       // PageRank over the corpus word-adjacency graph, 5 rounds, damping
@@ -3558,6 +3581,60 @@ object SparkEntry {
         |UNION ALL SELECT CAST(5 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t5
         |UNION ALL SELECT CAST(6 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t6
         |ORDER BY step""".stripMargin,
+
+    "text_bpe_encode" ->
+      """WITH tok AS MATERIALIZED (SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) u
+        |  WHERE len(word) > 0),
+        |w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+        |s0 AS MATERIALIZED (SELECT word, '·' || array_to_string(list_append(string_split(word, ''), '</w>'), '··') || '·' AS seq, freq FROM w),
+        |tk1 AS MATERIALIZED (SELECT word, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT word, freq, string_split(trim(seq, '·'), '··') AS toks FROM s0) q1),
+        |c1 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk1 a JOIN tk1 b ON a.word = b.word AND b.pos = a.pos + 1 GROUP BY pair),
+        |t1 AS MATERIALIZED (SELECT pair, c FROM c1 ORDER BY c DESC, pair LIMIT 1),
+        |s1 AS MATERIALIZED (SELECT word, replace(seq, '·' || (SELECT pair FROM t1) || '·',
+        |  '·' || replace((SELECT pair FROM t1), '··', '') || '·') AS seq, freq FROM s0),
+        |tk2 AS MATERIALIZED (SELECT word, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT word, freq, string_split(trim(seq, '·'), '··') AS toks FROM s1) q2),
+        |c2 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk2 a JOIN tk2 b ON a.word = b.word AND b.pos = a.pos + 1 GROUP BY pair),
+        |t2 AS MATERIALIZED (SELECT pair, c FROM c2 ORDER BY c DESC, pair LIMIT 1),
+        |s2 AS MATERIALIZED (SELECT word, replace(seq, '·' || (SELECT pair FROM t2) || '·',
+        |  '·' || replace((SELECT pair FROM t2), '··', '') || '·') AS seq, freq FROM s1),
+        |tk3 AS MATERIALIZED (SELECT word, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT word, freq, string_split(trim(seq, '·'), '··') AS toks FROM s2) q3),
+        |c3 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk3 a JOIN tk3 b ON a.word = b.word AND b.pos = a.pos + 1 GROUP BY pair),
+        |t3 AS MATERIALIZED (SELECT pair, c FROM c3 ORDER BY c DESC, pair LIMIT 1),
+        |s3 AS MATERIALIZED (SELECT word, replace(seq, '·' || (SELECT pair FROM t3) || '·',
+        |  '·' || replace((SELECT pair FROM t3), '··', '') || '·') AS seq, freq FROM s2),
+        |tk4 AS MATERIALIZED (SELECT word, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT word, freq, string_split(trim(seq, '·'), '··') AS toks FROM s3) q4),
+        |c4 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk4 a JOIN tk4 b ON a.word = b.word AND b.pos = a.pos + 1 GROUP BY pair),
+        |t4 AS MATERIALIZED (SELECT pair, c FROM c4 ORDER BY c DESC, pair LIMIT 1),
+        |s4 AS MATERIALIZED (SELECT word, replace(seq, '·' || (SELECT pair FROM t4) || '·',
+        |  '·' || replace((SELECT pair FROM t4), '··', '') || '·') AS seq, freq FROM s3),
+        |tk5 AS MATERIALIZED (SELECT word, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT word, freq, string_split(trim(seq, '·'), '··') AS toks FROM s4) q5),
+        |c5 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk5 a JOIN tk5 b ON a.word = b.word AND b.pos = a.pos + 1 GROUP BY pair),
+        |t5 AS MATERIALIZED (SELECT pair, c FROM c5 ORDER BY c DESC, pair LIMIT 1),
+        |s5 AS MATERIALIZED (SELECT word, replace(seq, '·' || (SELECT pair FROM t5) || '·',
+        |  '·' || replace((SELECT pair FROM t5), '··', '') || '·') AS seq, freq FROM s4),
+        |tk6 AS MATERIALIZED (SELECT word, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |  FROM (SELECT word, freq, string_split(trim(seq, '·'), '··') AS toks FROM s5) q6),
+        |c6 AS (SELECT a.tok || '··' || b.tok AS pair, SUM(a.freq) AS c
+        |  FROM tk6 a JOIN tk6 b ON a.word = b.word AND b.pos = a.pos + 1 GROUP BY pair),
+        |t6 AS MATERIALIZED (SELECT pair, c FROM c6 ORDER BY c DESC, pair LIMIT 1),
+        |s6 AS MATERIALIZED (SELECT word, replace(seq, '·' || (SELECT pair FROM t6) || '·',
+        |  '·' || replace((SELECT pair FROM t6), '··', '') || '·') AS seq, freq FROM s5),
+        |enc AS MATERIALIZED (SELECT word, CAST(len(string_split(trim(seq, '·'), '··')) AS BIGINT) AS n_subwords FROM s6)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords
+        |FROM tok t JOIN enc e USING (word)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "text_textrank" ->
       """WITH d AS (SELECT doc_id,

@@ -44,6 +44,30 @@ object BpeTrain {
 
   private val Sep = "·" // '·': outside the ASCII corpus alphabet
 
+  /** Apply learned merges to a distinct-word table, map-only: the same
+    * canonical double-separator encoding, one plain `replace` per merge
+    * rule in training order (greedy-left non-overlapping — identical
+    * semantics in the SQL oracle). Returns (word, n_subwords): the
+    * subword count each word encodes to under the learned vocab. The
+    * corpus itself is never re-walked — encode the vocabulary once, then
+    * join; at 100 TB that is the only tractable application shape. */
+  def encodeWords(words: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame = {
+    var enc = words.select(
+      col(wordCol).as("word"),
+      concat(lit(Sep),
+        array_join(concat(split(col(wordCol), ""), array(lit("</w>"))), Sep + Sep),
+        lit(Sep)).as("seq"))
+    for (m <- merges) {
+      require(!(m.lhs + m.rhs).contains("'"), s"unexpected quote in merge $m")
+      enc = enc.select(col("word"), expr(
+        s"replace(seq, '$Sep${m.lhs}$Sep$Sep${m.rhs}$Sep', '$Sep${m.merged}$Sep')")
+        .as("seq"))
+    }
+    enc.select(col("word"),
+      size(split(regexp_replace(col("seq"), s"^$Sep|$Sep$$", ""), Sep + Sep))
+        .cast("long").as("n_subwords"))
+  }
+
   /** Learned merge rules, in order. `words` must be a (word, freq) table
     * with distinct words. */
   def train(

@@ -74,6 +74,39 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(merges === Seq(("a", "b", 7L)))
   }
 
+  test("encodeWords subword counts match the reference apply on random vocabularies") {
+    // reference apply: run refBpe's greedy merge machinery forward with
+    // the TRAINED merge list (not re-derived tops) and count symbols
+    def refEncode(words: Seq[String], merges: Seq[(String, String)]): Map[String, Long] =
+      words.map { w =>
+        var s: Vector[String] = w.map(_.toString).toVector :+ "</w>"
+        for ((l, r) <- merges) {
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += s(i); i += 1 }
+          }
+          s = b.result()
+        }
+        w -> s.length.toLong
+      }.toMap
+    for (seed <- 5 to 7) {
+      val rnd = new scala.util.Random(seed * 13)
+      val alphabet = "abcde"
+      val words = (1 to 30).map { _ =>
+        Seq.fill(2 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct.map(w => (w, 1L + rnd.nextInt(20).toLong))
+      val df = words.toDF("word", "freq")
+      val merges = BpeTrain.train(df, "word", "freq", 6)
+      val got = BpeTrain.encodeWords(df, "word", merges)
+        .as[(String, Long)].collect().toMap
+      val want = refEncode(words.map(_._1), merges.map(m => (m.lhs, m.rhs)))
+      assert(got === want, s"seed $seed: distributed encode != reference apply")
+    }
+  }
+
   test("stops early when the pair space is exhausted") {
     // "ab": 3 pairs total ((a,b), (ab,</w>) after merge 1, then none)
     val merges = trainOn(Seq(("ab", 3L)), 10)
