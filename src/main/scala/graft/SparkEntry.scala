@@ -1371,6 +1371,59 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "layout_zorder" -> { (s, dir) =>
+      // Z-order data layout for multi-dimensional scan pruning (the
+      // storage-layout operator behind Delta/Iceberg OPTIMIZE ZORDER;
+      // Morton order, Orenstein & Merrett 1984): interleave the bits of
+      // two 12-bit dimensions (custkey, orderdate-day, both mod 4096)
+      // into a 24-bit Morton key, lay rows into 64 equal-key-width
+      // "files" by the key's top 6 bits, and measure — against the
+      // natural insertion-order layout at the same file count — how many
+      // files a 2-D range predicate (x∈[100,227], y∈[1000,1127]) can
+      // prune via per-file min/max stats. Z-order co-locates both
+      // dimensions, so the predicate touches the few files whose Morton
+      // prefix overlaps the query box; the natural layout spreads both
+      // dimensions across every file and prunes nothing. All arithmetic
+      // is integer bit ops, so the oracle replays layout assignment and
+      // pruning exactly. At production scale the same zkey feeds
+      // repartitionByRange + sortWithinPartitions before the write —
+      // this query IS the min/max-stats math a lakehouse scan uses.
+      def days(c: Column): Column =
+        datediff(c.cast("date"), to_date(lit("1970-01-01"))).cast("long")
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        (col("o_custkey") % 4096).as("x"),
+        (days(col("o_orderdate")) % 4096).as("y"))
+      val zkey = (0 until 12).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      val bounds = base.agg(min("o_orderkey").as("k_min"),
+        (max(col("o_orderkey")) + 1).as("k_max1"))
+      val bucketed = base.withColumn("zkey", zkey)
+        .crossJoin(broadcast(bounds))
+        .select(col("x"), col("y"),
+          expr("(o_orderkey - k_min) * 64 div (k_max1 - k_min)").as("b_nat"),
+          shiftright(col("zkey"), 18).as("b_z"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = col("x1") >= 100 && col("x0") <= 227 &&
+        col("y1") >= 1000 && col("y0") <= 1127
+      def stats(bCol: String, name: String): DataFrame =
+        bucketed.groupBy(col(bCol).as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("x").as("x0"), max("x").as("x1"),
+            min("y").as("y0"), max("y").as("y1"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+            sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+          .select(lit(name).as("layout"),
+            col("n_files"), col("files_hit"), col("rows_scanned"))
+      val out = stats("b_nat", "natural").unionAll(stats("b_z", "zorder"))
+        .orderBy("layout")
+      graft.operators.CacheScope.unpersistAfterUse(out, bucketed)
+    },
+
     "join_fuzzy" -> { (s, dir) =>
       // Fuzzy record linkage (the cross-table sibling of
       // dedup_editdistance, as minhashProbePairs is of the LSH
@@ -3204,6 +3257,37 @@ object SparkEntry {
         |SELECT v.vec_id, p.a IS NULL AS kept, p.a AS dup_of, true AS ok
         |FROM allv v LEFT JOIN pairs p ON v.vec_id = p.b
         |ORDER BY vec_id""".stripMargin,
+
+    "layout_zorder" -> {
+      val zTerms = (0 until 12).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      val hit = "x1 >= 100 AND x0 <= 227 AND y1 >= 1000 AND y0 <= 1127"
+      s"""WITH b0 AS (SELECT o_orderkey,
+        |    o_custkey % 4096 AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 4096 AS y
+        |  FROM orders),
+        |bz AS (SELECT o_orderkey, x, y, ($zTerms) AS zkey FROM b0),
+        |bounds AS (SELECT MIN(o_orderkey) AS k_min, MAX(o_orderkey) + 1 AS k_max1 FROM bz),
+        |bk AS (SELECT x, y,
+        |    ((o_orderkey - k_min) * 64) // (k_max1 - k_min) AS b_nat,
+        |    zkey >> 18 AS b_z
+        |  FROM bz, bounds),
+        |fn AS (SELECT b_nat AS f, COUNT(*) AS n_rows, MIN(x) AS x0, MAX(x) AS x1,
+        |    MIN(y) AS y0, MAX(y) AS y1 FROM bk GROUP BY 1),
+        |fz AS (SELECT b_z AS f, COUNT(*) AS n_rows, MIN(x) AS x0, MAX(x) AS x1,
+        |    MIN(y) AS y0, MAX(y) AS y1 FROM bk GROUP BY 1)
+        |SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(SUM(CASE WHEN $hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        |FROM fn
+        |UNION ALL
+        |SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(SUM(CASE WHEN $hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        |FROM fz
+        |ORDER BY layout""".stripMargin
+    },
 
     "join_fuzzy" ->
       """WITH t0 AS (SELECT doc_id, substr(text, 1, 40) AS t0 FROM documents),

@@ -48,9 +48,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // whole corpus compares against map-side. text_lm_score broadcasts two
     // ONE-ROW scalars the same way (vocab size V onto the bigram stream,
     // the global (tot_sum, tot_n) mean onto the per-doc scores).
+    // layout_zorder broadcasts the ONE-ROW (k_min, k_max1) key bounds
+    // onto the layout assignment — the same O(tiny) map-side shape.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
       "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
-      "text_lm_score")
+      "text_lm_score", "layout_zorder")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
