@@ -1371,6 +1371,37 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "profile_table" -> { (s, dir) =>
+      // Column-level data-quality profiling (the pre-ingest validation
+      // pass a pipeline runs before trusting a new source): per column,
+      // row count / null count / exact distinct count / min / max.
+      // Deliberately ONE BRANCH PER COLUMN rather than one wide agg with
+      // N countDistincts: each branch's parquet scan reads exactly its
+      // own column (column pruning — ReadSchema shows one field), where
+      // a multi-distinct agg expands every row N ways through a single
+      // full-width scan. At 100 TB profiling is I/O-bound, so N pruned
+      // single-column scans beat one N-fold expand; swap countDistinct
+      // for the HLL sketch (row 8c) when exactness can yield. min/max
+      // surface as strings after a type-aware cast (decimal for doubles,
+      // date for timestamps) so one schema carries every column type
+      // with exact cross-engine formatting.
+      val li = Tables.lineitem(s, dir)
+      def prof(name: String, v: Column): DataFrame =
+        li.select(v.as("v"))
+          .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).cast("string").as("min_value"),
+            max(col("v")).cast("string").as("max_value"))
+          .select(lit(name).as("col_name"), col("n_rows"),
+            (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      prof("l_orderkey", col("l_orderkey"))
+        .unionAll(prof("l_quantity", dec2(col("l_quantity"))))
+        .unionAll(prof("l_returnflag", col("l_returnflag")))
+        .unionAll(prof("l_shipdate", col("l_shipdate").cast("date")))
+        .orderBy("col_name")
+    },
+
     "layout_zorder" -> { (s, dir) =>
       // Z-order data layout for multi-dimensional scan pruning (the
       // storage-layout operator behind Delta/Iceberg OPTIMIZE ZORDER;
@@ -3257,6 +3288,32 @@ object SparkEntry {
         |SELECT v.vec_id, p.a IS NULL AS kept, p.a AS dup_of, true AS ok
         |FROM allv v LEFT JOIN pairs p ON v.vec_id = p.b
         |ORDER BY vec_id""".stripMargin,
+
+    "profile_table" ->
+      """SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(MAX(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT),
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR),
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+        |  CAST(MIN(l_returnflag) AS VARCHAR),
+        |  CAST(MAX(l_returnflag) AS VARCHAR) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT),
+        |  CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR),
+        |  CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) FROM lineitem
+        |ORDER BY col_name""".stripMargin,
 
     "layout_zorder" -> {
       val zTerms = (0 until 12).flatMap(i => Seq(
