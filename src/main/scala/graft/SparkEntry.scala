@@ -1371,6 +1371,72 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "audit_checksum" -> { (s, dir) =>
+      // Source/sink reconciliation by per-bucket checksums (the audit a
+      // CDC pipeline runs to prove the sink equals the source WITHOUT a
+      // full-row compare): bucket rows by pk % 64, reduce each side to
+      // (count, XOR of a 60-bit row hash) — one map-only pass + one
+      // 64-row keyed agg per side — and diff the 64-row summaries. A
+      // divergence names its bucket; only that bucket then needs the
+      // expensive row-level diff (merkle-style narrowing; at 100 TB the
+      // audit moves KBs where a full anti-join moves the table). One
+      // corruption is PLANTED (sink flips o_orderkey 997's price by
+      // +1), so exactly one bucket (997 % 64 = 37) must flag. XOR is
+      // commutative so bucket checksums are partition-order-free, and
+      // the md5-derived hash60 replays exactly in SQL.
+      val src = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), dec2(col("o_totalprice")).as("price"))
+      val sink = src.select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") === 997, col("price") + 1)
+          .otherwise(col("price")).as("price"))
+      def sums(df: DataFrame, n: String, x: String): DataFrame =
+        df.select((col("o_orderkey") % 64).as("bucket"),
+          Tf.hash60(concat_ws("|", col("o_orderkey").cast("string"),
+            col("o_custkey").cast("string"),
+            col("price").cast("string"))).as("h"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as(n), bit_xor(col("h")).as(x))
+      sums(src, "n_src", "x_src")
+        .join(sums(sink, "n_sink", "x_sink"), Seq("bucket"))
+        .select(col("bucket"), col("n_src"), col("n_sink"),
+          (col("n_src") === col("n_sink") && col("x_src") === col("x_sink"))
+            .as("checksums_match"))
+        .orderBy("bucket")
+    },
+
+    "cdc_incremental_join" -> { (s, dir) =>
+      // Incremental JOIN-view maintenance (the join sibling of
+      // cdc_incremental_agg's delta-aggregate): a materialized
+      // orders⋈customer view absorbs an insert batch on EACH side via the
+      // standard delta decomposition  ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB  — never
+      // recomputing the old view. Old/new splits are deterministic
+      // (orders: o_orderkey % 50, customers: c_custkey % 40) so deltas
+      // exist on both sides at any SF. The oracle joins the FULL updated
+      // tables directly; row-identity proves the decomposition loses and
+      // duplicates nothing. Shape at 100 TB: the three delta terms each
+      // join a small arriving batch against a base table (broadcast the
+      // delta, equi-join on the key — the base never re-shuffles when
+      // bucketed on the join key); the old view is a stored-table scan
+      // in production, recomputed here only to keep the query
+      // self-contained.
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), dec2(col("o_totalprice")).as("price"))
+      val ordOld = ord.where(col("o_orderkey") % 50 =!= 0)
+      val ordNew = ord.where(col("o_orderkey") % 50 === 0)
+      val custOld = cust.where(col("c_custkey") % 40 =!= 0)
+      val custNew = cust.where(col("c_custkey") % 40 === 0)
+      def j(o: DataFrame, c: DataFrame): DataFrame =
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+            col("price").cast("double").as("price"))
+      j(ordOld, custOld)
+        .unionAll(j(ordNew, custOld))
+        .unionAll(j(ordOld, custNew))
+        .unionAll(j(ordNew, custNew))
+        .orderBy("o_orderkey")
+    },
+
     "profile_table" -> { (s, dir) =>
       // Column-level data-quality profiling (the pre-ingest validation
       // pass a pipeline runs before trusting a new source): per column,
@@ -3288,6 +3354,31 @@ object SparkEntry {
         |SELECT v.vec_id, p.a IS NULL AS kept, p.a AS dup_of, true AS ok
         |FROM allv v LEFT JOIN pairs p ON v.vec_id = p.b
         |ORDER BY vec_id""".stripMargin,
+
+    "audit_checksum" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |snk AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey = 997 THEN price + 1 ELSE price END AS price FROM src),
+        |hs AS (SELECT o_orderkey % 64 AS bucket,
+        |    ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |      CAST(price AS VARCHAR))), 1, 15))::BIGINT AS h FROM src),
+        |hk AS (SELECT o_orderkey % 64 AS bucket,
+        |    ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |      CAST(price AS VARCHAR))), 1, 15))::BIGINT AS h FROM snk),
+        |a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_src,
+        |    CAST(bit_xor(h) AS BIGINT) AS x_src FROM hs GROUP BY bucket),
+        |b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_sink,
+        |    CAST(bit_xor(h) AS BIGINT) AS x_sink FROM hk GROUP BY bucket)
+        |SELECT a.bucket, n_src, n_sink,
+        |  (n_src = n_sink AND x_src = x_sink) AS checksums_match
+        |FROM a JOIN b USING (bucket) ORDER BY bucket""".stripMargin,
+
+    "cdc_incremental_join" ->
+      """SELECT o.o_orderkey, c.c_custkey, c.c_name,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "profile_table" ->
       """SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
