@@ -1371,6 +1371,35 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "ml_linreg" -> { (s, dir) =>
+      // Distributed OLS via sufficient statistics (the canonical
+      // train-a-model-in-one-aggregate shape: Σx, Σy, Σxy, Σx² carry
+      // everything a closed-form fit needs, and they are plain
+      // map-side-partial sums — model fitting at 100 TB is ONE keyed
+      // HashAggregate, no iteration, no driver data). Per-group fit of
+      // extendedprice against quantity by returnflag. The sums run in
+      // exact DECIMAL (order-independent, hash-stable); the slope /
+      // intercept finish is a fixed-order chain of IEEE double ops on the
+      // double-cast stats — +,-,*,/ only, so both engines produce
+      // bit-identical doubles.
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      val fit = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      fit.select(col("flag"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / nD).as("intercept"))
+        .orderBy("flag")
+    },
+
     "audit_checksum" -> { (s, dir) =>
       // Source/sink reconciliation by per-bucket checksums (the audit a
       // CDC pipeline runs to prove the sink equals the source WITHOUT a
@@ -3354,6 +3383,19 @@ object SparkEntry {
         |SELECT v.vec_id, p.a IS NULL AS kept, p.a AS dup_of, true AS ok
         |FROM allv v LEFT JOIN pairs p ON v.vec_id = p.b
         |ORDER BY vec_id""".stripMargin,
+
+    "ml_linreg" ->
+      """WITH st AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, n, sx, sy, sxy, sxx,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+        |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+        |    / CAST(n AS DOUBLE) AS intercept
+        |FROM st ORDER BY flag""".stripMargin,
 
     "audit_checksum" ->
       """WITH src AS (SELECT o_orderkey, o_custkey,
