@@ -34,6 +34,10 @@ object EventsIngest {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     val stream = fileStream(spark, eventsPath, schema)
+      // normalize whatever physical ts type this testdata generation
+      // carries to the canonical epoch-nanos long, so the landed schema
+      // (and everything downstream of it) is generation-agnostic
+      .withColumn("ts", graft.sources.Tables.tsNanos(schema("ts").dataType))
       // envelope the raw change rows exactly as the batch path does:
       // op 'r' + event-time millis (transformer.go:121)
       .withColumn("op", lit("r"))

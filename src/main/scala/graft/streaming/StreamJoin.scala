@@ -42,7 +42,7 @@ object StreamJoin {
       EventsIngest.fileStream(spark, eventsPath, schema)
         .where(col("event_type") === evType)
       .select(col("user_id").as(s"${prefix}_user"),
-        timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"),
+        graft.sources.Tables.tsTimestamp(schema("ts").dataType).as(s"${prefix}_ts"),
         col("event_id").as(s"${prefix}_id"))
       .withWatermark(s"${prefix}_ts", window)
 

@@ -32,8 +32,8 @@ object WatermarkAgg {
 
   /** Daily windowed count+sum per event_type, emitted append-mode to a
     * parquet landing zone. Fresh-run idempotent: wipes landing+checkpoint.
-    * `eventsPath` points at the raw events parquet (TIMESTAMP(NANOS) read
-    * as long nanos).
+    * `eventsPath` points at the raw events parquet (any ts physical type —
+    * see [[graft.sources.Tables.tsTimestamp]]).
     */
   def dailyCountsAvailableNow(
       spark: SparkSession,
@@ -47,7 +47,7 @@ object WatermarkAgg {
     EventsIngest.deleteRecursive(landing); EventsIngest.deleteRecursive(ckpt)
 
     val agg = EventsIngest.fileStream(spark, eventsPath, schema)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+      .select(graft.sources.Tables.tsTimestamp(schema("ts").dataType).as("ts"),
         col("event_type"), col("value"))
       .withWatermark("ts", delay)
       .groupBy(col("event_type"), window(col("ts"), "1 day"))
