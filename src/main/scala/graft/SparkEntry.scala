@@ -1282,6 +1282,58 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_substring" -> { (s, dir) =>
+      // Exact repeated-SUBSTRING detection (the span-level dedup lane of
+      // Lee et al. 2022, "Deduplicating Training Data Makes Language
+      // Models Better": remove every ≥k-token span that occurs twice
+      // anywhere in the corpus, not just whole-document near-dups): every
+      // k-token window that occurs ≥2 times corpus-wide is a duplicated
+      // window; overlapping/adjacent duplicated windows per doc merge into
+      // MAXIMAL spans (gaps-and-islands over window positions), reported
+      // as a per-doc duplicated-token fraction — the signal span-removal
+      // curation cuts on. Shape at 100 TB: window strings are built
+      // map-side from the token array (one explode, O(tokens) rows); the
+      // repeat census is ONE keyed agg; survivors join back by window key
+      // (the windows frame is persisted so the subtree executes once, not
+      // once per join branch); the span merge is a narrow per-doc window
+      // over (doc_id, pos) — no text in any shuffle after the census. At
+      // production scale the window KEY would be xxhash64(win) — 8 bytes
+      // instead of ~50, collision P ~ n²/2⁶⁴ — the string key here keeps
+      // the oracle comparison semantics-exact rather than
+      // hash-collision-exact.
+      val k = 8
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")))
+      // sequence(0, n-k) DESCENDS for n<k — guard short docs out first
+      val wins = docs.where(col("n_tokens") >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
+        .toDF("doc_id", "pos", "win")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dup = wins.groupBy("win").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("win")
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = wins.join(dup, Seq("win")).select("doc_id", "pos")
+        .withColumn("prev_end", max(col("pos") + k).over(wPrev))
+        .withColumn("new_island", when(col("pos") <= col("prev_end"), 0).otherwise(1))
+        .withColumn("island", sum("new_island").over(wRun))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + k).as("e"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+      val out = docs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_frac"))
+        .orderBy("doc_id")
+      graft.operators.CacheScope.unpersistAfterUse(out, wins)
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -3339,6 +3391,27 @@ object SparkEntry {
         |SELECT doc_id, cluster_id, quality,
         |  (row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1) AS is_survivor
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS win
+        |      FROM n, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) u
+        |      WHERE len(toks) >= 8),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+        |d AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+        |isl AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS new_island
+        |        FROM d),
+        |isl2 AS (SELECT doc_id, pos, SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e FROM isl2 GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens FROM sp GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  coalesce(agg.dup_tokens, 0) / n.n_tokens AS dup_frac
+        |FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
