@@ -2350,6 +2350,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "sample_split_grouped" -> { (s, dir) =>
+      // Leakage-safe split: hash-assign by near-dup CLUSTER, not by
+      // document — a near-duplicate of a training doc landing in test is
+      // evaluation leakage, the exact failure mode document-keyed hash
+      // splits (sample_split) cannot prevent. Cluster ids come from the
+      // same LSH pair graph + star CC as dedup_survivors; singletons
+      // split by their own id, so assignment matches sample_split
+      // wherever no near-dup exists. Shape at 100 TB: clusters live on
+      // the pair graph only; the corpus pays one keyed left join plus a
+      // map-only md5 bucket — no extra corpus shuffle.
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("v").as("doc_id"), col("cluster").as("cl"))
+      docs.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cl"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_id"),
+          Sampling.hashBucket(col("cluster_id"), 100).as("bucket"),
+          Sampling.assignSplit(col("cluster_id"),
+            Seq(("train", 80), ("valid", 90), ("test", 100))).as("split"))
+        .orderBy("doc_id")
+    },
+
     "sample_reservoir" -> { (s, dir) =>
       // deterministic k-per-stratum uniform sample: hash-ranked, so the
       // same rows are sampled under any partitioning/backfill (a running
@@ -4214,6 +4238,31 @@ object SparkEntry {
         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_split_grouped" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        |      FROM w WHERE len(toks) >= 5),
+        |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(a.sh || b.sh)) >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |reach(v, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+        |),
+        |clus AS (SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v),
+        |lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     "multimodal_decode" ->
       """SELECT doc_id,
