@@ -2374,6 +2374,61 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "sample_importance" -> { (s, dir) =>
+      // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+      // for Language Models via Importance Resampling"): score every doc
+      // by how much its hashed-n-gram feature distribution looks like a
+      // TARGET slice (here lang='en') vs the raw corpus, keep positive-
+      // affinity docs. Hashing trick: word bigrams → md5 → 4096 buckets;
+      // add-one-smoothed bucket probabilities as SCALED INTEGERS
+      // (floor(1e9·(c+1)/(N+V)) — the same hash-exact convention as
+      // text_lm_score, where float log-ratios could not be replayed
+      // cross-engine; the per-feature score is the smoothed target-minus-
+      // source probability difference; keep = doc score above the CORPUS
+      // MEAN by exact BIGINT cross-multiplication (score·n > Σscores, the
+      // text_lm_score convention — an absolute >0 cut is vacuously false
+      // here because add-one smoothing over the smaller target sample
+      // shifts every high-count bucket's pt below ps). Shape at
+      // 100 TB: the feature frame is persisted NARROW (doc_id, bucket —
+      // never text) and feeds three branches (target census, corpus
+      // census, per-doc rollup); both censuses collapse to V=4096 rows
+      // that broadcast back into the map-side probe; the corpus pays one
+      // explode + one keyed agg. Bigram importance estimators are
+      // V-bucket multinomials exactly as in the paper — V dials memory,
+      // not shuffle width.
+      import graft.operators.Sampling
+      val V = 4096
+      val docs = Tables.documents(s, dir)
+      val feats = docs
+        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")).as("bigram"))
+        .select(col("doc_id"), col("lang"), Sampling.hashBucket(col("bigram"), V).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tgt = feats.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+      val srcC = feats.groupBy("b").agg(count(lit(1)).as("cs"))
+      val nt = feats.where(col("lang") === "en").count()
+      val ns = feats.count()
+      val scores = srcC.join(tgt, Seq("b"), "left")
+        .select(col("b"),
+          (expr(s"(1000000000L * (coalesce(ct, 0L) + 1)) div ${nt + V}") -
+            expr(s"(1000000000L * (cs + 1)) div ${ns + V}")).as("fs"))
+      val perDoc = feats.join(broadcast(scores), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("fs").as("score"))
+      val scored = docs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("score"), lit(0L)).as("score"))
+      val stats = scored.agg(sum("score").as("tot"), count(lit(1)).as("n"))
+      val out = scored.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("n_feats"), col("score"),
+          (col("score") * col("n") > col("tot")).as("keep"))
+        .orderBy("doc_id")
+      graft.operators.CacheScope.unpersistAfterUse(out, feats)
+    },
+
     "sample_reservoir" -> { (s, dir) =>
       // deterministic k-per-stratum uniform sample: hash-ranked, so the
       // same rows are sampled under any partitioning/backfill (a running
@@ -4263,6 +4318,29 @@ object SparkEntry {
         |       WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "sample_importance" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |        ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT % 4096 AS b
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+        |      WHERE len(toks) >= 2),
+        |ct AS (SELECT b, COUNT(*) AS c FROM f WHERE lang = 'en' GROUP BY b),
+        |cs AS (SELECT b, COUNT(*) AS c FROM f GROUP BY b),
+        |nt AS (SELECT COUNT(*) AS n FROM f WHERE lang = 'en'),
+        |ns AS (SELECT COUNT(*) AS n FROM f),
+        |sc AS (SELECT cs.b,
+        |         (1000000000 * (coalesce(ct.c, 0) + 1)) // (nt.n + 4096)
+        |       - (1000000000 * (cs.c + 1)) // (ns.n + 4096) AS fs
+        |       FROM cs LEFT JOIN ct USING (b), nt, ns),
+        |d AS (SELECT f.doc_id, COUNT(*) AS n_feats, SUM(sc.fs) AS score
+        |      FROM f JOIN sc ON sc.b = f.b GROUP BY f.doc_id),
+        |alldocs AS (SELECT doc.doc_id, CAST(coalesce(d.n_feats, 0) AS BIGINT) AS n_feats,
+        |         CAST(coalesce(d.score, 0) AS BIGINT) AS score
+        |         FROM documents doc LEFT JOIN d USING (doc_id)),
+        |st AS (SELECT SUM(score) AS tot, COUNT(*) AS n FROM alldocs)
+        |SELECT doc_id, n_feats, score, score * st.n > st.tot AS keep
+        |FROM alldocs, st ORDER BY doc_id""".stripMargin,
 
     "multimodal_decode" ->
       """SELECT doc_id,
