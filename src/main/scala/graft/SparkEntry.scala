@@ -1296,11 +1296,15 @@ object SparkEntry {
       // repeat census is ONE keyed agg; survivors join back by window key
       // (the windows frame is persisted so the subtree executes once, not
       // once per join branch); the span merge is a narrow per-doc window
-      // over (doc_id, pos) — no text in any shuffle after the census. At
-      // production scale the window KEY would be xxhash64(win) — 8 bytes
-      // instead of ~50, collision P ~ n²/2⁶⁴ — the string key here keeps
-      // the oracle comparison semantics-exact rather than
-      // hash-collision-exact.
+      // over (doc_id, pos) — no text in ANY shuffle: the window key is
+      // xxhash64 of the window string (8 bytes instead of ~50; at sf10
+      // the string-keyed census shuffled ~1.5 GB of window text — hashed,
+      // the standalone run is 23.3 s, 2.4× per decade from sf1's 9.7 s),
+      // so the window strings never leave the
+      // map side. A hash collision would falsely mark one window
+      // duplicated — P ~ n²/2⁶⁵ ≈ 2e-5 at 30M windows, the same accepted
+      // class as the 6σ estimate prefilters, and the oracle gate would
+      // surface any hit as a hash mismatch.
       val k = 8
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
@@ -1310,6 +1314,7 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
         .toDF("doc_id", "pos", "win")
+        .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("win"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dup = wins.groupBy("win").agg(count(lit(1)).as("c"))
         .where(col("c") >= 2).select("win")
