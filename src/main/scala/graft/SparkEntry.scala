@@ -1296,47 +1296,14 @@ object SparkEntry {
       // repeat census is ONE keyed agg; survivors join back by window key
       // (the windows frame is persisted so the subtree executes once, not
       // once per join branch); the span merge is a narrow per-doc window
-      // over (doc_id, pos) — no text in ANY shuffle: the window key is
-      // xxhash64 of the window string (8 bytes instead of ~50; at sf10
-      // the string-keyed census shuffled ~1.5 GB of window text — hashed,
-      // the standalone run is 23.3 s, 2.4× per decade from sf1's 9.7 s),
-      // so the window strings never leave the
-      // map side. A hash collision would falsely mark one window
-      // duplicated — P ~ n²/2⁶⁵ ≈ 2e-5 at 30M windows, the same accepted
-      // class as the 6σ estimate prefilters, and the oracle gate would
-      // surface any hit as a hash mismatch.
-      val k = 8
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-        .withColumn("n_tokens", size(col("toks")))
-      // sequence(0, n-k) DESCENDS for n<k — guard short docs out first
-      val wins = docs.where(col("n_tokens") >= k)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
-        .toDF("doc_id", "pos", "win")
-        .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("win"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dup = wins.groupBy("win").agg(count(lit(1)).as("c"))
-        .where(col("c") >= 2).select("win")
-      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy("doc_id").orderBy("pos")
-      val spans = wins.join(dup, Seq("win")).select("doc_id", "pos")
-        .withColumn("prev_end", max(col("pos") + k).over(wPrev))
-        .withColumn("new_island", when(col("pos") <= col("prev_end"), 0).otherwise(1))
-        .withColumn("island", sum("new_island").over(wRun))
-        .groupBy("doc_id", "island")
-        .agg(min("pos").as("s"), (max("pos") + k).as("e"))
-      val perDoc = spans.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_tokens"))
-      val out = docs.join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-            col("n_tokens").cast("double")).as("dup_frac"))
+      // over (doc_id, pos) — no text in ANY shuffle (8-byte xxhash64
+      // window keys; full plan story + collision envelope in
+      // operators/SubstringDedup.scala and PLANS.md). Spec: the span
+      // arithmetic is pinned against a brute-force per-doc model on
+      // random corpora in SubstringDedupSpec.
+      graft.operators.SubstringDedup
+        .spanStats(Tables.documents(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")
-      graft.operators.CacheScope.unpersistAfterUse(out, wins)
     },
 
     "dedup_simhash" -> { (s, dir) =>

@@ -50,9 +50,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // the global (tot_sum, tot_n) mean onto the per-doc scores).
     // layout_zorder broadcasts the ONE-ROW (k_min, k_max1) key bounds
     // onto the layout assignment — the same O(tiny) map-side shape.
+    // sample_importance broadcasts the ONE-ROW (Σscore, n) corpus mean
+    // onto the per-doc scores for the exact cross-multiplied keep gate —
+    // the text_lm_score shape.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
       "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
-      "text_lm_score", "layout_zorder")
+      "text_lm_score", "layout_zorder", "sample_importance")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
