@@ -1306,6 +1306,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_span_removal" -> { (s, dir) =>
+      // The REMOVAL half of Lee et al. span dedup: cut every duplicated
+      // ≥8-token span out of every document and reassemble the surviving
+      // tokens in order (operators/SubstringDedup.removeSpans — per-doc
+      // LEFT ANTI of token positions against the span table, one keyed
+      // reassembly agg; no text in any shuffle until the final per-doc
+      // rows). The oracle rebuilds the cleaned text with the same span
+      // arithmetic and string_agg ordering, so reassembly is
+      // hash-compared byte-for-byte, not just counted.
+      graft.operators.SubstringDedup
+        .removeSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -3463,6 +3477,33 @@ object SparkEntry {
         |  CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
         |  coalesce(agg.dup_tokens, 0) / n.n_tokens AS dup_frac
         |FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+
+    "dedup_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS win
+        |      FROM n, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) u
+        |      WHERE len(toks) >= 8),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+        |d AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+        |isl AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS new_island
+        |        FROM d),
+        |isl2 AS (SELECT doc_id, pos, SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e FROM isl2 GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |        FROM n, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+        |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM sp
+        |                           WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s AND tk.pos < sp.e)),
+        |reasm AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |          FROM kept GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN reasm r USING (doc_id) ORDER BY n.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

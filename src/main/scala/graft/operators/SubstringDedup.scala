@@ -27,42 +27,86 @@ import org.apache.spark.storage.StorageLevel
   */
 object SubstringDedup {
 
+  /** (base tokenized frame, PERSISTED narrow (id, pos, win-hash) window
+    * frame). Callers must route their result through
+    * CacheScope.unpersistAfterUse on the wins frame. */
+  private def prepare(docs: DataFrame, idCol: String, textCol: String, k: Int)
+      : (DataFrame, DataFrame) = {
+    val base = docs
+      .select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    // sequence(0, n-k) DESCENDS for n<k — guard short docs out first
+    val wins = base.where(col("n_tokens") >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
+      .toDF(idCol, "pos", "win")
+      .select(col(idCol), col("pos"), xxhash64(col("win")).as("win"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (base, wins)
+  }
+
+  /** Maximal duplicated spans (idCol, s, e) — token index range [s, e) —
+    * from the prepared windows frame. */
+  private def spansOf(wins: DataFrame, idCol: String, k: Int): DataFrame = {
+    val dup = wins.groupBy("win").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("win")
+    val wPrev = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy("pos")
+    wins.join(dup, Seq("win")).select(idCol, "pos")
+      .withColumn("prev_end", max(col("pos") + k).over(wPrev))
+      .withColumn("new_island", when(col("pos") <= col("prev_end"), 0).otherwise(1))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy(idCol, "island")
+      .agg(min("pos").as("s"), (max("pos") + k).as("e"))
+      .select(idCol, "s", "e")
+  }
+
   /** Per-document duplicated-span statistics over `textCol` split on single
     * spaces and lowercased: (idCol, n_tokens, n_spans, dup_tokens,
     * dup_frac), one row per input document, ordered by nothing (caller
     * sorts). The returned frame owns a persisted intermediate, released
     * via CacheScope once the result is consumed. */
   def spanStats(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val id: Column = col(idCol)
-    val base = docs
-      .select(id, split(lower(col(textCol)), " ").as("toks"))
-      .withColumn("n_tokens", size(col("toks")))
-    // sequence(0, n-k) DESCENDS for n<k — guard short docs out first
-    val wins = base.where(col("n_tokens") >= k)
-      .select(id, posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
-      .toDF(idCol, "pos", "win")
-      .select(id, col("pos"), xxhash64(col("win")).as("win"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dup = wins.groupBy("win").agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2).select("win")
-    val wPrev = Window.partitionBy(idCol).orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy(idCol).orderBy("pos")
-    val spans = wins.join(dup, Seq("win")).select(idCol, "pos")
-      .withColumn("prev_end", max(col("pos") + k).over(wPrev))
-      .withColumn("new_island", when(col("pos") <= col("prev_end"), 0).otherwise(1))
-      .withColumn("island", sum("new_island").over(wRun))
-      .groupBy(idCol, "island")
-      .agg(min("pos").as("s"), (max("pos") + k).as("e"))
-    val perDoc = spans.groupBy(idCol)
+    val (base, wins) = prepare(docs, idCol, textCol, k)
+    val perDoc = spansOf(wins, idCol, k).groupBy(idCol)
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_tokens"))
     val out = base.join(perDoc, Seq(idCol), "left")
-      .select(id, col("n_tokens").cast("long").as("n_tokens"),
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_frac"))
+    CacheScope.unpersistAfterUse(out, wins)
+  }
+
+  /** The REMOVAL half of the Lee et al. pipeline: cut every duplicated
+    * span out of every document and reassemble the surviving tokens in
+    * order — (idCol, n_tokens, n_removed, clean_text), one row per input
+    * document (fully-duplicated docs come back with empty clean_text;
+    * span-removal curation usually drops them by a min-length gate
+    * downstream). The cut is a per-doc LEFT ANTI join of token positions
+    * against the span table (equi on the doc key, range predicate on the
+    * position — spans per doc are few, so the extra condition is a cheap
+    * in-bucket filter), and reassembly is one keyed agg sorting (pos, tok)
+    * structs — the text_boilerplate reassembly shape. */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val (base, wins) = prepare(docs, idCol, textCol, k)
+    val spans = spansOf(wins, idCol, k)
+    val toksPos = base.select(col(idCol), col("n_tokens"), posexplode(col("toks")))
+      .toDF(idCol, "n_tokens", "pos", "tok")
+    val kept = toksPos.join(spans,
+      toksPos(idCol) === spans(idCol) &&
+        toksPos("pos") >= spans("s") && toksPos("pos") < spans("e"),
+      "left_anti")
+    val clean = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok))")
+          .as("clean_text"))
+    val out = base.join(clean, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
     CacheScope.unpersistAfterUse(out, wins)
   }
 }

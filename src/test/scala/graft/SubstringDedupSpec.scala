@@ -67,4 +67,33 @@ class SubstringDedupSpec extends AnyFunSuite {
       check(docs)
     }
   }
+
+  /** Removal model: drop every token covered by a duplicated window. */
+  private def removalModel(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }.toMap
+    val winCounts = toks.values.flatMap(ts => ts.sliding(K).filter(_.size == K).map(_.mkString(" ")))
+      .groupBy(identity).map { case (w, occ) => w -> occ.size }
+    toks.map { case (id, ts) =>
+      val covered = Array.fill(ts.size)(false)
+      ts.sliding(K).zipWithIndex.foreach { case (w, i) =>
+        if (w.size == K && winCounts(w.mkString(" ")) >= 2)
+          (i until i + K).foreach(covered(_) = true)
+      }
+      val kept = ts.indices.filterNot(covered).map(ts)
+      id -> ((ts.size.toLong, covered.count(identity).toLong, kept.mkString(" ")))
+    }
+  }
+
+  test("span removal reassembles exactly the uncovered tokens, in order") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map { id =>
+      val n = 2 + rnd.nextInt(30)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq(100L -> "q w e r t y u i", 101L -> "q w e r t y u i") // fully-removed twins
+    val got = SubstringDedup.removeSpans(docs.toDF("doc_id", "text"), "doc_id", "text", K)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == removalModel(docs))
+    assert(got(100L)._3 == "") // twin docs vanish entirely
+  }
 }
