@@ -1320,6 +1320,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_containment" -> { (s, dir) =>
+      // Asymmetric doc-in-doc detection (operators/Dedup.containmentPairs):
+      // C = |S(A)∩S(B)|/min(|S(A)|,|S(B)|) catches excerpts and quoted
+      // fragments that symmetric Jaccard scores ~0.4 and never surfaces.
+      // The corpus is augmented with derived EXCERPT docs (first 40 tokens
+      // of every 11th long doc, id+1e6) so the asymmetric lane is
+      // non-vacuous at any SF: excerpt⊂original pairs have J≈0.4-0.7 —
+      // below the Jaccard lanes' 0.9 gate — but containment ≈ 1.0. The
+      // oracle constructs the same derived corpus and brute-forces all
+      // pairs, so bottom-K probe recall (miss P ≤ 1e-12) is hash-gated.
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val excerpts = base
+        .where(size(split(col("text"), " ")) >= 60 && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text"))
+      Dedup.containmentPairs(base.unionByName(excerpts), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -3504,6 +3523,26 @@ object SparkEntry {
         |  CAST(n.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM n LEFT JOIN reasm r USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH exc AS (SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(string_split(text, ' ')[1:40], ' ') AS text
+        |       FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 60 AND doc_id % 11 = 0),
+        |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM exc),
+        |w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 2),
+        |        i -> array_to_string(toks[i:i+3], ' '))) AS sh
+        |      FROM w WHERE len(toks) >= 4),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        len(a.sh) AS m_a, len(b.sh) AS m_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(m_a AS BIGINT) AS m_a, CAST(m_b AS BIGINT) AS m_b,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  CAST(inter AS DOUBLE) / least(m_a, m_b) AS containment
+        |FROM p WHERE CAST(inter AS DOUBLE) / least(m_a, m_b) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

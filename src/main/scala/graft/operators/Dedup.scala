@@ -182,6 +182,78 @@ object Dedup {
         CacheScope.unpersistAfterUse(verified, withSig), plausible), shSets)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A,B) = |S(A)∩S(B)| /
+    * min(|S(A)|,|S(B)|) ≥ threshold — the doc-in-doc lane symmetric
+    * Jaccard cannot see (a page quoted whole inside a 10× larger page has
+    * J ≈ 0.1 but C = 1.0; think excerpts, quotations, syndicated
+    * fragments). MinHash banding does NOT preserve containment, so
+    * candidate generation is bottom-K probing: every doc emits its K
+    * smallest shingle hashes (ShingleHashes returns the sorted distinct
+    * set, so the bottom-K is a free slice) and any doc whose full shingle
+    * set contains one of them is a candidate.
+    *
+    * Recall envelope (the 6σ-class argument the other lanes use): if
+    * C ≥ t, at most a (1−t) fraction of the smaller set is missing from
+    * the larger; hash rank is independent of which shingles are missing,
+    * so ALL K bottom hashes land in the missing mass with
+    * P ≤ (1−t)^K = 1e-12 at t=0.9, K=12. Exact verification
+    * (SortedIntersectCount over survivor-only shingle fetches) then makes
+    * precision exact, so the output equals the all-pairs oracle.
+    *
+    * Shape at 100 TB: probes are n·K narrow rows, postings O(shingles)
+    * narrow rows, and the candidate join is ONE keyed shuffle on the
+    * 8-byte hash; full shingle arrays are never persisted or shuffled
+    * corpus-wide — survivors only, the [[minhashNearDupPairs]]
+    * discipline. Probe cost concentrates on high-df shingles exactly like
+    * the LSH band table does on hot bands; the distinct() collapses the
+    * per-shingle pair multiplicity before verification.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 4,
+      bottomK: Int = 12,
+      threshold: Double = 0.9): DataFrame = {
+    val shExpr = Sketch.column(
+      ShingleHashes(Sketch.expr(col(textCol)), shingleSize, word = true))
+    def shingled(src: DataFrame): DataFrame =
+      src.select(col(idCol).as("id"), shExpr.as("sh"))
+        .where(size(col("sh")) > 0)
+
+    val probes = shingled(docs)
+      .select(col("id"), explode(slice(col("sh"), 1, bottomK)).as("h"))
+    val postings = shingled(docs)
+      .select(col("id"), explode(col("sh")).as("h"))
+    val candidates = probes.as("x")
+      .join(postings.as("y"), Seq("h"), "inner")
+      .where(col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val pids = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val shSets = shingled(docs.join(pids, Seq(idCol), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val inter = Sketch.column(SortedIntersectCount(
+      Sketch.expr(col("sa.sh")), Sketch.expr(col("sb.sh"))))
+    val verified = candidates
+      .join(shSets.as("sa"), col("id_a") === col("sa.id"))
+      .join(shSets.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        size(col("sa.sh")).cast("long").as("m_a"),
+        size(col("sb.sh")).cast("long").as("m_b"),
+        inter.cast("long").as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("m_a"), col("m_b")))
+      .where(col("containment") >= threshold)
+    CacheScope.unpersistAfterUse(
+      CacheScope.unpersistAfterUse(verified, candidates), shSets)
+  }
+
   /** Incremental LSH index probe: near-dup pairs between a DELTA batch and
     * an already-indexed BASE corpus, without re-shingling the base.
     *
