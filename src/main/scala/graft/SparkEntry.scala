@@ -2413,8 +2413,11 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tgt = feats.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
       val srcC = feats.groupBy("b").agg(count(lit(1)).as("cs"))
-      val nt = feats.where(col("lang") === "en").count()
-      val ns = feats.count()
+      // bounded driver fetch: two longs in ONE job over the persisted
+      // narrow frame (the SE corpus-count convention)
+      val nRow = feats.agg(count(lit(1)), count(when(col("lang") === "en", 1))).head()
+      val ns = nRow.getLong(0)
+      val nt = nRow.getLong(1)
       val scores = srcC.join(tgt, Seq("b"), "left")
         .select(col("b"),
           (expr(s"(1000000000L * (coalesce(ct, 0L) + 1)) div ${nt + V}") -
