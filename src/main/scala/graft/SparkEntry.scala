@@ -1320,6 +1320,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_substring_incremental" -> { (s, dir) =>
+      // Index-probe twin of dedup_substring (SubstringDedup
+      // .incrementalSpanStats): the BASE corpus's (win-hash, count) census
+      // table is the persisted index — at cluster scale written once,
+      // bucketed by hash, OR-absorbed per batch by a keyed count sum —
+      // and an arriving DELTA batch windows only its own rows and probes
+      // it with ONE keyed equi-join. A delta window is duplicated iff
+      // base+delta count ≥ 2, i.e. exactly the GLOBAL census restricted
+      // to delta docs, which is what the all-corpus oracle replays
+      // (filtered to the delta ids). Split: every 3rd doc is the delta.
+      val docs = Tables.documents(s, dir)
+      val base = docs.where(col("doc_id") % 3 =!= 0)
+      val delta = docs.where(col("doc_id") % 3 === 0)
+      val idx = graft.operators.SubstringDedup.censusIndex(base, "doc_id", "text", k = 8)
+      graft.operators.SubstringDedup
+        .incrementalSpanStats(idx, delta, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
+
     "dedup_containment" -> { (s, dir) =>
       // Asymmetric doc-in-doc detection (operators/Dedup.containmentPairs):
       // C = |S(A)∩S(B)|/min(|S(A)|,|S(B)|) catches excerpts and quoted
@@ -3526,6 +3545,28 @@ object SparkEntry {
         |  CAST(n.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM n LEFT JOIN reasm r USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+
+    "dedup_substring_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS win
+        |      FROM n, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) u
+        |      WHERE len(toks) >= 8),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+        |d AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win) WHERE w.doc_id % 3 = 0),
+        |isl AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS new_island
+        |        FROM d),
+        |isl2 AS (SELECT doc_id, pos, SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e FROM isl2 GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens FROM sp GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  coalesce(agg.dup_tokens, 0) / n.n_tokens AS dup_frac
+        |FROM n LEFT JOIN agg USING (doc_id)
+        |WHERE n.doc_id % 3 = 0 ORDER BY n.doc_id""".stripMargin,
 
     "dedup_containment" ->
       """WITH exc AS (SELECT doc_id + 1000000 AS doc_id,

@@ -80,6 +80,57 @@ object SubstringDedup {
     CacheScope.unpersistAfterUse(out, wins)
   }
 
+  /** Incremental span census: duplicated-span statistics for a DELTA batch
+    * against an already-censused BASE corpus, without re-walking the base —
+    * the substring twin of [[Dedup.minhashProbePairs]]'s index-probe story.
+    * The base's (win-hash, count) census table IS the persisted index: at
+    * cluster scale it is written once (bucketed by hash) and each arriving
+    * batch (1) windows ITS OWN rows, (2) probes the index with one keyed
+    * equi-join, (3) adds its delta-internal repeat counts. A delta window
+    * is duplicated iff base_count + delta_count ≥ 2 — exactly the global
+    * census over base ∪ delta, restricted to delta documents, so the
+    * all-corpus oracle replays it. Span merge and per-doc rollup are the
+    * [[spanStats]] shapes, over delta rows only. */
+  def incrementalSpanStats(
+      baseCensus: DataFrame, // (win, c) — the persisted index
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val (base, wins) = prepare(delta, idCol, textCol, k)
+    val deltaCensus = wins.groupBy("win").agg(count(lit(1)).as("dc"))
+    val dup = deltaCensus.join(baseCensus, Seq("win"), "left")
+      .where(coalesce(col("c"), lit(0L)) + col("dc") >= 2).select("win")
+    val wPrev = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy("pos")
+    val spans = wins.join(dup, Seq("win")).select(idCol, "pos")
+      .withColumn("prev_end", max(col("pos") + k).over(wPrev))
+      .withColumn("new_island", when(col("pos") <= col("prev_end"), 0).otherwise(1))
+      .withColumn("island", sum("new_island").over(wRun))
+      .groupBy(idCol, "island")
+      .agg(min("pos").as("s"), (max("pos") + k).as("e"))
+    val perDoc = spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    val out = base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+    CacheScope.unpersistAfterUse(out, wins)
+  }
+
+  /** Build the (win, c) census index for a corpus — the thing
+    * [[incrementalSpanStats]] probes. Written once at cluster scale;
+    * OR-merged with a delta census to absorb the batch afterwards
+    * (counts ADD, so absorption is a keyed sum, never a re-census). */
+  def censusIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val (_, wins) = prepare(docs, idCol, textCol, k)
+    val out = wins.groupBy("win").agg(count(lit(1)).as("c"))
+    CacheScope.unpersistAfterUse(out, wins)
+  }
+
   /** The REMOVAL half of the Lee et al. pipeline: cut every duplicated
     * span out of every document and reassemble the surviving tokens in
     * order — (idCol, n_tokens, n_removed, clean_text), one row per input
