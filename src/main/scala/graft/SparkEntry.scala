@@ -1217,6 +1217,40 @@ object SparkEntry {
         .orderBy("cohort_wk", "week_offset")
     },
 
+    "events_anomaly" -> { (s, dir) =>
+      // Robust time-series anomaly detection on the event log: flag days
+      // whose count deviates more than 6 MAD from the event type's median.
+      // Median/MAD (not mean/stddev) because robust statistics survive the
+      // very outliers they're asked to find — a planted 6x burst would drag
+      // a mean-based threshold toward itself and mask its neighbors. The
+      // synthetic log is Poisson-flat (no real bursts), so bursts are
+      // planted deterministically (day % 17 == 5 gets 6x) — both engines
+      // replay the plant, the medians, and the flags bit-identically
+      // (counts are integers; interpolated medians are exact binary
+      // fractions; 6*mad stays exact in IEEE doubles).
+      // Shape at 100 TB: ONE corpus-sized keyed agg (event_type, day) with
+      // map-side partials; everything after runs on the O(types x days)
+      // daily frame — two tiny percentile aggs and two keyed joins that AQE
+      // broadcasts. No window over the raw log, no per-day event buffering.
+      val dayNs = 86400000000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+        .agg(count(lit(1)).as("raw_cnt"))
+        .withColumn("cnt",
+          col("raw_cnt") * when(col("day") % 17 === 5, lit(6L)).otherwise(lit(1L)))
+        .drop("raw_cnt")
+      val med = daily.groupBy("event_type")
+        .agg(expr("percentile(cnt, 0.5)").as("med"))
+      val withMed = daily.join(med, "event_type")
+      val mad = withMed.groupBy("event_type")
+        .agg(expr("percentile(abs(cnt - med), 0.5)").as("mad"))
+      withMed.join(mad, "event_type")
+        .select(col("event_type"), col("day"), col("cnt"), col("med"), col("mad"),
+          (col("cnt") > col("med") + lit(6.0) * col("mad") ||
+            col("cnt") < col("med") - lit(6.0) * col("mad")).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+
     // ---- dedup battery (#21-25) ----
 
     "dedup_exact" -> { (s, dir) =>
@@ -1953,6 +1987,34 @@ object SparkEntry {
           CountMin.estimate(col("sk"), col("t")).as("est"))
         .withColumn("ok", col("est") >= col("exact_n"))
         .orderBy(col("exact_n").desc, col("t"))
+    },
+
+    "sketch_join_size" -> { (s, dir) =>
+      // Join-cardinality estimation from count-min inner products (AMS /
+      // Cormode-Muthukrishnan): est = min_j Σ_i A_j[i]·B_j[i] over sketches
+      // of each side's join key. Matching keys share cells, so est ≥ exact
+      // STRUCTURALLY (collisions only add cross terms) — surfaced as `ok`.
+      // The scale point: join size drives broadcast-vs-shuffle and skew
+      // decisions, and this answers it WITHOUT executing the join — two
+      // independent fixed 32 KB aggregates (map-side combined, the two
+      // tables never co-shuffled) + one O(depth·width) fold. The exact
+      // join count rides along only because the gate needs ground truth;
+      // the md5 Kirsch-Mitzenmacher indexing is plain SQL, so the oracle
+      // replays BOTH sketches cell-by-cell and the estimate itself is
+      // hash-compared, not just the claim.
+      import graft.expressions.CountMin
+      val orders = Tables.orders(s, dir)
+      val customer = Tables.customer(s, dir)
+      val skO = orders.agg(
+        CountMin.sketch(col("o_custkey").cast("string"), depth = 4, width = 1024).as("sk_o"))
+      val skC = customer.agg(
+        CountMin.sketch(col("c_custkey").cast("string"), depth = 4, width = 1024).as("sk_c"))
+      val exact = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      exact.crossJoin(broadcast(skO)).crossJoin(broadcast(skC))
+        .select(col("exact_n"),
+          CountMin.innerProduct(col("sk_o"), col("sk_c")).as("est"))
+        .withColumn("ok", col("est") >= col("exact_n"))
     },
 
     "text_compress" -> { (s, dir) =>
@@ -3432,6 +3494,24 @@ object SparkEntry {
         |GROUP BY c.cohort_wk, a.wk - c.cohort_wk
         |ORDER BY cohort_wk, week_offset""".stripMargin,
 
+    "events_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    COUNT(*) * (CASE WHEN (epoch_ns(ts) // 86400000000000) % 17 = 5
+        |                     THEN 6 ELSE 1 END) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, quantile_cont(cnt, 0.5) AS med FROM d GROUP BY 1
+        |), a AS (
+        |  SELECT d.*, m.med FROM d JOIN m USING (event_type)
+        |), s AS (
+        |  SELECT event_type, quantile_cont(abs(cnt - med), 0.5) AS mad
+        |  FROM a GROUP BY 1
+        |)
+        |SELECT a.event_type, a.day, a.cnt, a.med, s.mad,
+        |  (a.cnt > a.med + 6 * s.mad OR a.cnt < a.med - 6 * s.mad) AS is_anomaly
+        |FROM a JOIN s USING (event_type) ORDER BY event_type, day""".stripMargin,
+
     "dedup_exact" ->
       """SELECT user_id, event_type, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
@@ -3956,6 +4036,34 @@ object SparkEntry {
         |)
         |SELECT t, exact_n, est, est >= exact_n AS ok FROM est
         |ORDER BY exact_n DESC, t""".stripMargin,
+
+    "sketch_join_size" ->
+      """WITH ko AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+        |), kc AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS k, COUNT(*) AS cnt FROM customer GROUP BY 1
+        |), h AS (
+        |  SELECT k, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h1,
+        |    ('0x' || substr(md5(k), 17, 15))::BIGINT * 2 + 1 AS h2
+        |  FROM (SELECT k FROM ko UNION SELECT k FROM kc)
+        |), co AS (
+        |  SELECT j, (h.h1 + j * h.h2) % 1024 AS i, SUM(ko.cnt) AS c
+        |  FROM ko JOIN h USING (k) CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(j)
+        |  GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT j, (h.h1 + j * h.h2) % 1024 AS i, SUM(kc.cnt) AS c
+        |  FROM kc JOIN h USING (k) CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(j)
+        |  GROUP BY 1, 2
+        |), ip AS (
+        |  SELECT co.j, SUM(co.c * cc.c) AS p
+        |  FROM co JOIN cc ON co.j = cc.j AND co.i = cc.i
+        |  GROUP BY 1
+        |), e AS (
+        |  SELECT COUNT(*) AS exact_n FROM orders JOIN customer ON o_custkey = c_custkey
+        |)
+        |SELECT e.exact_n, CAST((SELECT MIN(p) FROM ip) AS BIGINT) AS est,
+        |  (SELECT MIN(p) FROM ip) >= e.exact_n AS ok
+        |FROM e""".stripMargin,
 
     "text_compress" ->
       """SELECT doc_id, true AS ok_repetition_collapses, true AS ok_size_sane

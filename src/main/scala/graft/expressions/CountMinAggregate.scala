@@ -56,6 +56,9 @@ object CountMin {
 
   def estimate(sketchBytes: Column, c: Column): Column =
     Sketch.column(CountMinQuery(Sketch.expr(sketchBytes), Sketch.expr(c)))
+
+  def innerProduct(a: Column, b: Column): Column =
+    Sketch.column(CountMinInner(Sketch.expr(a), Sketch.expr(b)))
 }
 
 final class CountMinBuffer(val depth: Int, val width: Int) {
@@ -160,4 +163,57 @@ case class CountMinQuery(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinQuery =
     copy(left = l, right = r)
   override def prettyName: String = "count_min_estimate"
+}
+
+/** `count_min_inner(a, b)` — equi-join cardinality estimate from two
+  * sketches built with the SAME (depth, width) over each side's join key:
+  * the minimum over rows of the counter inner product (the AMS/count-min
+  * inner-product estimator, Cormode & Muthukrishnan 2005 §4.2).
+  *
+  * Matching keys hash to the same cell in every row, so each row's product
+  * Σ_i A_j[i]·B_j[i] ≥ Σ_k a_k·b_k = |A ⋈ B| — collisions only ADD cross
+  * terms, making the estimate one-sided (est ≥ exact always), with
+  * est ≤ exact + (e/width)·N_A·N_B at confidence 1 − e^−depth.
+  *
+  * The scale point: join size drives the broadcast-vs-shuffle and skew
+  * decisions a planner makes, and this answers it WITHOUT executing the
+  * join — two independent fixed-size aggregates (one per table, map-side
+  * combined, never co-shuffled) and one O(depth·width) driver-side fold.
+  * Overflow headroom: each product term < (N_A/width)·N_B·width = N_A·N_B
+  * summed across a row, so rows stay inside signed 64-bit until
+  * N_A·N_B ≈ 9.2e18 — beyond any real table pair at 100 TB.
+  */
+case class CountMinInner(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ba = java.nio.ByteBuffer.wrap(a.asInstanceOf[Array[Byte]])
+    val bb = java.nio.ByteBuffer.wrap(b.asInstanceOf[Array[Byte]])
+    val depth = ba.getInt
+    val width = ba.getInt
+    val depthB = bb.getInt
+    val widthB = bb.getInt
+    require(depth == depthB && width == widthB,
+      s"sketch shape mismatch: ${depth}x$width vs ${depthB}x$widthB")
+    var best = Long.MaxValue
+    var j = 0
+    while (j < depth) {
+      var s = 0L
+      var i = 0
+      while (i < width) {
+        val off = 8 + (j * width + i) * 8
+        s += ba.getLong(off) * bb.getLong(off)
+        i += 1
+      }
+      if (s < best) best = s
+      j += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinInner =
+    copy(left = l, right = r)
+  override def prettyName: String = "count_min_inner"
 }

@@ -49,6 +49,34 @@ class CountMinSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("inner product: exact join size when collision-free, one-sided when not") {
+    val rnd = new scala.util.Random(7)
+    val a = rnd.shuffle((1 to 60).flatMap(k => Seq.fill(1 + k % 5)(s"k$k"))).toDF("k")
+    val b = rnd.shuffle((30 to 90).flatMap(k => Seq.fill(1 + k % 3)(s"k$k"))).toDF("k")
+    val exact = a.join(b, "k").count()
+    def est(width: Int): Long = {
+      val sa = a.agg(CountMin.sketch(col("k"), 4, width).as("sa"))
+      val sb = b.agg(CountMin.sketch(col("k"), 4, width).as("sb"))
+      sa.crossJoin(sb).select(CountMin.innerProduct(col("sa"), col("sb")))
+        .head().getLong(0)
+    }
+    // 90 distinct keys in 8192 cells: collision-free w.h.p. -> exact
+    assert(est(8192) === exact)
+    // 16 cells: heavy collisions -> strictly one-sided, never under
+    assert(est(16) >= exact)
+  }
+
+  test("inner product rejects shape-mismatched sketches") {
+    val df = Seq("x").toDF("k")
+    val s1 = df.agg(CountMin.sketch(col("k"), 4, 256).as("a"))
+    val s2 = df.agg(CountMin.sketch(col("k"), 4, 512).as("b"))
+    val ex = intercept[Exception] {
+      s1.crossJoin(s2).select(CountMin.innerProduct(col("a"), col("b"))).head()
+    }
+    assert(ex.getMessage.contains("shape mismatch") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("shape mismatch"))
+  }
+
   test("unseen items can only report collision mass, never negative") {
     val df = (1 to 100).map(i => s"seen_$i").toDF("t")
     val sk = df.agg(CountMin.sketch(col("t"), 4, 4096).as("sk"))
