@@ -1860,6 +1860,31 @@ object SparkEntry {
         .orderBy("grp", "pos")
     },
 
+    "embed_gram" -> { (s, dir) =>
+      // Gram-matrix sufficient statistic G = Σ v·vᵀ — the distributed-PCA /
+      // covariance primitive: principal components over a 100 TB embedding
+      // corpus reduce to ONE pass building this d×d matrix in a FIXED
+      // ~16 KB per-task buffer (elementwise-add merge, map-side combined,
+      // partitioning-invariant; the corpus never shuffles, only buffers
+      // do), then a driver-side O(d³) eigen-solve — the same sufficient-
+      // statistic split as ml_linreg, generalized to matrices. Elements are
+      // quantized ONCE to scaled integers (floor(x·2¹⁰)), so every cell is
+      // an exact, order-independent Long the oracle recomputes cell-by-cell
+      // from the same quantization. Output: the 2080-cell upper triangle.
+      import graft.expressions.Gram
+      val dim = 64
+      val g = Tables.embeddings(s, dir).agg(
+        Gram.gram(col("embedding").cast("array<double>"), dim, 1024L).as("g"),
+        count(lit(1)).as("n"))
+      g.select(col("n"), posexplode(col("g")).as(Seq("idx", "gram")))
+        .select(col("n"),
+          expr(s"cast(idx div $dim as bigint)").as("i"),
+          expr(s"cast(idx % $dim as bigint)").as("j"),
+          col("gram"))
+        .where(col("i") <= col("j"))
+        .orderBy("i", "j")
+    },
+
     "embed_quantize" -> { (s, dir) =>
       // int8 scalar quantization of the embedding column: 4x smaller
       // vectors for storage/ANN. The whole construction (scale, codes,
@@ -3928,6 +3953,20 @@ object SparkEntry {
         |SELECT grp, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n,
         |  CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e12 AS pool
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "embed_gram" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS i, CAST(FLOOR(x * 1024) AS BIGINT) AS v
+        |  FROM (SELECT vec_id,
+        |          UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+        |          UNNEST(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |), n AS (SELECT COUNT(*) AS n FROM embeddings)
+        |SELECT n.n, a.i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS gram
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |CROSS JOIN n
+        |GROUP BY n.n, a.i, b.i
+        |ORDER BY a.i, j""".stripMargin,
 
     "embed_quantize" ->
       """WITH e AS (
