@@ -1860,6 +1860,40 @@ object SparkEntry {
         .orderBy("grp", "pos")
     },
 
+    "text_novelty" -> { (s, dir) =>
+      // Corpus-freshness census: per arrival batch, the fraction of its
+      // distinct word trigrams never seen in any earlier batch. Falling
+      // novelty is the operational signal that a crawl round is re-fetching
+      // old content (dedup pressure rising, marginal value falling) —
+      // the curation metric next to the dedup operators themselves.
+      // Arrival batch = doc_id div 50 (the corpus has no ingest date;
+      // monotone id order stands in for arrival order, batch count scales
+      // with the corpus). Shape at 100 TB: one distinct agg on
+      // (shingle-hash, batch), one keyed min-agg for first-appearance,
+      // one keyed join back — all on 8-byte hashed keys; shingle TEXT never
+      // leaves the map side (the oracle groups by the strings themselves;
+      // a 64-bit collision would fold two shingles — P ~ n²/2⁶⁵, ≪ 1e-8
+      // at gate scale, the same envelope as the substring-census keying).
+      val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+      val sd = Tables.documents(s, dir)
+        .select(expr("doc_id div 50").as("day"), ws.as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("day"), explode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> " +
+            "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))")).as("sh"))
+        .select(col("day"), xxhash64(col("sh")).as("h"))
+        .distinct()
+      val fd = sd.groupBy("h").agg(min("day").as("first_day"))
+      sd.join(fd, "h")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_day") === col("day"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("day"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+            .as("novelty_rate"))
+        .orderBy("day")
+    },
+
     "embed_gram" -> { (s, dir) =>
       // Gram-matrix sufficient statistic G = Σ v·vᵀ — the distributed-PCA /
       // covariance primitive: principal components over a 100 TB embedding
@@ -3953,6 +3987,27 @@ object SparkEntry {
         |SELECT grp, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n,
         |  CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e12 AS pool
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id // 50 AS day,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT day, s FROM (
+        |    SELECT day, UNNEST(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+        |    FROM w WHERE len(ws) >= 3)
+        |), fd AS (
+        |  SELECT s, MIN(day) AS first_day FROM sh GROUP BY 1
+        |)
+        |SELECT sh.day, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN fd.first_day = sh.day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(SUM(CASE WHEN fd.first_day = sh.day THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS novelty_rate
+        |FROM sh JOIN fd USING (s) GROUP BY 1 ORDER BY day""".stripMargin,
 
     "embed_gram" ->
       """WITH q AS (
