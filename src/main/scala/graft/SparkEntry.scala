@@ -1919,6 +1919,82 @@ object SparkEntry {
         .orderBy("i", "j")
     },
 
+    "embed_pca" -> { (s, dir) =>
+      // Distributed PCA, end to end: ONE corpus pass builds the exact d×d
+      // Gram sufficient statistic (embed_gram's fixed-buffer aggregate),
+      // then the eigen-solve runs driver-side on the 64×64 matrix. This is the
+      // sufficient-statistic split at its purest: the corpus contributes a
+      // 16 KB buffer and is never touched again; the O(d³) part sees no
+      // data. Driver-side collect: ONE row of 4096 longs (bounded,
+      // documented — same envelope as the IVF centroid sites).
+      // The eigen-solver is cyclic Jacobi, not power iteration: synthetic
+      // embeddings are near-isotropic (λ₂/λ₁ ≈ 0.985 at sf0.01, measured),
+      // and power iteration needs O(1/log(λ₁/λ₂)) ≈ thousands of rounds to
+      // separate a near-degenerate pair, where Jacobi reaches machine
+      // precision on the full spectrum in a few sweeps regardless of gaps.
+      // The eigenvectors are engine-internal (DuckDB cannot eigen-solve),
+      // so this follows the ANN self-verification pattern: the query emits
+      // CLAIMS judged in-query — λ₁ within its PSD Rayleigh bounds
+      // (trace/d ≤ λ₁ ≤ trace), off-diagonal mass annihilated, spectrum
+      // ordered and non-negative, Σλ equal to the trace (similarity
+      // transforms preserve it), rotations orthonormal — plus the exact
+      // integer trace the oracle recomputes from the same quantization.
+      import graft.expressions.Gram
+      val dim = 64
+      val row = Tables.embeddings(s, dir).agg(
+        Gram.gram(col("embedding").cast("array<double>"), dim, 1024L).as("g"),
+        count(lit(1)).as("n")).head()
+      val gl = row.getSeq[Long](0).toArray
+      val n = row.getLong(1)
+      val trace = (0 until dim).map(i => gl(i * dim + i)).sum
+      // cyclic Jacobi on a copy of G; V accumulates the rotations
+      val a = Array.tabulate(dim, dim)((i, j) => gl(i * dim + j).toDouble)
+      val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      def offDiagSq: Double =
+        (for (i <- 0 until dim; j <- 0 until dim if i != j) yield a(i)(j) * a(i)(j)).sum
+      val frobSq = (for (i <- 0 until dim; j <- 0 until dim) yield a(i)(j) * a(i)(j)).sum
+      var sweep = 0
+      while (sweep < 30 && offDiagSq > frobSq * 1e-22) {
+        for (p <- 0 until dim - 1; q <- p + 1 until dim if math.abs(a(p)(q)) > 0) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val sn = t * c
+          for (k <- 0 until dim) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - sn * akq
+            a(k)(q) = sn * akp + c * akq
+          }
+          for (k <- 0 until dim) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - sn * aqk
+            a(q)(k) = sn * apk + c * aqk
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - sn * vkq
+            v(k)(q) = sn * vkp + c * vkq
+          }
+        }
+        sweep += 1
+      }
+      val eig = (0 until dim).map(i => a(i)(i)).sortBy(-_)
+      val l1 = eig.head
+      val tr = trace.toDouble
+      val okOrtho = (for (i <- 0 until dim; j <- 0 until dim) yield {
+        val dot = (0 until dim).map(k => v(k)(i) * v(k)(j)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).max <= 1e-10
+      import s.implicits._
+      Seq((n, trace,
+        l1 >= tr / dim && l1 <= tr * (1 + 1e-12),
+        offDiagSq <= frobSq * 1e-20,
+        eig.zip(eig.tail).forall { case (x, y) => x >= y } &&
+          eig.last >= -1e-9 * tr,
+        math.abs(eig.sum - tr) <= 1e-9 * tr,
+        okOrtho))
+        .toDF("n", "trace", "ok_rayleigh", "ok_converged", "ok_ordered",
+          "ok_trace_preserved", "ok_orthogonal")
+    },
+
     "embed_quantize" -> { (s, dir) =>
       // int8 scalar quantization of the embedding column: 4x smaller
       // vectors for storage/ANN. The whole construction (scale, codes,
@@ -4022,6 +4098,17 @@ object SparkEntry {
         |CROSS JOIN n
         |GROUP BY n.n, a.i, b.i
         |ORDER BY a.i, j""".stripMargin,
+
+    "embed_pca" ->
+      """WITH q AS (
+        |  SELECT CAST(FLOOR(UNNEST(CAST(embedding AS DOUBLE[])) * 1024) AS BIGINT) AS v
+        |  FROM embeddings
+        |)
+        |SELECT (SELECT COUNT(*) FROM embeddings) AS n,
+        |  CAST(SUM(v * v) AS BIGINT) AS trace,
+        |  true AS ok_rayleigh, true AS ok_converged, true AS ok_ordered,
+        |  true AS ok_trace_preserved, true AS ok_orthogonal
+        |FROM q""".stripMargin,
 
     "embed_quantize" ->
       """WITH e AS (
