@@ -1860,6 +1860,70 @@ object SparkEntry {
         .orderBy("grp", "pos")
     },
 
+    "ml_bootstrap" -> { (s, dir) =>
+      // One-pass multiplier (Poisson) bootstrap: R=16 resampled versions of
+      // a grouped statistic WITHOUT R scans or any data duplication at rest
+      // — each row carries, per replicate, a deterministic Poisson(1)-ish
+      // multiplier weight derived from md5(row-id, replicate), and every
+      // replicate's weighted sum accumulates in the SAME keyed agg pass.
+      // This is how uncertainty quantification (bootstrap SEs/CIs) is done
+      // at 100 TB: resampling-with-replacement would shuffle the corpus R
+      // times; multiplier weights make it R extra agg cells per group.
+      // The weight pmf is the integer-threshold discretization of
+      // Poisson(1) (cum ×1000: 368, 736, 920, 981, 996, 999), plain SQL,
+      // so the oracle replays every weight and the replicate statistics
+      // are hash-compared exactly (prices quantized floor(x·100 + 0.5);
+      // the SE across the 16 replicate means is one trivial step on this
+      // R×groups frame, left to the consumer to keep the output
+      // engine-exact). Map-side the explode is CPU-only: partial
+      // aggregation collapses to groups×R cells before any exchange.
+      val R = 16
+      val base = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("string").as("rid"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("xs"))
+      val rep = base
+        .select(col("flag"), col("rid"), col("xs"),
+          explode(expr(s"sequence(0, ${R - 1})")).as("r"))
+        .withColumn("h",
+          expr("cast(conv(substring(md5(concat(rid, '_r', cast(r as string))), 1, 15), 16, 10) as bigint) % 1000"))
+        .withColumn("w",
+          when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+            .when(col("h") < 920, 2L).when(col("h") < 981, 3L)
+            .when(col("h") < 996, 4L).when(col("h") < 999, 5L).otherwise(6L))
+      rep.groupBy(col("flag"), col("r").cast("long").as("r"))
+        .agg(sum("w").as("n_eff"),
+          sum(col("w") * col("xs")).as("sum_scaled"))
+        .select(col("flag"), col("r"), col("n_eff"), col("sum_scaled"),
+          (col("sum_scaled").cast("double") / col("n_eff") / lit(100.0))
+            .as("mean_price"))
+        .orderBy("flag", "r")
+    },
+
+    "events_transitions" -> { (s, dir) =>
+      // First-order event-sequence transition matrix: per user, each
+      // event's successor (by event time), counted into (from, to) cells
+      // with row-normalized probabilities — the Markov-chain view of user
+      // behavior that feeds next-event prediction and funnel design.
+      // Shape at 100 TB: ONE window partitioned by user (bounded by
+      // per-user activity — no global sort), then a keyed count agg whose
+      // output is |types|² regardless of corpus size; the row
+      // normalization joins on the tiny from-marginal frame.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          col("ts_ns"), col("event_id"))
+        .withColumn("to_type", lead("from_type", 1).over(w))
+        .where(col("to_type").isNotNull)
+      val c = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+      val tot = c.groupBy("from_type").agg(sum("cnt").as("tot"))
+      c.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          (col("cnt").cast("double") / col("tot")).as("prob"))
+        .orderBy("from_type", "to_type")
+    },
+
     "text_novelty" -> { (s, dir) =>
       // Corpus-freshness census: per arrival batch, the fraction of its
       // distinct word trigrams never seen in any earlier batch. Falling
@@ -4063,6 +4127,45 @@ object SparkEntry {
         |SELECT grp, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n,
         |  CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e12 AS pool
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ml_bootstrap" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS rid,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS xs
+        |  FROM lineitem
+        |), rep AS (
+        |  SELECT flag, rid, xs, UNNEST(range(16)) AS r FROM base
+        |), h AS (
+        |  SELECT flag, xs, r,
+        |    ('0x' || substr(md5(rid || '_r' || CAST(r AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS hh
+        |  FROM rep
+        |), w AS (
+        |  SELECT flag, r, xs,
+        |    CASE WHEN hh < 368 THEN 0 WHEN hh < 736 THEN 1 WHEN hh < 920 THEN 2
+        |         WHEN hh < 981 THEN 3 WHEN hh < 996 THEN 4 WHEN hh < 999 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM h
+        |)
+        |SELECT flag, r, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(w * xs) AS BIGINT) AS sum_scaled,
+        |  CAST(SUM(w * xs) AS DOUBLE) / CAST(SUM(w) AS BIGINT) / 100.0 AS mean_price
+        |FROM w GROUP BY 1, 2 ORDER BY flag, r""".stripMargin,
+
+    "events_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS ft,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+        |  FROM events
+        |), c AS (
+        |  SELECT ft, tt, COUNT(*) AS cnt FROM s WHERE tt IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT ft, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.ft AS from_type, c.tt AS to_type, c.cnt,
+        |  CAST(c.cnt AS DOUBLE) / t.tot AS prob
+        |FROM c JOIN t USING (ft) ORDER BY from_type, to_type""".stripMargin,
 
     "text_novelty" ->
       """WITH w AS (
