@@ -1860,6 +1860,30 @@ object SparkEntry {
         .orderBy("grp", "pos")
     },
 
+    "layout_compact" -> { (s, dir) =>
+      // Small-file compaction planning — the other half of the layout tier
+      // next to layout_zorder: given a file inventory (id, size), assign
+      // contiguous files to target-size output bins with the same greedy
+      // `(cum - 1) div target` rule sequence packing uses, so every bin
+      // lands within one file of the target and the plan is byte-
+      // reproducible. The running total comes from the generic two-phase
+      // distributed prefix sum (PrefixSum.inclusive): per-bucket keyed agg
+      // → bounded driver prefix over the bucket table (inventory is
+      // METADATA scale — at 100 TB with 1 GB files that's 1e5 rows, and
+      // the bucket table is 1/1024 of that) → broadcast offsets → window
+      // partitioned by bucket. No unpartitioned window anywhere; the plan
+      // is invariant under repartition/AQE. The inventory here derives
+      // deterministically from lineitem (file = l_orderkey div 64, size =
+      // row count) so the oracle replays it with a plain window sum.
+      import graft.operators.PrefixSum
+      val files = Tables.lineitem(s, dir)
+        .groupBy(expr("l_orderkey div 64").as("file_id"))
+        .agg(count(lit(1)).as("size_rows"))
+      PrefixSum.inclusive(files, "file_id", "size_rows", 1024L)
+        .withColumn("bin_id", expr("(cum - 1) div 4096"))
+        .orderBy("file_id")
+    },
+
     "ml_bootstrap" -> { (s, dir) =>
       // One-pass multiplier (Poisson) bootstrap: R=16 resampled versions of
       // a grouped statistic WITHOUT R scans or any data duplication at rest
@@ -1876,17 +1900,26 @@ object SparkEntry {
       // the SE across the 16 replicate means is one trivial step on this
       // R×groups frame, left to the consumer to keep the output
       // engine-exact). Map-side the explode is CPU-only: partial
-      // aggregation collapses to groups×R cells before any exchange.
+      // aggregation collapses to groups×R cells before any exchange —
+      // and the row pays ONE md5, not R: per-replicate indices derive
+      // Kirsch-Mitzenmacher style as (h1 + r·h2) mod 1000 from the two
+      // 12-hex-digit digest halves (< 2⁴⁸/2⁴⁹, so h1 + 15·h2 < 2⁵³ —
+      // no overflow on either engine), the same splittable-hash trick the
+      // count-min sketch uses.
       val R = 16
       val base = Tables.lineitem(s, dir).select(
         col("l_returnflag").as("flag"),
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("string").as("rid"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("xs"))
       val rep = base
-        .select(col("flag"), col("rid"), col("xs"),
+        .withColumn("md", md5(col("rid")))
+        .withColumn("h1",
+          expr("cast(conv(substring(md, 1, 12), 16, 10) as bigint)"))
+        .withColumn("h2",
+          expr("cast(conv(substring(md, 17, 12), 16, 10) as bigint) * 2 + 1"))
+        .select(col("flag"), col("xs"), col("h1"), col("h2"),
           explode(expr(s"sequence(0, ${R - 1})")).as("r"))
-        .withColumn("h",
-          expr("cast(conv(substring(md5(concat(rid, '_r', cast(r as string))), 1, 15), 16, 10) as bigint) % 1000"))
+        .withColumn("h", (col("h1") + col("r") * col("h2")) % 1000)
         .withColumn("w",
           when(col("h") < 368, 0L).when(col("h") < 736, 1L)
             .when(col("h") < 920, 2L).when(col("h") < 981, 3L)
@@ -4128,25 +4161,41 @@ object SparkEntry {
         |  CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e12 AS pool
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "layout_compact" ->
+      """WITH f AS (
+        |  SELECT l_orderkey // 64 AS file_id, COUNT(*) AS size_rows
+        |  FROM lineitem GROUP BY 1
+        |), c AS (
+        |  SELECT file_id, size_rows,
+        |    SUM(size_rows) OVER (ORDER BY file_id) AS cum
+        |  FROM f
+        |)
+        |SELECT file_id, CAST(size_rows AS BIGINT) AS size_rows,
+        |  CAST(cum AS BIGINT) AS cum,
+        |  CAST((cum - 1) // 4096 AS BIGINT) AS bin_id
+        |FROM c ORDER BY file_id""".stripMargin,
+
     "ml_bootstrap" ->
       """WITH base AS (
         |  SELECT l_returnflag AS flag,
         |    CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS rid,
         |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS xs
         |  FROM lineitem
-        |), rep AS (
-        |  SELECT flag, rid, xs, UNNEST(range(16)) AS r FROM base
+        |), hp AS (
+        |  SELECT flag, xs,
+        |    ('0x' || substr(md5(rid), 1, 12))::BIGINT AS h1,
+        |    ('0x' || substr(md5(rid), 17, 12))::BIGINT * 2 + 1 AS h2
+        |  FROM base
         |), h AS (
-        |  SELECT flag, xs, r,
-        |    ('0x' || substr(md5(rid || '_r' || CAST(r AS VARCHAR)), 1, 15))::BIGINT
-        |      % 1000 AS hh
-        |  FROM rep
+        |  SELECT flag, xs, UNNEST(range(16)) AS r, h1, h2 FROM hp
+        |), h2t AS (
+        |  SELECT flag, xs, r, (h1 + r * h2) % 1000 AS hh FROM h
         |), w AS (
         |  SELECT flag, r, xs,
         |    CASE WHEN hh < 368 THEN 0 WHEN hh < 736 THEN 1 WHEN hh < 920 THEN 2
         |         WHEN hh < 981 THEN 3 WHEN hh < 996 THEN 4 WHEN hh < 999 THEN 5
         |         ELSE 6 END AS w
-        |  FROM h
+        |  FROM h2t
         |)
         |SELECT flag, r, CAST(SUM(w) AS BIGINT) AS n_eff,
         |  CAST(SUM(w * xs) AS BIGINT) AS sum_scaled,
