@@ -53,9 +53,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     // sample_importance broadcasts the ONE-ROW (Σscore, n) corpus mean
     // onto the per-doc scores for the exact cross-multiplied keep gate —
     // the text_lm_score shape.
+    // sketch_join_size broadcasts two ONE-ROW sketch aggregates onto the
+    // one-row exact-count frame (the sketch_heavy_hitters shape, twice).
+    // ann_pq broadcasts the 10-row query frame (ADC tables) onto the code
+    // stream — the ann_topk broadcast-queries shape.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
       "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
-      "text_lm_score", "layout_zorder", "sample_importance")
+      "text_lm_score", "layout_zorder", "sample_importance",
+      "sketch_join_size", "ann_pq")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
