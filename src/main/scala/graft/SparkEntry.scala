@@ -1884,6 +1884,47 @@ object SparkEntry {
         .orderBy("file_id")
     },
 
+    "profile_drift" -> { (s, dir) =>
+      // Two-sample distribution drift detection — the training/serving-skew
+      // monitor: bucket a feature on two corpus slices and compare with
+      // total-variation distance computed EXACTLY in integers
+      // (TVD = Σ|o·N_new − q·N_base| / (2·N_base·N_new); cross-multiplied
+      // numerators are exact BIGINTs whose sum is order-independent, where
+      // a floating PSI/chi-square sum would be summation-order-dependent
+      // and engine-divergent). The drift gate is an exact integer
+      // comparison (5·Σ ≥ N_base·N_new ⇔ TVD ≥ 0.1). The synthetic corpus
+      // has no real drift, so a shift is planted deterministically (every
+      // doc_id ≡ 3 mod 6 in the "new" slice reads +300 chars — a
+      // boilerplate-heavier crawl); both engines replay plant, buckets,
+      // and flag bit-identically. Shape at 100 TB: ONE corpus-sized keyed
+      // agg to the bucket histogram; everything downstream runs on the
+      // O(buckets) frame (one-row totals broadcast, rollup for the
+      // summary row).
+      val feat = Tables.documents(s, dir).select(
+        when(col("doc_id") % 2 === 1 && col("doc_id") % 3 === 0,
+          col("n_chars") + 300).otherwise(col("n_chars")).as("v"),
+        (col("doc_id") % 2).as("slice"))
+      val b = feat.groupBy(expr("v div 100").as("bucket"))
+        .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_new"))
+      val totals = b.agg(sum("n_base").as("nb"), sum("n_new").as("nn"))
+      b.crossJoin(broadcast(totals))
+        .withColumn("diff_num",
+          abs(col("n_base") * col("nn") - col("n_new") * col("nb")))
+        // functions.col, not the string overload: rollup(String) resolves
+        // through df.col, whose dataset-id tag trips DetectAmbiguousSelfJoin
+        // over the b/totals shared lineage (same trap as annVerification)
+        .rollup(col("bucket"))
+        .agg(sum("n_base").as("n_base"), sum("n_new").as("n_new"),
+          sum("diff_num").as("diff_num"), max("nb").as("nb"), max("nn").as("nn"))
+        .select(coalesce(col("bucket"), lit(-1L)).as("bucket"),
+          col("n_base"), col("n_new"), col("diff_num"),
+          when(col("bucket").isNull,
+            lit(5) * col("diff_num") >= col("nb") * col("nn"))
+            .otherwise(lit(false)).as("drift"))
+        .orderBy("bucket")
+    },
+
     "ml_bootstrap" -> { (s, dir) =>
       // One-pass multiplier (Poisson) bootstrap: R=16 resampled versions of
       // a grouped statistic WITHOUT R scans or any data duplication at rest
@@ -4228,6 +4269,36 @@ object SparkEntry {
         |  CAST(cum AS BIGINT) AS cum,
         |  CAST((cum - 1) // 4096 AS BIGINT) AS bin_id
         |FROM c ORDER BY file_id""".stripMargin,
+
+    "profile_drift" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0
+        |              THEN n_chars + 300 ELSE n_chars END AS v,
+        |    doc_id % 2 AS slice
+        |  FROM documents
+        |), b AS (
+        |  SELECT v // 100 AS bucket,
+        |    SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n_base,
+        |    SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n_new
+        |  FROM f GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+        |    CAST(SUM(n_new) AS BIGINT) AS nn FROM b
+        |), d AS (
+        |  SELECT b.bucket, CAST(b.n_base AS BIGINT) AS n_base,
+        |    CAST(b.n_new AS BIGINT) AS n_new,
+        |    CAST(abs(b.n_base * t.nn - b.n_new * t.nb) AS BIGINT) AS diff_num,
+        |    t.nb, t.nn
+        |  FROM b CROSS JOIN t
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_base, n_new, diff_num,
+        |  false AS drift
+        |FROM d
+        |UNION ALL
+        |SELECT -1, CAST(SUM(n_base) AS BIGINT), CAST(SUM(n_new) AS BIGINT),
+        |  CAST(SUM(diff_num) AS BIGINT), 5 * SUM(diff_num) >= nb * nn
+        |FROM d GROUP BY nb, nn
+        |ORDER BY bucket""".stripMargin,
 
     "ml_bootstrap" ->
       """WITH base AS (
