@@ -2028,6 +2028,43 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     },
 
+    "text_url_canonical" -> { (s, dir) =>
+      // URL canonicalization + dedup by canonical form: the same page
+      // arrives from a crawl as casing variants, default-port forms,
+      // tracking-parameter and fragment decorations — a raw-URL dedup
+      // misses all of them. Planted: three deterministic variant lanes
+      // (uppercase host + utm param / explicit :443 / #fragment) of 15
+      // canonical page URLs; canonicalization = strip fragment, strip
+      // trailing utm query, drop the default port, lowercase. Each regex
+      // matches at most once per URL, so Spark's replace-all and DuckDB's
+      // replace-first semantics coincide and the oracle replays the whole
+      // normalization. Shape at 100 TB: map-only extract + normalize, ONE
+      // keyed agg on the canonical string.
+      val u = concat(lit("https://"),
+        when(col("doc_id") % 9 === 1,
+          concat(lit("Site-"), (col("doc_id") % 5), lit(".example.com/page-"),
+            expr("(doc_id div 9) % 3"), lit("?utm_source=feed")))
+          .when(col("doc_id") % 9 === 4,
+            concat(lit("site-"), (col("doc_id") % 5), lit(".example.com:443/page-"),
+              expr("(doc_id div 9) % 3")))
+          .otherwise(
+            concat(lit("site-"), (col("doc_id") % 5), lit(".example.com/page-"),
+              expr("(doc_id div 9) % 3"), lit("#section"))))
+      val planted = Tables.documents(s, dir)
+        .where(col("doc_id") % 9 === 1 || col("doc_id") % 9 === 4 ||
+          col("doc_id") % 9 === 7)
+        .select(col("doc_id"), concat(col("text"), lit(" see "), u, lit(" now")).as("ptext"))
+      val urls = planted.select(col("doc_id"),
+        explode(expr("regexp_extract_all(ptext, 'https://[A-Za-z0-9.:/#?=_-]+', 0)")).as("raw"))
+      val canon = urls.withColumn("canonical",
+        lower(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          "#.*", ""), "\\?utm_[a-z]+=[a-z]*$", ""), ":443/", "/")))
+      canon.groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw")).as("n_forms"))
+        .orderBy("canonical")
+    },
+
     "text_novelty" -> { (s, dir) =>
       // Corpus-freshness census: per arrival batch, the fraction of its
       // distinct word trigrams never seen in any earlier batch. Falling
@@ -4362,6 +4399,32 @@ object SparkEntry {
         |SELECT c.ft AS from_type, c.tt AS to_type, c.cnt,
         |  CAST(c.cnt AS DOUBLE) / t.tot AS prob
         |FROM c JOIN t USING (ft) ORDER BY from_type, to_type""".stripMargin,
+
+    "text_url_canonical" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' see https://' ||
+        |    CASE WHEN doc_id % 9 = 1 THEN 'Site-' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.example.com/page-' || CAST((doc_id // 9) % 3 AS VARCHAR)
+        |           || '?utm_source=feed'
+        |         WHEN doc_id % 9 = 4 THEN 'site-' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.example.com:443/page-' || CAST((doc_id // 9) % 3 AS VARCHAR)
+        |         ELSE 'site-' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.example.com/page-' || CAST((doc_id // 9) % 3 AS VARCHAR)
+        |           || '#section' END || ' now' AS ptext
+        |  FROM documents
+        |  WHERE doc_id % 9 IN (1, 4, 7)
+        |), u AS (
+        |  SELECT doc_id,
+        |    UNNEST(regexp_extract_all(ptext, 'https://[A-Za-z0-9.:/#?=_-]+', 0)) AS raw
+        |  FROM p
+        |), c AS (
+        |  SELECT raw, lower(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '#.*', ''), '\?utm_[a-z]+=[a-z]*$', ''), ':443/', '/')) AS canonical
+        |  FROM u
+        |)
+        |SELECT canonical, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_forms
+        |FROM c GROUP BY 1 ORDER BY canonical""".stripMargin,
 
     "text_novelty" ->
       """WITH w AS (
