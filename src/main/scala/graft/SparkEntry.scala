@@ -1510,6 +1510,52 @@ object SparkEntry {
         .orderBy("flag")
     },
 
+    "audit_constraints" -> { (s, dir) =>
+      // Declarative data-quality audit (the Deequ/dbt-test role): domain,
+      // range, and referential-integrity rules evaluated over a table in
+      // the minimum number of passes — all scan-local rules FUSE into ONE
+      // aggregate of conditional sums (adding a rule costs one agg cell,
+      // not one scan), and the FK rule is ONE keyed left join + the same
+      // conditional-sum agg (no second scan of either table). The clean
+      // synthetic data would make every rule vacuously pass, so violations
+      // are planted deterministically (1-in-97 negated quantities,
+      // 1-in-101 orphaned custkeys) — both engines replay plant, counts,
+      // and verdicts bit-identically; the two untouched rules pin the
+      // no-false-positive side.
+      val li = Tables.lineitem(s, dir).withColumn("qty",
+        when((col("l_orderkey") * 8 + col("l_linenumber")) % 97 === 13,
+          -col("l_quantity")).otherwise(col("l_quantity")))
+      val scanRules = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("qty") < 0, 1L).otherwise(0L)).as("v_qty"),
+        sum(when(col("l_shipdate") < lit("1990-01-01").cast("timestamp") ||
+          col("l_shipdate") >= lit("2010-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_date"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("v_flag"))
+        .select(explode(array(
+          struct(lit("lineitem_quantity_nonneg").as("rule"),
+            col("n").as("n_checked"), col("v_qty").as("n_violations")),
+          struct(lit("lineitem_returnflag_domain").as("rule"),
+            col("n").as("n_checked"), col("v_flag").as("n_violations")),
+          struct(lit("lineitem_shipdate_range").as("rule"),
+            col("n").as("n_checked"), col("v_date").as("n_violations")))))
+        .select(col("col.rule"), col("col.n_checked"), col("col.n_violations"))
+      val o2 = Tables.orders(s, dir).withColumn("ck",
+        when(col("o_orderkey") % 101 === 7, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")))
+      val fkRule = o2
+        .join(Tables.customer(s, dir).select(col("c_custkey")),
+          col("ck") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit("orders_custkey_fk").as("rule"),
+          col("n_checked"), col("n_violations"))
+      scanRules.unionByName(fkRule)
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy("rule")
+    },
+
     "audit_checksum" -> { (s, dir) =>
       // Source/sink reconciliation by per-bucket checksums (the audit a
       // CDC pipeline runs to prove the sink equals the source WITHOUT a
@@ -4088,6 +4134,33 @@ object SparkEntry {
         |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM st ORDER BY flag""".stripMargin,
+
+    "audit_constraints" ->
+      """WITH li AS (
+        |  SELECT *, CASE WHEN (l_orderkey * 8 + l_linenumber) % 97 = 13
+        |                 THEN -l_quantity ELSE l_quantity END AS qty
+        |  FROM lineitem
+        |), scan AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN qty < 0 THEN 1 ELSE 0 END) AS v_qty,
+        |    SUM(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01'
+        |              OR l_shipdate >= TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END) AS v_date,
+        |    SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_flag
+        |  FROM li
+        |), fk AS (
+        |  SELECT COUNT(*) AS n_checked,
+        |    SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM (SELECT CASE WHEN o_orderkey % 101 = 7 THEN o_custkey + 1000000
+        |               ELSE o_custkey END AS ck FROM orders) o
+        |  LEFT JOIN customer c ON o.ck = c.c_custkey
+        |)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'lineitem_quantity_nonneg' AS rule, n AS n_checked,
+        |    CAST(v_qty AS BIGINT) AS n_violations FROM scan
+        |  UNION ALL SELECT 'lineitem_returnflag_domain', n, CAST(v_flag AS BIGINT) FROM scan
+        |  UNION ALL SELECT 'lineitem_shipdate_range', n, CAST(v_date AS BIGINT) FROM scan
+        |  UNION ALL SELECT 'orders_custkey_fk', n_checked, CAST(v AS BIGINT) FROM fk)
+        |ORDER BY rule""".stripMargin,
 
     "audit_checksum" ->
       """WITH src AS (SELECT o_orderkey, o_custkey,
