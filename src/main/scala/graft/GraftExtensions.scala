@@ -104,5 +104,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_count_min_estimate"),
       new ExpressionInfo(classOf[CountMinQuery].getName, "graft_count_min_estimate"),
       (args: Seq[Expression]) => CountMinQuery(args(0), args(1))))
+
+    // r10 kernels: join-size estimation, PCA sufficient statistic, PQ ADC
+    ext.injectFunction((
+      new FunctionIdentifier("graft_count_min_inner"),
+      new ExpressionInfo(classOf[CountMinInner].getName, "graft_count_min_inner"),
+      (args: Seq[Expression]) => CountMinInner(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramBuild].getName, "graft_gram"),
+      (args: Seq[Expression]) => GramBuild(args(0), intArg(args(1), "dim"),
+        intArg(args(2), "scale").toLong)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (args: Seq[Expression]) => PqAdc(args(0), args(1), intArg(args(2), "ks"))))
   }
 }

@@ -70,4 +70,28 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(cm >= 100L && cm <= 120L)
   }
+
+  test("r10 kernels: count-min inner product, gram, pq_adc callable from SQL") {
+    // inner product of a sketch with itself = self-join size (>= n for n
+    // distinct keys appearing once each; == n when collision-free)
+    val inner = spark.sql(
+      """WITH s AS (SELECT graft_count_min(CAST(id AS STRING), 4, 4096) AS sk FROM range(100))
+        |SELECT graft_count_min_inner(s.sk, s.sk) AS j FROM s""".stripMargin)
+      .head().getLong(0)
+    assert(inner >= 100L && inner <= 110L)
+
+    // gram over unit vectors along one axis: diagonal cell (0,0) = n*scale^2
+    val g = spark.sql(
+      """SELECT graft_gram(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), 2, 1024) AS g
+        |FROM range(7)""".stripMargin).head().getSeq[Long](0)
+    assert(g(0) === 7L * 1024 * 1024 && g(3) === 0L)
+
+    // pq_adc: codes [1, 0] over a 2x2 table sum table[0*2+1] + table[1*2+0]
+    val adc = spark.sql(
+      """SELECT graft_pq_adc(array(1, 0),
+        |  array(CAST(10.0 AS DOUBLE), CAST(20.0 AS DOUBLE),
+        |        CAST(30.0 AS DOUBLE), CAST(40.0 AS DOUBLE)), 2) AS s""".stripMargin)
+      .head().getDouble(0)
+    assert(adc === 50.0)
+  }
 }
