@@ -57,10 +57,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // one-row exact-count frame (the sketch_heavy_hitters shape, twice).
     // ann_pq broadcasts the 10-row query frame (ADC tables) onto the code
     // stream — the ann_topk broadcast-queries shape.
+    // profile_drift broadcasts the ONE-ROW (N_base, N_new) totals onto the
+    // O(buckets) histogram frame — the select_quality_top shape.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
       "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
       "text_lm_score", "layout_zorder", "sample_importance",
-      "sketch_join_size", "ann_pq")
+      "sketch_join_size", "ann_pq", "profile_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
