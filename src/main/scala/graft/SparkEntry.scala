@@ -2074,6 +2074,27 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     },
 
+    "dedup_allpairs" -> { (s, dir) =>
+      // Exact set-similarity self-join (All-Pairs/PPJoin, Bayardo et al.
+      // 2007): every pair with binary word-TRIGRAM-set cosine ≥ 0.9, ZERO
+      // probabilistic miss — the third exactness class in the dedup family
+      // (with FastSS edit distance and the substring census) where the
+      // MinHash/SimHash/embedding lanes are probabilistic. Candidates key
+      // ONLY on both docs' prefix tokens — the rarest under the global
+      // (df asc, hash) order — so the join is skew-free exactly where a
+      // naive token join explodes on common terms; verification is the
+      // sorted-intersect kernel + an integer cross-multiplied gate. The
+      // oracle is the FULL token self-join (no prefixes): a single missed
+      // pair — a prefix-theorem violation — flips the driver hash.
+      // Trigram (not unigram) sets: this template corpus is unigram-dense
+      // (the unigram form's df² candidate volume exhausted sf10 spill
+      // disk, SURVEY §6); trigrams are Zipf-sparse, prefix df ≈ 1-2.
+      import graft.operators.SimilarityJoin
+      SimilarityJoin.allPairsCosine(Tables.documents(s, dir),
+          "doc_id", "text", tNum = 9, tDen = 10, ngram = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     "text_url_canonical" -> { (s, dir) =>
       // URL canonicalization + dedup by canonical form: the same page
       // arrives from a crawl as casing variants, default-port forms,
@@ -4472,6 +4493,31 @@ object SparkEntry {
         |SELECT c.ft AS from_type, c.tt AS to_type, c.cnt,
         |  CAST(c.cnt AS DOUBLE) / t.tot AS prob
         |FROM c JOIN t USING (ft) ORDER BY from_type, to_type""".stripMargin,
+
+    "dedup_allpairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> x <> '') AS ws
+        |  FROM documents
+        |), tok AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, UNNEST(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+        |    FROM w WHERE len(ws) >= 3)
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1
+        |), ov AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ov
+        |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ov.id_a, ov.id_b, CAST(ov.ov AS BIGINT) AS ov,
+        |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+        |  CAST(ov.ov AS DOUBLE) / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS cos
+        |FROM ov JOIN sz sa ON ov.id_a = sa.doc_id
+        |         JOIN sz sb ON ov.id_b = sb.doc_id
+        |WHERE 100 * ov.ov * ov.ov >= 81 * sa.n * sb.n
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "text_url_canonical" ->
       """WITH p AS (
