@@ -1251,6 +1251,63 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "events_gapfill" -> { (s, dir) =>
+      // Calendar densification + trailing 7-day moving aggregates (the
+      // gap-filling every time-series dashboard needs: a day with zero
+      // events must APPEAR with cnt=0, or moving averages and anomaly
+      // windows silently skip it). Shape at 100 TB: ONE corpus-sized keyed
+      // agg to (event_type, day); the calendar scaffold is metadata-scale
+      // (types x days) built from a ONE-ROW (d0, d1) bounds broadcast onto
+      // the distinct-type frame (the mixture_rebalance shape), the
+      // densifying join is keyed on (type, day) against the tiny dense
+      // frame, and the moving window partitions by event_type over
+      // O(days) rows — the raw log never sees a window. avg7 is a single
+      // IEEE division of two exact longs, bit-identical cross-engine.
+      val dayNs = 86400000000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      val calendar = daily.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val dense = calendar.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      dense
+        .withColumn("sum7", sum("cnt").over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("avg7", col("sum7").cast("double") / col("n7"))
+        .select("event_type", "day", "cnt", "sum7", "n7", "avg7")
+        .orderBy("event_type", "day")
+    },
+
+    "events_rolling_users" -> { (s, dir) =>
+      // Rolling 7-day distinct users per day (the DAU/WAU pair) WITHOUT a
+      // distinct-over-moving-window operator (which no engine has): an
+      // activity on day d covers the 7 report days [d, d+6], so WAU(d) =
+      // |{users with a covered activity on d}|. Shape at 100 TB: the
+      // corpus collapses FIRST to distinct (user, day) — one keyed
+      // dedup — then the cover explode is a bounded 7x expansion of
+      // 16-byte (user, day) pairs (never raw events, never text), one
+      // more distinct, and two O(days)-output keyed aggs joined on day.
+      // Report days are the OBSERVED activity days (keyed join against
+      // the DAU frame), so no bounds broadcast is needed at all.
+      val dayNs = 86400000000000L
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
+        .distinct()
+      val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = act
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"))
+        .orderBy("day")
+    },
+
     // ---- dedup battery (#21-25) ----
 
     "dedup_exact" -> { (s, dir) =>
@@ -3942,6 +3999,37 @@ object SparkEntry {
         |SELECT a.event_type, a.day, a.cnt, a.med, s.mad,
         |  (a.cnt > a.med + 6 * s.mad OR a.cnt < a.med - 6 * s.mad) AS is_anomaly
         |FROM a JOIN s USING (event_type) ORDER BY event_type, day""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal0 AS (
+        |  SELECT t.event_type, UNNEST(range(b.d0, b.d1 + 1)) AS day
+        |  FROM (SELECT DISTINCT event_type FROM d) t, b
+        |), dense AS (
+        |  SELECT cal0.event_type, cal0.day, COALESCE(d.cnt, 0) AS cnt
+        |  FROM cal0 LEFT JOIN d USING (event_type, day)
+        |)
+        |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(SUM(cnt) OVER w AS BIGINT) AS sum7,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+        |  CAST(SUM(cnt) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg7
+        |FROM dense
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "events_rolling_users" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY 1),
+        |c0 AS (SELECT user_id, day, UNNEST(range(0, 7)) AS k FROM act),
+        |cover AS (SELECT DISTINCT user_id, day + k AS day FROM c0),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM cover GROUP BY 1)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
 
     "dedup_exact" ->
       """SELECT user_id, event_type, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms

@@ -59,10 +59,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     // stream — the ann_topk broadcast-queries shape.
     // profile_drift broadcasts the ONE-ROW (N_base, N_new) totals onto the
     // O(buckets) histogram frame — the select_quality_top shape.
+    // events_gapfill broadcasts the ONE-ROW (d0, d1) calendar bounds onto
+    // the distinct-type frame to build the metadata-scale calendar —
+    // the mixture_rebalance shape.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
       "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
       "text_lm_score", "layout_zorder", "sample_importance",
-      "sketch_join_size", "ann_pq", "profile_drift")
+      "sketch_join_size", "ann_pq", "profile_drift", "events_gapfill")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
