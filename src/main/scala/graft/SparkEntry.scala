@@ -363,6 +363,31 @@ object SparkEntry {
         .orderBy("s_nationkey")
     },
 
+    "join_hybrid_skew" -> { (s, dir) =>
+      // Hot-key HYBRID join (the broadcast-routing sibling of the salted
+      // join): a planted hot key (1-in-3 lineitems remapped to suppkey 1 —
+      // the oracle replays the plant) is detected by an exact relative
+      // census (cnt·|keys| ≥ 10·total — integer cross-multiply,
+      // scale-invariant) and its rows join map-side against the dim's
+      // broadcast hot slice; cold rows take the normal keyed shuffle.
+      // Result provably equals the plain join — which IS the oracle —
+      // and n_hot_keys=1 on every row gate-checks that the hot lane
+      // actually fired (a threshold drift to 0 hot keys would flip it).
+      import graft.operators.SkewJoin
+      val big = Tables.lineitem(s, dir)
+        .select(when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("suppkey"),
+          dec2(col("l_quantity")).as("qty"))
+      val small = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      val hj = SkewJoin.hybridInnerJoin(big, small, "suppkey", hotMultiple = 10L)
+      val nHot = hj.hotKeys.agg(count(lit(1)).as("n_hot_keys"))
+      hj.result.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sumd(col("qty")).as("sum_qty"))
+        .crossJoin(broadcast(nHot))
+        .orderBy("s_nationkey")
+    },
+
     "join_asof" -> { (s, dir) =>
       // point-in-time enrichment: each click gets the user's most recent
       // prior-or-simultaneous purchase; union+keyed-window, no join node
@@ -445,6 +470,72 @@ object SparkEntry {
           (abs(col("est").cast("double") / col("n_exact").cast("double") - 1.0) <= 0.05)
             .as("ok"))
         .orderBy("event_type")
+    },
+
+    "sketch_kmv" -> { (s, dir) =>
+      // KMV (k-minimum-values / bottom-k) distinct sketch with set
+      // INTERSECTION estimation — the question the HLL tier cannot answer
+      // (HLL unions losslessly but has no intersection operator; KMV's
+      // bottom-k IS a uniform sample of the distinct universe, so the
+      // merged sketch estimates Jaccard and therefore intersections —
+      // Beyer et al. 2007). Universe: distinct (user, day) activity pairs
+      // per event type (~1600 each at sf0.01, K=64 « that, so this is the
+      // real estimation regime, not the exact-small-set degenerate case).
+      // Shape at 100 TB: the sketch is the SAME bounded TopK
+      // TypedImperativeAggregate the ANN sink uses (constant score, id =
+      // 63-bit hash → k smallest DISTINCT hashes, dedup inside the
+      // buffer), so every map task emits ≤K longs per group and the
+      // shuffle carries sketches, not rows; pair math runs on the 5-row
+      // sketch frame via KEYED equi-joins against the exact pair frame.
+      // The exact lanes exist for the gate: est values are Spark-hash-
+      // dependent, so the OUTPUT carries exact counts (oracle-replayable)
+      // plus in-query claim booleans — the sketch_distinct convention.
+      import graft.expressions.{Sketch, TopKByScore}
+      val K = 64
+      val dayNs = 86400000000000L
+      val twoTo63 = 9.223372036854775808e18
+      val base = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+        expr(s"ts_ns div $dayNs").as("day"))
+      val kmvAgg = Sketch.column(TopKByScore(
+        Sketch.expr(lit(0.0)),
+        Sketch.expr(xxhash64(col("user_id"), col("day")).bitwiseAND(lit(Long.MaxValue))),
+        K).toAggregateExpression())
+      val sk = base.groupBy("event_type")
+        .agg(kmvAgg.as("kmv_raw"))
+        .select(col("event_type"),
+          expr("transform(kmv_raw, x -> x.nid)").as("arr"))
+      def est(arr: Column): Column =
+        when(size(arr) < K, size(arr).cast("double"))
+          .otherwise(lit((K - 1).toDouble) * lit(twoTo63) /
+            element_at(arr, K).cast("double"))
+      val dedup = base.distinct()
+      val perType = dedup.groupBy("event_type").agg(count(lit(1)).as("nd"))
+      val pairsExact = dedup.as("x")
+        .join(dedup.as("y"), Seq("user_id", "day"))
+        .where(col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val merged = expr(s"slice(array_sort(array_distinct(concat(arr_a, arr_b))), 1, $K)")
+      val withSk = pairsExact
+        .join(perType.select(col("event_type").as("type_a"), col("nd").as("n_a")), Seq("type_a"))
+        .join(perType.select(col("event_type").as("type_b"), col("nd").as("n_b")), Seq("type_b"))
+        .join(sk.select(col("event_type").as("type_a"), col("arr").as("arr_a")), Seq("type_a"))
+        .join(sk.select(col("event_type").as("type_b"), col("arr").as("arr_b")), Seq("type_b"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .withColumn("m", merged)
+        .withColumn("est_a", est(col("arr_a")))
+        .withColumn("est_b", est(col("arr_b")))
+        .withColumn("est_union", est(col("m")))
+        .withColumn("jacc", size(expr("array_intersect(array_intersect(m, arr_a), arr_b)"))
+          .cast("double") / size(col("m")))
+        .withColumn("est_inter", col("jacc") * col("est_union"))
+      withSk.select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("n_union"),
+          (abs(col("est_a") - col("n_a")) <= lit(0.5) * col("n_a")).as("ok_a"),
+          (abs(col("est_b") - col("n_b")) <= lit(0.5) * col("n_b")).as("ok_b"),
+          (abs(col("est_union") - col("n_union")) <= lit(0.5) * col("n_union")).as("ok_union"),
+          (abs(col("est_inter") - col("n_inter")) <= lit(0.5) * col("n_union")).as("ok_inter"))
+        .orderBy("type_a", "type_b")
     },
 
     "agg_quantile_hist" -> { (s, dir) =>
@@ -3453,6 +3544,19 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
+    "join_hybrid_skew" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS suppkey,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS qty
+        |  FROM lineitem
+        |), c AS (SELECT suppkey, COUNT(*) AS cnt FROM big GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS tot, COUNT(*) AS k FROM c),
+        |hot AS (SELECT suppkey FROM c, t WHERE cnt * k >= 10 * tot)
+        |SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hot) AS n_hot_keys
+        |FROM big JOIN supplier ON big.suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
         |    CAST(value AS DECIMAL(12,2)) AS value FROM events),
@@ -3491,6 +3595,27 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_kmv" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), n AS (SELECT event_type, COUNT(*) AS nd FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    COUNT(*) AS n_inter
+        |  FROM d x JOIN d y ON x.user_id = y.user_id AND x.day = y.day
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b,
+        |  CAST(na.nd AS BIGINT) AS n_a, CAST(nb.nd AS BIGINT) AS n_b,
+        |  CAST(p.n_inter AS BIGINT) AS n_inter,
+        |  CAST(na.nd + nb.nd - p.n_inter AS BIGINT) AS n_union,
+        |  true AS ok_a, true AS ok_b, true AS ok_union, true AS ok_inter
+        |FROM p JOIN n na ON type_a = na.event_type
+        |       JOIN n nb ON type_b = nb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "agg_quantile_hist" ->
       """WITH nq AS (

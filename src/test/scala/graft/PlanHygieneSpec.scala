@@ -62,10 +62,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     // events_gapfill broadcasts the ONE-ROW (d0, d1) calendar bounds onto
     // the distinct-type frame to build the metadata-scale calendar —
     // the mixture_rebalance shape.
+    // join_hybrid_skew broadcasts the ONE-ROW (total, |keys|) census onto
+    // the metadata-scale per-key counts frame (the relative hot-key
+    // threshold), and the one-row n_hot_keys claim onto the agg result.
     val nljAllowed = Set("ann_topk", "ann_lsh", "ann_ivf", "text_tfidf",
       "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
       "text_lm_score", "layout_zorder", "sample_importance",
-      "sketch_join_size", "ann_pq", "profile_drift", "events_gapfill")
+      "sketch_join_size", "ann_pq", "profile_drift", "events_gapfill",
+      "join_hybrid_skew")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
