@@ -3097,6 +3097,92 @@ object SparkEntry {
       graft.operators.CacheScope.unpersistAfterUse(out, feats)
     },
 
+    "ml_naive_bayes" -> { (s, dir) =>
+      // Hashed two-class naive-Bayes quality classifier, train→predict→
+      // confusion matrix (the fastText-classifier-gate role in
+      // GPT-3/CCNet-style curation: train a cheap linear model on labeled
+      // reference data and gate the corpus by its predictions). The
+      // corpus's own `lang` labels carry ZERO lexical signal (measured:
+      // every token's per-lang counts are proportional to class size —
+      // the synthetic "languages" share one vocabulary), so no classifier
+      // can learn them; the honest demo is the production task itself —
+      // spam/clean gating — with the spam class PLANTED deterministically
+      // (odd doc_ids get one of three spam tails appended; the repo-wide
+      // planted-lane convention, as in text_urls/audit_constraints) so
+      // both engines replay corpus, model, and predictions
+      // bit-identically. Decision rule: Σ_features [L_spam(b) −
+      // L_clean(b)] > 0, with L_c = floor(1e9·(c(b,cls)+1)/(n_cls+V)) as
+      // SCALED INTEGERS (the text_lm_score/DSIR convention; float
+      // log-likelihood ratios could not be replayed cross-engine). The
+      // DIFFERENCE form is load-bearing: summing one class's smoothed
+      // likelihoods alone ranks docs by how template-typical they are and
+      // the majority class wins every argmax (measured, all-one-class
+      // confusion matrix); differencing cancels the shared-template mass
+      // so only class-characteristic bigrams vote. Features: hashed word
+      // bigrams (md5 → 4096 buckets). Split: train = doc_id % 3 ≠ 0,
+      // test = rest. Measured at sf0.01: 83/83 spam recall, 67/84 clean
+      // (the 17 false flags are short docs whose template bigrams hash
+      // into spam-leaning buckets — V=4096 collision noise, the accuracy
+      // cost of the hashing trick the DSIR paper accepts too). (Both
+      // classes land in both splits; variant index is
+      // doc_id div 3 so every tail variant appears on BOTH sides of the
+      // doc_id % 3 split — a %-6-derived variant was perfectly
+      // anti-correlated with the split and put the test fold's tail
+      // variant nowhere in training: measured 9/83 spam recall, the
+      // train/test-leakage mirror image).
+      // Shape at 100 TB: the feature frame is persisted NARROW (doc_id,
+      // label, bucket — never text); training collapses to ONE keyed agg
+      // of V conditional-count rows (map-side partials); scoring is ONE
+      // keyed left join of test features against the V-row model (AQE
+      // broadcasts it) + one per-doc agg — no window, no cross join. V
+      // dials model memory, never shuffle width. The (n_spam, n_clean)
+      // scalars are a bounded driver fetch — one job over the persisted
+      // narrow frame (the SE corpus-count convention).
+      import graft.operators.Sampling
+      val V = 4096
+      val spamTail = expr(
+        """case cast((doc_id div 3) % 3 as int)
+          |  when 0 then ' win a free prize now click here for your fast easy reward bonus'
+          |  when 1 then ' cheap deals buy now limited offer today only save big act fast'
+          |  else ' click this link to win money guaranteed instant payout no risk'
+          |end""".stripMargin)
+      val labeled = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 1, lit("spam")).otherwise(lit("clean")).as("label"),
+          when(col("doc_id") % 2 === 1, concat(col("text"), spamTail))
+            .otherwise(col("text")).as("text"))
+      val feats = labeled
+        .select(col("doc_id"), col("label"), split(lower(col("text")), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("label"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")).as("bigram"))
+        .select(col("doc_id"), col("label"), Sampling.hashBucket(col("bigram"), V).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val train = feats.where(col("doc_id") % 3 =!= 0)
+      val model = train.groupBy(col("b")).agg(
+        sum(when(col("label") === "spam", 1L).otherwise(0L)).as("cbs"),
+        sum(when(col("label") === "clean", 1L).otherwise(0L)).as("cbc"))
+      val hd = train.agg(
+        sum(when(col("label") === "spam", 1L).otherwise(0L)),
+        sum(when(col("label") === "clean", 1L).otherwise(0L))).head()
+      val nS = hd.getLong(0)
+      val nC = hd.getLong(1)
+      val scored = feats.where(col("doc_id") % 3 === 0)
+        .join(model, Seq("b"), "left")
+        .withColumn("d",
+          expr(s"(1000000000L * (coalesce(cbs, 0L) + 1)) div (${nS + V})") -
+            expr(s"(1000000000L * (coalesce(cbc, 0L) + 1)) div (${nC + V})"))
+        .groupBy(col("doc_id"), col("label").as("actual_label"))
+        .agg(sum(col("d")).as("score"))
+      val confusion = scored
+        .withColumn("predicted_label",
+          when(col("score") > 0, lit("spam")).otherwise(lit("clean")))
+        .groupBy("actual_label", "predicted_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual_label", "predicted_label")
+      graft.operators.CacheScope.unpersistAfterUse(confusion, feats)
+    },
+
     "sample_reservoir" -> { (s, dir) =>
       // deterministic k-per-stratum uniform sample: hash-ranked, so the
       // same rows are sampled under any partitioning/backfill (a running
@@ -5426,6 +5512,41 @@ object SparkEntry {
         |st AS (SELECT SUM(score) AS tot, COUNT(*) AS n FROM alldocs)
         |SELECT doc_id, n_feats, score, score * st.n > st.tot AS keep
         |FROM alldocs, st ORDER BY doc_id""".stripMargin,
+
+    "ml_naive_bayes" ->
+      """WITH lb AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN 'spam' ELSE 'clean' END AS label,
+        |    CASE WHEN doc_id % 2 = 1 THEN text ||
+        |      CASE (doc_id // 3) % 3
+        |        WHEN 0 THEN ' win a free prize now click here for your fast easy reward bonus'
+        |        WHEN 1 THEN ' cheap deals buy now limited offer today only save big act fast'
+        |        ELSE ' click this link to win money guaranteed instant payout no risk' END
+        |    ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, label, string_split(lower(text), ' ') AS toks FROM lb),
+        |f AS (SELECT doc_id, label,
+        |        ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT % 4096 AS b
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+        |      WHERE len(toks) >= 2),
+        |train AS (SELECT * FROM f WHERE doc_id % 3 <> 0),
+        |m AS (SELECT b,
+        |        SUM(CASE WHEN label = 'spam' THEN 1 ELSE 0 END) AS cbs,
+        |        SUM(CASE WHEN label = 'clean' THEN 1 ELSE 0 END) AS cbc
+        |      FROM train GROUP BY b),
+        |nn AS (SELECT SUM(CASE WHEN label = 'spam' THEN 1 ELSE 0 END) AS ns,
+        |         SUM(CASE WHEN label = 'clean' THEN 1 ELSE 0 END) AS nc
+        |       FROM train),
+        |sc AS (SELECT f.doc_id, f.label AS actual_label,
+        |         SUM((1000000000 * (COALESCE(m.cbs, 0) + 1)) // (nn.ns + 4096)
+        |           - (1000000000 * (COALESCE(m.cbc, 0) + 1)) // (nn.nc + 4096)) AS score
+        |       FROM f LEFT JOIN m USING (b), nn
+        |       WHERE f.doc_id % 3 = 0
+        |       GROUP BY 1, 2)
+        |SELECT actual_label,
+        |  CASE WHEN score > 0 THEN 'spam' ELSE 'clean' END AS predicted_label,
+        |  COUNT(*) AS n
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "multimodal_decode" ->
       """SELECT doc_id,
