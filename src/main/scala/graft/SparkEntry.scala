@@ -1882,6 +1882,46 @@ object SparkEntry {
         .orderBy("id_master", "id_probe")
     },
 
+    "link_golden" -> { (s, dir) =>
+      // Golden-record construction — the survivorship step of master-data
+      // management that entity resolution exists FOR: once near-duplicate
+      // records are clustered (the SAME LSH pair graph + star-CC closure
+      // as dedup_clusters/sample_split_grouped — one resolution, many
+      // consumers), each cluster merges to ONE golden record with
+      // field-level survivorship: per field the MODAL value with a
+      // deterministic (count desc, value asc) tiebreak, plus the
+      // min-id representative, member count, and max n_chars. This is
+      // field-wise voting, not row-wise argmax — dedup_survivors keeps
+      // one whole ROW; the golden record can mix fields from different
+      // members, which is what MDM merge rules actually do.
+      // Shape at 100 TB: clusters live on the PAIR graph; the member
+      // join is keyed on doc_id; the vote is one keyed agg to
+      // (cluster, field-value) counts + a window over clusters (near-dup
+      // clusters are tiny); only clustered docs participate — singletons
+      // never shuffle.
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("v").as("doc_id"), col("cluster").as("cluster_id"))
+      val members = docs.join(clusters, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), col("lang"), col("source"),
+          col("n_chars"))
+      def modal(f: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy(col("cnt").desc, col(f))
+        members.groupBy(col("cluster_id"), col(f))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("cluster_id"), col(f).as(s"golden_$f"))
+      }
+      members.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), min("doc_id").as("rep_doc_id"),
+          max("n_chars").as("max_chars"))
+        .join(modal("lang"), Seq("cluster_id"))
+        .join(modal("source"), Seq("cluster_id"))
+        .orderBy("cluster_id")
+    },
+
     "join_range" -> { (s, dir) =>
       // Range join without a nested loop: lineitem ship dates (points)
       // against 7-day order windows (intervals) — bucketized to a plain
@@ -4276,6 +4316,41 @@ object SparkEntry {
         |)
         |SELECT v AS doc_id, MIN(lab) AS cluster_id, v = MIN(lab) AS is_rep
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    "link_golden" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        |      FROM w WHERE len(toks) >= 5),
+        |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(a.sh || b.sh)) >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |reach(v, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+        |),
+        |comp AS (SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v),
+        |m AS (SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+        |      FROM comp c JOIN documents d USING (doc_id)),
+        |lv AS (SELECT cluster_id, lang, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+        |lr AS (SELECT cluster_id, lang,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |                            ORDER BY cnt DESC, lang) AS rn FROM lv),
+        |sv AS (SELECT cluster_id, source, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+        |sr AS (SELECT cluster_id, source,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |                            ORDER BY cnt DESC, source) AS rn FROM sv),
+        |agg AS (SELECT cluster_id, COUNT(*) AS n_members, MIN(doc_id) AS rep_doc_id,
+        |          MAX(n_chars) AS max_chars FROM m GROUP BY 1)
+        |SELECT agg.cluster_id, agg.n_members, agg.rep_doc_id, agg.max_chars,
+        |  lr.lang AS golden_lang, sr.source AS golden_source
+        |FROM agg
+        |  JOIN lr ON lr.cluster_id = agg.cluster_id AND lr.rn = 1
+        |  JOIN sr ON sr.cluster_id = agg.cluster_id AND sr.rn = 1
+        |ORDER BY agg.cluster_id""".stripMargin,
 
     "dedup_survivors" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
