@@ -3275,6 +3275,37 @@ object SparkEntry {
         .orderBy("chunk_md5")
     },
 
+    "text_chunk_windows" -> { (s, dir) =>
+      // Sliding token-window chunking with overlap — the RAG/embedding
+      // chunker (fixed window W=32 tokens, stride S=24, so consecutive
+      // chunks share W−S=8 boundary tokens and no sentence straddling a
+      // cut is lost to both chunks). The content-defined chunker
+      // (text_chunks) splits where the TEXT says so — stable under
+      // insertion, the dedup-friendly choice; this one splits where the
+      // TOKEN BUDGET says so — fixed-size pieces with guaranteed overlap,
+      // the retrieval-friendly choice. Chunk k covers tokens
+      // [k·S, k·S+W); count = 1 if n ≤ W else ceil((n−W)/S)+1 (the last
+      // chunk may run short, never empty). Entirely MAP-ONLY: one split,
+      // one bounded sequence-explode, one slice+join per row — no
+      // shuffle, no state; at 100 TB this is the ideal operator shape
+      // (pure narrow pipeline, trivially whole-stage-codegen'd).
+      val W = 32
+      val S = 24
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("k", explode(sequence(lit(0L),
+          when(col("n") <= W, lit(0L))
+            .otherwise(expr(s"(n - $W + ${S - 1}) div $S")))))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          (col("k") * S).as("tok_start"),
+          expr(s"size(slice(toks, cast(k * $S + 1 as int), $W))").cast("long")
+            .as("n_tokens"),
+          expr(s"array_join(slice(toks, cast(k * $S + 1 as int), $W), ' ')")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // training-batch assembly: algebraic prefix sum (per-length suffix
       // totals broadcast + rank within length) packs docs into 2048-token
@@ -5658,6 +5689,17 @@ object SparkEntry {
         |               lpad(to_hex((doc_id * 13) % 256), 2, '0')),
         |    CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS INT)) AS blob
         | FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |    UNNEST(range(0, CASE WHEN len(toks) <= 32 THEN 1
+        |                         ELSE (len(toks) - 32 + 23) // 24 + 1 END)) AS k
+        |  FROM t)
+        |SELECT doc_id, k AS chunk_idx, k * 24 AS tok_start,
+        |  CAST(len(toks[k*24+1 : k*24+32]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "multimodal_qoi" ->
       """WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS w, 2 + doc_id % 4 AS h FROM documents),
