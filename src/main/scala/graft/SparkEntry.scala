@@ -3431,6 +3431,42 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "multimodal_png" -> { (s, dir) =>
+      // PNG round trip (RFC 2083, the ubiquitous raster format a bare JVM
+      // decodes EXACTLY — Inflater + CRC32 ship in java.util.zip): pixels
+      // synthesized from row data with SQL-replayable arithmetic, encoded
+      // with the row filter CYCLING through all five types (y % 5; h ≥ 5
+      // so every image exercises None/Sub/Up/Average/Paeth), decoded back
+      // in mapPartitions with full CRC verification and per-row
+      // unfiltering. The oracle never sees PNG — it recomputes the
+      // planted pixel function directly, so a decode bug (wrong filter
+      // reconstruction, CRC skip, inflate mishandling) breaks the hash.
+      import s.implicits._
+      import graft.operators.MediaCodecs
+      val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val w = (3 + id % 6).toInt
+        val h = (5 + id % 4).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            rgb(i) = ((id * 3 + x * 7 + y * 11) % 256).toByte
+            rgb(i + 1) = ((id * 5 + x * 13 + y * 3) % 256).toByte
+            rgb(i + 2) = ((id * 7 + x * 5 + y * 17) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, MediaCodecs.pngEncode(w, h, rgb))
+      }
+      MediaCodecs.decodeMedia(payloads).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
+    },
+
     "multimodal_meta" -> { (s, dir) =>
       // Binary-column plumbing: payload as bytes + typed metadata + frame
       // sampling. The "decode" is a deterministic stub (md5-derived fake
@@ -5714,6 +5750,21 @@ object SparkEntry {
         |         ELSE (doc_id * 19 + x * 5 + y * 23) % 256 END AS b
         |  FROM xy)
         |SELECT doc_id, 'qoi' AS format, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
+        |  CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
+        |  CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "multimodal_png" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 5 + doc_id % 4 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, UNNEST(range(0, w)) AS x FROM d),
+        |xy AS (SELECT doc_id, w, h, x, UNNEST(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h,
+        |    (doc_id * 3 + x * 7 + y * 11) % 256 AS r,
+        |    (doc_id * 5 + x * 13 + y * 3) % 256 AS g,
+        |    (doc_id * 7 + x * 5 + y * 17) % 256 AS b
+        |  FROM xy)
+        |SELECT doc_id, 'png' AS format, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
         |  CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
         |  CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b

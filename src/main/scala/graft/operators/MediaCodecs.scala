@@ -264,6 +264,8 @@ object MediaCodecs {
         else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') bmpDecode(id, bytes)
         else if (bytes.length >= 4 && bytes(0) == 'q' && bytes(1) == 'o' &&
           bytes(2) == 'i' && bytes(3) == 'f') qoiDecode(id, bytes).map(_._1)
+        else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+          bytes(2) == 'N' && bytes(3) == 'G') pngDecode(id, bytes).map(_._1)
         else None
       }
     }
@@ -367,6 +369,175 @@ object MediaCodecs {
     var i = 0
     while (i < n) { sr += rgb(i * 3) & 0xff; sg += rgb(i * 3 + 1) & 0xff; sb += rgb(i * 3 + 2) & 0xff; i += 1 }
     Some((MediaInfo(id, "qoi", Some(w.toLong), Some(h.toLong),
+      Some(sr / n), Some(sg / n), Some(sb / n), None, None, None), rgb))
+  }
+
+  // ---- PNG (RFC 2083): 8-byte signature + length-tagged CRC32 chunks;
+  // IDAT = zlib(DEFLATE) of filtered scanlines (filter byte per row, five
+  // filter types: None/Sub/Up/Average/Paeth). The one ubiquitous raster
+  // format a bare JVM can decode EXACTLY — Inflater + CRC32 ship in
+  // java.util.zip; no libpng needed. ----
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private[graft] def pngChunk(out: java.io.ByteArrayOutputStream, tag: String,
+      data: Array[Byte]): Unit = {
+    def be32(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    be32(data.length)
+    val tagBytes = tag.getBytes("US-ASCII")
+    out.write(tagBytes)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tagBytes); crc.update(data)
+    be32(crc.getValue.toInt)
+  }
+
+  /** Encode an RGB raster as 8-bit truecolor PNG. The row filter CYCLES
+    * through all five types (y % 5) so a decoder that mishandles any one
+    * of Sub/Up/Average/Paeth fails the round trip — the same
+    * exercise-every-op principle as qoiEncode. Deflate level 6 is
+    * bit-deterministic on a given input (the text_compress claim). */
+  def pngEncode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "raster size mismatch")
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(zout.size() + 64)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zout.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit truecolor (RGB or RGBA) non-interlaced PNG: signature,
+    * chunk walk with CRC32 verification, multi-IDAT concatenation, inflate,
+    * per-row unfilter (all five types), alpha dropped for the RGB feature
+    * row. None on ANY malformation — bad signature/CRC/header fields,
+    * truncated or over-long IDAT, unknown filter type, inflate error (the
+    * dead-letter lane every other codec here has). */
+  def pngDecode(id: Long, bytes: Array[Byte]): Option[(MediaInfo, Array[Byte])] = {
+    if (bytes.length < 45 || (bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' ||
+      bytes(2) != 'N' || bytes(3) != 'G') return None
+    def be32(at: Int): Int = ((bytes(at) & 0xff) << 24) | ((bytes(at + 1) & 0xff) << 16) |
+      ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
+    var w = 0; var h = 0; var channels = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var sawEnd = false
+    try {
+      while (p + 8 <= bytes.length && !sawEnd) {
+        val len = be32(p)
+        if (len < 0 || p + 12 + len > bytes.length) return None
+        val tag = new String(bytes, p + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, p + 4, 4 + len)
+        if (crc.getValue.toInt != be32(p + 8 + len)) return None
+        tag match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = be32(p + 8); h = be32(p + 12)
+            val depth = bytes(p + 16) & 0xff
+            val color = bytes(p + 17) & 0xff
+            val interlace = bytes(p + 20) & 0xff
+            if (depth != 8 || (color != 2 && color != 6) || interlace != 0) return None
+            if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+            channels = if (color == 2) 3 else 4
+          case "IDAT" => idat.write(bytes, p + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunk: CRC-checked, content ignored
+        }
+        p += 12 + len
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => return None }
+    if (!sawEnd || channels == 0 || idat.size() == 0) return None
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val k = inflater.inflate(raw, off, raw.length - off)
+        if (k == 0 && inflater.needsInput()) return None // truncated stream
+        off += k
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (off != raw.length) return None
+    // unfilter in place into the rgb raster
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= channels) px(y * stride + x - channels) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= channels && y > 0) px((y - 1) * stride + x - channels) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        px(y * stride + x) = ((v + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val n = w * h
+    val rgb = if (channels == 3) px else {
+      val r3 = new Array[Byte](n * 3)
+      var i = 0
+      while (i < n) {
+        r3(i * 3) = px(i * 4); r3(i * 3 + 1) = px(i * 4 + 1); r3(i * 3 + 2) = px(i * 4 + 2)
+        i += 1
+      }
+      r3
+    }
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < n) { sr += rgb(i * 3) & 0xff; sg += rgb(i * 3 + 1) & 0xff; sb += rgb(i * 3 + 2) & 0xff; i += 1 }
+    Some((MediaInfo(id, "png", Some(w.toLong), Some(h.toLong),
       Some(sr / n), Some(sg / n), Some(sb / n), None, None, None), rgb))
   }
 }

@@ -163,4 +163,59 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(dec.isDefined)
     assert(dec.get._2.toSeq === Seq[Byte](10, 20, 30, 10, 20, 30))
   }
+
+  test("png: encode/decode round trip is pixel-exact and exercises all five filters") {
+    val rnd = new scala.util.Random(47)
+    // h >= 5 so the y % 5 filter cycle hits None/Sub/Up/Average/Paeth
+    val rasters = Seq(
+      (7, 5, Array.fill(7 * 5 * 3)(rnd.nextInt(256).toByte)),
+      (3, 9, Array.fill(3 * 9 * 3)(200.toByte)),
+      (16, 6, Array.tabulate(16 * 6 * 3)(i => ((i / 3) % 256).toByte)),
+      (1, 7, Array.tabulate(1 * 7 * 3)(i => (i * 37 % 256).toByte)))
+    rasters.foreach { case (w, h, rgb) =>
+      val enc = MediaCodecs.pngEncode(w, h, rgb)
+      val dec = MediaCodecs.pngDecode(1L, enc)
+      assert(dec.isDefined, s"${w}x$h failed to decode")
+      assert(java.util.Arrays.equals(dec.get._2, rgb), s"${w}x$h not pixel-exact")
+      assert(dec.get._1.format === "png")
+      assert(dec.get._1.width === Some(w.toLong) && dec.get._1.height === Some(h.toLong))
+    }
+  }
+
+  test("png: malformed payloads dead-letter (bad magic, flipped CRC, truncated IDAT)") {
+    val ok = MediaCodecs.pngEncode(4, 6, Array.tabulate(4 * 6 * 3)(i => (i % 251).toByte))
+    assert(MediaCodecs.pngDecode(1L, ok).isDefined)
+    // bad signature
+    val badSig = ok.clone(); badSig(1) = 'X'
+    assert(MediaCodecs.pngDecode(1L, badSig).isEmpty)
+    // flip one byte inside the IDAT payload -> CRC mismatch must reject
+    val flipped = ok.clone(); flipped(8 + 25 + 12) = (flipped(8 + 25 + 12) ^ 0x5a).toByte
+    assert(MediaCodecs.pngDecode(1L, flipped).isEmpty)
+    // truncated file
+    assert(MediaCodecs.pngDecode(1L, ok.take(40)).isEmpty)
+  }
+
+  test("png: rgba input drops alpha; unknown ancillary chunks are tolerated") {
+    // hand-build a 1x1 RGBA png via the encoder path pieces: reuse encode
+    // for RGB then splice a color-type-6 image made by hand
+    val w = 2; val h = 1
+    val raw = Array[Byte](0, 10, 20, 30, 40, 50, 60, 70, 80) // filter 0 + 2 RGBA px
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](64)
+    val zlen = deflater.deflate(zbuf); deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(tag: String, data: Array[Byte]): Unit =
+      MediaCodecs.pngChunk(out, tag, data)
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(6.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    chunk("tEXt", "comment".getBytes("US-ASCII")) // ancillary, must be skipped
+    chunk("IDAT", zbuf.take(zlen))
+    chunk("IEND", Array.emptyByteArray)
+    val dec = MediaCodecs.pngDecode(5L, out.toByteArray)
+    assert(dec.isDefined)
+    assert(dec.get._2.toSeq === Seq[Byte](10, 20, 30, 50, 60, 70))
+  }
 }
