@@ -1342,6 +1342,49 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "reshape_pivot" -> { (s, dir) =>
+      // Long→wide pivot (the feature-matrix reshape every BI export and
+      // per-entity feature build needs): one row per user, one column per
+      // event type, cell = activity count. The value list is EXPLICIT —
+      // `pivot(col, values)` plans ONE keyed aggregate with |values|
+      // conditional cells (map-side partials, exactly the fused
+      // conditional-sum shape of audit_constraints); the values-less
+      // overload runs a whole extra distinct-collect job over the corpus
+      // first, which is the wrong default at 100 TB when the column
+      // domain is known (and pivoting on an UNBOUNDED domain is a schema
+      // explosion no engine should perform silently).
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    "events_ohlc" -> { (s, dir) =>
+      // OHLC bar aggregation (the finance/metrics downsampling staple:
+      // per (event_type, day), the OPEN = earliest value, CLOSE = latest,
+      // HIGH/LOW = extrema, plus volume) as ONE keyed aggregate — open and
+      // close via min_by/max_by on the (ts, event_id) total order packed
+      // into a single struct (event_id breaks ts ties deterministically),
+      // NOT a per-key sort or window: the exchange ships one combined row
+      // per (task, key), the same argument as the TopOneWindowToMinMaxBy
+      // optimizer rule, and the whole bar table is map-side-combining at
+      // any scale. Values are DECIMAL(12,2)-exact; the DOUBLE casts on
+      // the way out are bit-identical cross-engine.
+      val dayNs = 86400000000000L
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr(s"ts_ns div $dayNs").as("day"), col("ts_ns"), col("event_id"),
+        dec2(col("value")).as("v"))
+      ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("volume"),
+          min_by(col("v"), struct(col("ts_ns"), col("event_id"))).cast("double").as("open"),
+          max(col("v")).cast("double").as("high"),
+          min(col("v")).cast("double").as("low"),
+          max_by(col("v"), struct(col("ts_ns"), col("event_id"))).cast("double").as("close"))
+        .orderBy("event_type", "day")
+    },
+
     "events_gapfill" -> { (s, dir) =>
       // Calendar densification + trailing 7-day moving aggregates (the
       // gap-filling every time-series dashboard needs: a day with zero
@@ -1880,6 +1923,39 @@ object SparkEntry {
         titled.where(col("doc_id") % 3 === 0),
         "doc_id", "title")
         .orderBy("id_master", "id_probe")
+    },
+
+    "join_interval_overlap" -> { (s, dir) =>
+      // Interval-INTERVAL overlap join (the temporal join for validity
+      // windows / sessions / SCD-2 histories — the two-sided sibling of
+      // join_range): per (user, day), the span of a user's clicks overlaps
+      // which spans of the same user's errors ("errors during active
+      // browsing"). Declared naively the predicate is a nested loop; here
+      // both interval sets explode to 6-hour domain buckets and equi-join
+      // on (user_id, bucket). An overlapping pair meets in EVERY shared
+      // bucket, so pairs are CLAIMED by exactly one — the bucket of
+      // max(start_a, start_b), which both intervals provably span — a
+      // post-filter, NOT a distinct pass: no second corpus-sized shuffle
+      // exists (see operators/RangeJoin.intervalOverlap). Span building
+      // is one keyed agg; overlap arithmetic is exact epoch-nanos
+      // integers.
+      import graft.operators.RangeJoin
+      val dayNs = 86400000000000L
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ns"), expr(s"ts_ns div $dayNs").as("day"))
+      def spans(t: String, p: String): DataFrame =
+        ev.where(col("event_type") === t)
+          .groupBy("user_id", "day")
+          .agg(min("ts_ns").as(s"${p}_start"), (max(col("ts_ns")) + 1).as(s"${p}_end"))
+          .withColumnRenamed("day", s"${p}_day")
+      RangeJoin.intervalOverlap(spans("click", "c"), spans("error", "e"),
+        "c_start", "c_end", "e_start", "e_end",
+        bucketWidth = 6L * 3600 * 1000000000L, keyCols = Seq("user_id"))
+        .select(col("user_id"), col("c_day"), col("e_day"),
+          col("c_start"), col("e_start"),
+          (least(col("c_end"), col("e_end")) -
+            greatest(col("c_start"), col("e_start"))).as("overlap_ns"))
+        .orderBy("user_id", "c_start", "e_start")
     },
 
     "link_golden" -> { (s, dir) =>
@@ -2884,6 +2960,59 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("n_subwords").as("n_subwords"))
         .orderBy("doc_id")
+    },
+
+    "graph_triangles" -> { (s, dir) =>
+      // Triangle census over the word-adjacency graph (the third graph
+      // operator after star CC and weighted PageRank — triangle counts
+      // drive clustering coefficients, community strength, and spam-graph
+      // signals). Algorithm is the DEGREE-ORDERED orientation count
+      // (Chiba–Nishizeki / the MapReduce standard): orient every edge
+      // from its lower-degree endpoint (lex tiebreak), build wedges only
+      // from out-neighbors, close them against the undirected edge set —
+      // candidate volume is Σ d_out² which degree-ordering provably
+      // minimizes to O(m^1.5), where a naive u<v orientation explodes on
+      // the highest-degree hub. All joins keyed (wedge build on the apex,
+      // closure on the (b, c) pair); the corpus collapses to the distinct
+      // edge list first, so cost tracks vocabulary, not corpus. Counting
+      // is exact; each triangle is produced EXACTLY once (unique apex +
+      // lex-ordered far pair), which the lex-ordered brute-force oracle
+      // replays.
+      val toksArr = filter(split(lower(col("text")), " "),
+        w => length(w) > lit(0))
+      val adj = Tables.documents(s, dir)
+        .select(toksArr.as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            element_at(col("toks"), i + 1).as("a"),
+            element_at(col("toks"), i + 2).as("b")))).as("bg"))
+        .select(least(col("bg.a"), col("bg.b")).as("u"),
+          greatest(col("bg.a"), col("bg.b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      val deg = adj.select(explode(array(col("u"), col("v"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("d"))
+      val oriented = adj
+        .join(deg.select(col("w").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("w").as("v"), col("d").as("dv")), Seq("v"))
+        .select(when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("x"), col("v").as("y")))
+          .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+        .select(col("e1.x").as("a"),
+          col("e1.y").as("b"), col("e2.y").as("c"))
+      val tris = wedges.join(adj,
+        least(col("b"), col("c")) === col("u") &&
+          greatest(col("b"), col("c")) === col("v"), "semi")
+      tris.select(explode(array(col("a"), col("b"), col("c"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("word")
     },
 
     "text_textrank" -> { (s, dir) =>
@@ -4318,6 +4447,34 @@ object SparkEntry {
         |  (a.cnt > a.med + 6 * s.mad OR a.cnt < a.med - 6 * s.mad) AS is_anomaly
         |FROM a JOIN s USING (event_type) ORDER BY event_type, day""".stripMargin,
 
+    "reshape_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    epoch_ns(ts) AS tsn, event_id, CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, day, v,
+        |    first_value(v) OVER (PARTITION BY event_type, day
+        |                         ORDER BY tsn, event_id) AS open_v,
+        |    last_value(v) OVER (PARTITION BY event_type, day
+        |                        ORDER BY tsn, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND UNBOUNDED FOLLOWING) AS close_v
+        |  FROM e)
+        |SELECT event_type, day, COUNT(*) AS volume,
+        |  CAST(MIN(open_v) AS DOUBLE) AS open, CAST(MAX(v) AS DOUBLE) AS high,
+        |  CAST(MIN(v) AS DOUBLE) AS low, CAST(MIN(close_v) AS DOUBLE) AS close
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_gapfill" ->
       """WITH d AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
@@ -4383,6 +4540,24 @@ object SparkEntry {
         |)
         |SELECT v AS doc_id, MIN(lab) AS cluster_id, v = MIN(lab) AS is_rep
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    "join_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tsn,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, day AS c_day, MIN(tsn) AS c_start, MAX(tsn) + 1 AS c_end
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+        |), er AS (
+        |  SELECT user_id, day AS e_day, MIN(tsn) AS e_start, MAX(tsn) + 1 AS e_end
+        |  FROM e WHERE event_type = 'error' GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.c_day, er.e_day, c.c_start, er.e_start,
+        |  least(c.c_end, er.e_end) - greatest(c.c_start, er.e_start) AS overlap_ns
+        |FROM c JOIN er ON c.user_id = er.user_id
+        |  AND c.c_start < er.e_end AND er.e_start < c.c_end
+        |ORDER BY c.user_id, c_start, e_start""".stripMargin,
 
     "link_golden" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -5374,6 +5549,19 @@ object SparkEntry {
         |  CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords
         |FROM tok t JOIN enc e USING (word)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH t AS (SELECT list_filter(string_split(lower(text), ' '),
+        |    w -> len(w) > 0) AS toks FROM documents),
+        |bg AS (SELECT least(toks[i], toks[i+1]) AS u, greatest(toks[i], toks[i+1]) AS v
+        |       FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) q
+        |       WHERE len(toks) >= 2),
+        |ed AS (SELECT DISTINCT u, v FROM bg WHERE u <> v),
+        |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |       FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+        |         JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT UNNEST([a, b, c]) AS word FROM tr)
+        |SELECT word, COUNT(*) AS n_triangles FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_textrank" ->
       """WITH d AS (SELECT doc_id,

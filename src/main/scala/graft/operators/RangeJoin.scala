@@ -51,4 +51,34 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-INTERVAL overlap join: every (a row, b row) with
+    * a.start < b.end AND b.start < a.end (end-exclusive overlap — the
+    * temporal-join predicate for validity windows, sessions, SCD-2
+    * histories). Same bucket encoding, but both sides explode to their
+    * spanned buckets, so an overlapping pair can now meet in EVERY shared
+    * bucket. Instead of a distinct pass over the join output (a second
+    * corpus-sized shuffle), each pair is CLAIMED by exactly one bucket —
+    * the bucket of max(a.start, b.start), which both rows provably span
+    * whenever they overlap (it lies in [start, end) of each) — via a
+    * post-filter on bucket == floor(greatest(sa, sb) / w). Shuffle is
+    * O(Σ spans); no dedup shuffle exists at any scale. */
+  def intervalOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String, aEnd: String,
+      bStart: String, bEnd: String,
+      bucketWidth: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bk(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    def spanned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bucket",
+        explode(sequence(bk(col(s)), bk(greatest(col(e) - 1, col(s))))))
+    spanned(a, aStart, aEnd)
+      .join(spanned(b, bStart, bEnd), keyCols :+ "__bucket")
+      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bucket") === bk(greatest(col(aStart), col(bStart))))
+      .drop("__bucket")
+  }
 }
