@@ -105,6 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountMinQuery].getName, "graft_count_min_estimate"),
       (args: Seq[Expression]) => CountMinQuery(args(0), args(1))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("graft_count_min_merge"),
+      new ExpressionInfo(classOf[CountMinMerge].getName, "graft_count_min_merge"),
+      (args: Seq[Expression]) => CountMinMerge(args(0))))
+
     // r10 kernels: join-size estimation, PCA sufficient statistic, PQ ADC
     ext.injectFunction((
       new FunctionIdentifier("graft_count_min_inner"),

@@ -538,6 +538,45 @@ object SparkEntry {
         .orderBy("type_a", "type_b")
     },
 
+    "sketch_cms_reaggregate" -> { (s, dir) =>
+      // The CMS leg of the stored-sketch lifecycle (HLL has hll_merge,
+      // Bloom has bloom_merge — count-min now completes the set): one
+      // fixed-size counter table stored per (event_type, day), any window
+      // answered later by count_min_merge of the stored sketches.
+      // Element-wise counter ADD is associative/commutative, so the
+      // merged sketch is BIT-identical to sketching the union directly —
+      // claimed in-query as md5(merged bytes) == md5(direct bytes), the
+      // strongest possible lossless-merge statement — plus the structural
+      // one-sided estimate (est ≥ exact) and the (e/width)·N error bound
+      // on each type's top user. Shape at 100 TB: daily build and the
+      // re-merge are both keyed aggs over FIXED 32 KB buffers; raw events
+      // are never rescanned for a new window.
+      import graft.expressions.CountMin
+      val ev = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .withColumn("uid", col("user_id").cast("string"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(CountMin.sketch(col("uid"), depth = 4, width = 1024).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(CountMin.merge(col("sk")).as("sk_m"))
+      val direct = ev.groupBy("event_type")
+        .agg(CountMin.sketch(col("uid"), depth = 4, width = 1024).as("sk_d"),
+          count(lit(1)).as("n_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n_exact").desc, col("uid"))
+      val topu = ev.groupBy(col("event_type"), col("uid"))
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      topu.join(merged, Seq("event_type")).join(direct, Seq("event_type"))
+        .withColumn("est", CountMin.estimate(col("sk_m"), col("uid")))
+        .select(col("event_type"), col("uid").as("top_user"), col("n_exact"),
+          (md5(col("sk_m")) === md5(col("sk_d"))).as("ok_merge_lossless"),
+          (col("est") >= col("n_exact")).as("ok_onesided"),
+          (col("est") <= col("n_exact") + greatest(lit(1L),
+            expr("3 * n_type div 1024"))).as("ok_bound"))
+        .orderBy("event_type")
+    },
+
     "agg_quantile_hist" -> { (s, dir) =>
       // Mergeable fixed-width histogram quantiles — the bounded-state scale
       // path next to agg_stats' exact percentiles (which buffer every group
@@ -3917,6 +3956,15 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_cms_reaggregate" ->
+      """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
+        |c AS (SELECT event_type, uid, COUNT(*) AS n_exact FROM ev GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                   ORDER BY n_exact DESC, uid) AS rn FROM c)
+        |SELECT event_type, uid AS top_user, n_exact,
+        |  true AS ok_merge_lossless, true AS ok_onesided, true AS ok_bound
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "sketch_kmv" ->
       """WITH d AS (

@@ -59,6 +59,9 @@ object CountMin {
 
   def innerProduct(a: Column, b: Column): Column =
     Sketch.column(CountMinInner(Sketch.expr(a), Sketch.expr(b)))
+
+  def merge(sketches: Column): Column =
+    Sketch.column(CountMinMerge(Sketch.expr(sketches)).toAggregateExpression())
 }
 
 final class CountMinBuffer(val depth: Int, val width: Int) {
@@ -137,6 +140,79 @@ case class CountMinBuild(
       newChildren: IndexedSeq[Expression]): CountMinBuild =
     copy(child = newChildren(0))
   override def prettyName: String = "count_min"
+}
+
+/** `count_min_merge(sketchBytes)` → merged serialized sketch (element-wise
+  * counter ADD). The CMS leg of the stored-sketch lifecycle the HLL
+  * (hll_merge) and Bloom (bloom_merge) tiers already have: daily sketch
+  * tables answer any window by merging stored sketches — addition is
+  * associative/commutative, so the merged sketch is BIT-identical to
+  * sketching the union, and raw data is never rescanned. Shape discovery
+  * and the empty-group sentinel follow HllMerge (a depth=0 sentinel buffer
+  * rather than null — TypedImperativeAggregate makes no promise the
+  * framework never touches the buffer). */
+case class CountMinMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CountMinBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  private def isEmptySentinel(buffer: CountMinBuffer): Boolean = buffer.depth == 0
+
+  override def createAggregationBuffer(): CountMinBuffer = new CountMinBuffer(0, 0)
+
+  private def absorb(buffer: CountMinBuffer, bytes: Array[Byte]): CountMinBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val in = new CountMinBuffer(bb.getInt, bb.getInt)
+    var i = 0
+    while (i < in.counters.length) { in.counters(i) = bb.getLong; i += 1 }
+    if (isEmptySentinel(buffer)) in
+    else {
+      require(buffer.depth == in.depth && buffer.width == in.width,
+        s"cannot merge ${buffer.depth}x${buffer.width} with ${in.depth}x${in.width}")
+      buffer.merge(in); buffer
+    }
+  }
+
+  override def update(buffer: CountMinBuffer, input: InternalRow): CountMinBuffer = {
+    val v = child.eval(input)
+    if (v == null) buffer else absorb(buffer, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(buffer: CountMinBuffer, other: CountMinBuffer): CountMinBuffer =
+    if (isEmptySentinel(other)) buffer
+    else if (isEmptySentinel(buffer)) other
+    else { buffer.merge(other); buffer }
+
+  override def eval(buffer: CountMinBuffer): Any = serialize(buffer)
+
+  override def serialize(buffer: CountMinBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buffer.counters.length * 8)
+    bb.putInt(buffer.depth).putInt(buffer.width)
+    buffer.counters.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CountMinBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new CountMinBuffer(bb.getInt, bb.getInt)
+    var i = 0
+    while (i < buf.counters.length) { buf.counters(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinMerge =
+    copy(child = newChildren(0))
+  override def prettyName: String = "count_min_merge"
 }
 
 /** `count_min_estimate(sketchBytes, item)` — min counter across rows. */

@@ -49,6 +49,28 @@ class CountMinSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("count_min_merge of per-slice sketches is bit-identical to the direct sketch") {
+    // the stored-sketch lifecycle claim: daily tables OR any other split
+    // re-merge to EXACTLY the union's sketch (elementwise add is
+    // associative/commutative), so windows never rescan raw data
+    val df = (1 to 4000).map(i => (i % 7, s"u_${i % 113}")).toDF("slice", "t")
+    val direct = df.agg(CountMin.sketch(col("t"), 4, 256)).head().getAs[Array[Byte]](0)
+    val remerged = df.groupBy("slice").agg(CountMin.sketch(col("t"), 4, 256).as("sk"))
+      .agg(CountMin.merge(col("sk"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, remerged))
+  }
+
+  test("count_min_merge rejects shape-mismatched stored sketches") {
+    val df = (1 to 100).map(i => s"t$i").toDF("t")
+    val a = df.agg(CountMin.sketch(col("t"), 4, 256).as("sk"))
+    val b = df.agg(CountMin.sketch(col("t"), 4, 512).as("sk"))
+    val ex = intercept[Exception] {
+      a.union(b).agg(CountMin.merge(col("sk"))).head()
+    }
+    assert(ex.getMessage.contains("cannot merge") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("cannot merge"))
+  }
+
   test("inner product: exact join size when collision-free, one-sided when not") {
     val rnd = new scala.util.Random(7)
     val a = rnd.shuffle((1 to 60).flatMap(k => Seq.fill(1 + k % 5)(s"k$k"))).toDF("k")

@@ -93,5 +93,15 @@ class ExtensionsSpec extends AnyFunSuite {
         |        CAST(30.0 AS DOUBLE), CAST(40.0 AS DOUBLE)), 2) AS s""".stripMargin)
       .head().getDouble(0)
     assert(adc === 50.0)
+
+    // count_min_merge: re-merged slice sketches estimate like the union
+    val est = spark.sql(
+      """WITH s AS (SELECT id % 3 AS slice,
+        |    graft_count_min(CAST(id % 10 AS STRING), 4, 1024) AS sk
+        |  FROM range(1000) GROUP BY id % 3),
+        |m AS (SELECT graft_count_min_merge(sk) AS sk FROM s)
+        |SELECT graft_count_min_estimate(m.sk, '3') FROM m""".stripMargin)
+      .head().getLong(0)
+    assert(est === 100L)
   }
 }
