@@ -1215,6 +1215,24 @@ object SparkEntry {
         .orderBy("c_id", "p_id")
     },
 
+    "stream_outer_join" -> { (s, dir) =>
+      // stream-stream LEFT OUTER interval join: matched pairs emit as the
+      // inner join does; a click's null-extended row emits only at state
+      // EVICTION — when the final watermark (min of both sides' max event
+      // time − delay, advanced by the trailing no-data micro-batch under
+      // AvailableNow) proves no further purchase can match. That eviction
+      // rule is deterministic, so the oracle replays it: inner part + null
+      // rows for unmatched clicks older than the final watermark; younger
+      // unmatched clicks are deliberately ABSENT (they might match a
+      // future purchase — a checkpoint restart would emit them later).
+      graft.streaming.StreamJoin.clicksWithRecentPurchasesOuter(
+        s, s"$dir/events.parquet", workDir("sojoin", dir))
+        .select(col("c_user").as("user_id"),
+          expr("unix_micros(c_ts)").as("c_ts_us"), col("c_id"),
+          expr("unix_micros(p_ts)").as("p_ts_us"), col("p_id"))
+        .orderBy("c_id", "p_id")
+    },
+
     "stream_evolve" -> { (s, dir) =>
       // streaming ingest across a migration: epoch-0 rows predate the DDL
       // (old column name `amount`, no `flag`), epoch-2 rows carry the final
@@ -3711,6 +3729,56 @@ object SparkEntry {
       CacheScope.unpersistAfterUse(out, events)
     },
 
+    "mixture_temperature" -> { (s, dir) =>
+      // Temperature-based mixture flattening (the multilingual-sampling
+      // standard, mT5/XLM-R: sample sources ∝ p_s^α with α = 1/2 so
+      // low-resource sources are boosted without the repeats full
+      // equalization forces): target weights w_s = sqrt(n_s) feed the SAME
+      // no-upsampling machinery as mixture_rebalance. Exactness trick:
+      // sqrt is IEEE-correctly-rounded in both engines, but Σw over
+      // sources would be ORDER-DEPENDENT double addition (the one hazard
+      // mixture_rebalance's small-integer weights dodged) — so w is
+      // floored onto a 2^-20 grid: each weight then has ≤32 significant
+      // bits, partial sums of 15 of them need <40 < 53 bits, and the sum
+      // is EXACT under any aggregation order. Keep-decision = the same
+      // replayable 60-bit md5 coin; the oracle replays the exact kept-set.
+      import graft.operators.{CacheScope, Mixture}
+      val docs = Tables.documents(s, dir)
+      val weights = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        .select(col("source"),
+          (floor(sqrt(col("cnt").cast("double")) * lit(1048576.0)) / lit(1048576.0))
+            .as("w"))
+      val r = Mixture.rates(docs, "source", weights).persist()
+      val kept = docs
+        .join(broadcast(r.select(col("source"), col("keep_rate"))), Seq("source"))
+        .where(Mixture.unitHash(col("doc_id").cast("string")) < col("keep_rate"))
+      val keptCounts = kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+      val out = r.join(keptCounts, Seq("source"), "left_outer")
+        .select(col("source"), col("n_src"), col("share"), col("keep_rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+      CacheScope.unpersistAfterUse(out, r)
+    },
+
+    "events_user_paths" -> { (s, dir) =>
+      // Top event-type paths (the behavioral n-gram census product
+      // analytics runs to find common journeys): each user's events in
+      // (ts, event_id) order yield consecutive 3-step paths via two
+      // lead() windows — ONE user-partitioned window pass, never a global
+      // sort or per-user collect_list buffer — then one keyed agg to the
+      // ≤|types|³ path table (125 rows here regardless of corpus size).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .where(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("e1", "e2", "e3")
+    },
+
     "mixture_rebalance" -> { (s, dir) =>
       // Target-mixture thinning without upsampling: weights w_s =
       // (idx mod 4)+1 over the sources, M = min_s(n_s/w_s); every row kept
@@ -4435,6 +4503,27 @@ object SparkEntry {
         |  -- compare at µs like the Spark side (ns-resolution bounds would
         |  -- disagree on sub-µs boundary cases)
         |  AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+        |ORDER BY c_id, p_id""".stripMargin,
+
+    "stream_outer_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS m),
+        |matched AS (
+        |  SELECT c.user_id, epoch_us(c.ts) AS c_ts_us, c.event_id AS c_id,
+        |    epoch_us(p.ts) AS p_ts_us, p.event_id AS p_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+        |), evicted AS (
+        |  SELECT c.user_id, epoch_us(c.ts) AS c_ts_us, c.event_id AS c_id,
+        |    CAST(NULL AS BIGINT) AS p_ts_us, CAST(NULL AS BIGINT) AS p_id
+        |  FROM c, wm
+        |  WHERE epoch_us(c.ts) < epoch_us(wm.m) - 3600000000
+        |    AND NOT EXISTS (SELECT 1 FROM p
+        |      WHERE p.user_id = c.user_id
+        |        AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts))
+        |)
+        |SELECT * FROM matched UNION ALL SELECT * FROM evicted
         |ORDER BY c_id, p_id""".stripMargin,
 
     "stream_evolve" ->
@@ -6055,6 +6144,41 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 10 <> 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mixture_temperature" ->
+      """WITH cw AS (
+        |  SELECT source, COUNT(*) AS n_src,
+        |    floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576.0) / 1048576.0 AS w
+        |  FROM documents GROUP BY 1
+        |), s AS (
+        |  SELECT MIN(n_src / w) AS m, SUM(w) AS wsum FROM cw
+        |), r AS (
+        |  SELECT cw.source, cw.n_src, cw.w / s.wsum AS share,
+        |    LEAST(1.0, cw.w * s.m / cw.n_src) AS keep_rate
+        |  FROM cw, s
+        |), k AS (
+        |  SELECT d.source, COUNT(*) AS n_kept
+        |  FROM documents d JOIN r ON d.source = r.source
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    / CAST(1152921504606846976 AS DOUBLE) < r.keep_rate
+        |  GROUP BY 1
+        |)
+        |SELECT r.source, r.n_src, r.share, r.keep_rate,
+        |  COALESCE(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin,
+
+    "events_user_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type FROM events
+        |), p AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        |)
+        |SELECT e1, e2, e3, COUNT(*) AS n FROM p WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "mixture_rebalance" ->
       """WITH w AS (

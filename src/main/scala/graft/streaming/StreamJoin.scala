@@ -31,7 +31,33 @@ object StreamJoin {
       spark: SparkSession,
       eventsPath: String,
       workDir: String,
-      window: String = "1 hour"): DataFrame = {
+      window: String = "1 hour"): DataFrame =
+    run(spark, eventsPath, workDir, window, "inner")
+
+  /** LEFT OUTER variant: every click lands, matched or not. The outer
+    * (null-extended) row for a click emits only when the watermark proves
+    * no further purchase can match — i.e. when the click's event time
+    * falls behind the final watermark (max event time − delay, advanced by
+    * the trailing no-data micro-batch under AvailableNow). Clicks younger
+    * than that horizon emit their MATCHES but never a null row — they
+    * might still match a future purchase, and a restart from the
+    * checkpoint would emit them later. That eviction rule is
+    * deterministic, so the batch oracle replays it: full inner part + null
+    * rows only for unmatched clicks older than max(ts) − delay (the same
+    * emission arithmetic stream_watermark_agg's oracle encodes). */
+  def clicksWithRecentPurchasesOuter(
+      spark: SparkSession,
+      eventsPath: String,
+      workDir: String,
+      window: String = "1 hour"): DataFrame =
+    run(spark, eventsPath, workDir, window, "left_outer")
+
+  private def run(
+      spark: SparkSession,
+      eventsPath: String,
+      workDir: String,
+      window: String,
+      joinType: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     val landing = s"$workDir/landing"
@@ -47,7 +73,8 @@ object StreamJoin {
       .withWatermark(s"${prefix}_ts", window)
 
     val joined = side("click", "c").join(side("purchase", "p"),
-      expr(s"c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL $window AND c_ts"))
+      expr(s"c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL $window AND c_ts"),
+      joinType)
 
     // a stream-stream join keeps FOUR state stores per shuffle partition;
     // the store count is pinned by the partition count at checkpoint
