@@ -410,6 +410,29 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "join_asof_nearest" -> { (s, dir) =>
+      // nearest-match as-of join (merge_asof direction='nearest'): each
+      // click gets the user's CLOSEST purchase in either time direction,
+      // ties to the at-or-before side. Same join-free union shape as
+      // join_asof — ONE keyed shuffle+sort carrying TWO window functions
+      // (backward ignore-nulls last + forward ignore-nulls first) in one
+      // Window node; the distance compare is map-side arithmetic on the
+      // carried ord values. No join operator, no candidate blowup.
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("p_event_id"),
+          dec2(col("value")).as("p_value"))
+      graft.operators.AsOfJoin.nearestMatch(clicks, purchases,
+        keyCols = Seq("user_id"), ordCol = "ts_us", tieCol = "p_event_id",
+        carry = Seq("p_event_id", "p_value"))
+        .withColumn("p_value", col("p_value").cast("double"))
+        .orderBy("event_id")
+    },
+
     "agg_distinct" -> { (s, dir) =>
       Tables.customer(s, dir)
         .groupBy("c_mktsegment")
@@ -4000,6 +4023,34 @@ object SparkEntry {
         |SELECT user_id, ts_us, event_id,
         |  img.eid AS p_event_id, CAST(img.val AS DOUBLE) AS p_value
         |FROM w WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(value AS DECIMAL(12,2)) AS value FROM events),
+        |w AS (SELECT event_id, user_id, ts_us, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase'
+        |        THEN {'o': ts_us, 'eid': event_id, 'val': value} END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_us, (event_type = 'purchase') DESC, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS b,
+        |    first_value(CASE WHEN event_type = 'purchase'
+        |        THEN {'o': ts_us, 'eid': event_id, 'val': value} END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_us, (event_type = 'purchase') DESC, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |  FROM e WHERE event_type IN ('click', 'purchase')),
+        |sel AS (SELECT user_id, ts_us, event_id, b, f,
+        |    CASE WHEN b IS NULL AND f IS NULL THEN NULL
+        |         WHEN f IS NULL THEN 'back'
+        |         WHEN b IS NULL THEN 'fwd'
+        |         WHEN ts_us - b.o <= f.o - ts_us THEN 'back'
+        |         ELSE 'fwd' END AS dir
+        |  FROM w WHERE event_type = 'click')
+        |SELECT user_id, ts_us, event_id,
+        |  CASE dir WHEN 'back' THEN b.eid WHEN 'fwd' THEN f.eid END AS p_event_id,
+        |  CAST(CASE dir WHEN 'back' THEN b.val WHEN 'fwd' THEN f.val END AS DOUBLE) AS p_value,
+        |  dir
+        |FROM sel ORDER BY event_id""".stripMargin,
 
     "agg_distinct" ->
       """SELECT c_mktsegment, COUNT(*) AS n_cust,

@@ -79,4 +79,66 @@ object AsOfJoin {
       .select(keyCols.map(col) ++ Seq(col(ordCol)) ++ leftPayload.map(col) ++
         carry.map(c => col(s"_img.$c").as(c)): _*)
   }
+
+  /** NEAREST-match as-of join (pandas merge_asof direction='nearest'):
+    * attach the right row minimizing |r.ord − l.ord| in EITHER direction.
+    * Same join-free shape as [[lastMatch]] — union, ONE keyed
+    * shuffle+sort — with TWO window functions over the same sorted
+    * partition (Spark plans both in one Window node, no second exchange):
+    * the backward ignore-nulls `last` carries the at-or-before image, the
+    * forward ignore-nulls `first` (current row → unbounded following) the
+    * strictly-after image; a null-safe map-side compare of the two
+    * distances picks the winner, ties to the backward side (the
+    * at-or-before convention). Backward resolves equal-ord right ties to
+    * the greatest tie value (last writer, as lastMatch), forward to the
+    * smallest (nearest in sort order) — both deterministic. `dir` labels
+    * the chosen side ('back'/'fwd', null when no right row exists). */
+  def nearestMatch(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      tieCol: String,
+      carry: Seq[String]): DataFrame = {
+    require(carry.forall(c => !left.columns.contains(c)),
+      s"carry columns ${carry.mkString(",")} must not collide with left columns — rename the right side first")
+    val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == ordCol)
+    val imgType = org.apache.spark.sql.types.StructType(
+      right.schema(ordCol).copy(name = "_ord") +: carry.map(c => right.schema(c)))
+    val lNorm = left
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast(right.schema(tieCol).dataType))
+      .select((keyCols.map(col) :+ col(ordCol) :+ col("_side") :+ col("_tie")) ++
+        leftPayload.map(col) :+
+        lit(null).cast(imgType).as("_r_img"): _*)
+    val rNorm = right
+      .withColumn("_side", lit(0))
+      .withColumn("_tie", col(tieCol))
+      .select((keyCols.map(col) :+ col(ordCol) :+ col("_side") :+ col("_tie")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(ordCol).as("_ord") +: carry.map(col): _*).as("_r_img"): _*)
+
+    val ord = Seq(col(ordCol).asc, col("_side").asc, col("_tie").asc_nulls_last)
+    val wBack = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val picked = lNorm.unionByName(rNorm)
+      .withColumn("_back", last(col("_r_img"), ignoreNulls = true).over(wBack))
+      .withColumn("_fwd", first(col("_r_img"), ignoreNulls = true).over(wFwd))
+      .where(col("_side") === 1)
+      .withColumn("_dir",
+        when(col("_back").isNull && col("_fwd").isNull, lit(null).cast("string"))
+          .when(col("_fwd").isNull, lit("back"))
+          .when(col("_back").isNull, lit("fwd"))
+          .when(col(ordCol) - col("_back._ord") <= col("_fwd._ord") - col(ordCol),
+            lit("back"))
+          .otherwise(lit("fwd")))
+      .withColumn("_img",
+        when(col("_dir") === "back", col("_back"))
+          .when(col("_dir") === "fwd", col("_fwd")))
+    picked.select(keyCols.map(col) ++ Seq(col(ordCol)) ++ leftPayload.map(col) ++
+      carry.map(c => col(s"_img.$c").as(c)) :+ col("_dir").as("dir"): _*)
+  }
 }
