@@ -3640,6 +3640,46 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "convert_avro_binary" -> { (s, dir) =>
+      // Avro BINARY record decode (the Kafka wire format Debezium
+      // deployments actually ship where the reference consumes the JSON
+      // rendering of the same records): zigzag varint long/int, 1-byte
+      // bool, 8-byte LE IEEE double, zigzag-length-prefixed UTF-8 string,
+      // fields back-to-back in writer-schema order — decoded by the
+      // strict schema-driven reader in functions/AvroBinary.scala
+      // (varint capped at 10 bytes, truncated input AND trailing bytes
+      // dead-letter, the media-codec contract). Records are synthesized
+      // from row data with SQL-replayable arithmetic; every doc_id % 97
+      // == 0 payload is truncated to 3 bytes to keep the dead-letter
+      // lane non-vacuous. The oracle recomputes the FIELDS arithmetically
+      // and the BYTE LENGTH from the varint-group formula (1 + one per
+      // 7-bit threshold) — so a wrong varint width, a missed zigzag, or
+      // an accepted-trailing-bytes bug all break the hash. Map-only:
+      // encode+decode run inside one narrow map, no shuffle.
+      import s.implicits._
+      import graft.functions.AvroBinary
+      import graft.functions.AvroBinary._
+      val schema = Seq[AType](ALong, AInt, ABool, ADouble, AString)
+      Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val full = AvroBinary.encodeRecord(Seq(
+          (ALong, id * 7 - 3), (AInt, (id % 500 - 250).toInt),
+          (ABool, id % 2 == 1), (ADouble, (id % 1000).toDouble / 8.0),
+          (AString, "u" + (id % 100))))
+        val payload = if (id % 97 == 0) full.take(3) else full
+        AvroBinary.decodeRecord(schema, payload) match {
+          case Some(Seq(l: Long, i: Int, b: Boolean, d: Double, str: String)) =>
+            (id, true, Some(l), Some(i.toLong), Some(b), Some(d), Some(str),
+              payload.length.toLong)
+          case _ =>
+            (id, false, None: Option[Long], None: Option[Long],
+              None: Option[Boolean], None: Option[Double], None: Option[String],
+              payload.length.toLong)
+        }
+      }.toDF("doc_id", "ok", "f_long", "f_int", "f_bool", "f_double", "f_str",
+          "byte_len")
+        .orderBy("doc_id")
+    },
+
     "multimodal_png" -> { (s, dir) =>
       // PNG round trip (RFC 2083, the ubiquitous raster format a bare JVM
       // decodes EXACTLY — Inflater + CRC32 ship in java.util.zip): pixels
@@ -6130,6 +6170,43 @@ object SparkEntry {
         |  CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
         |  CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "convert_avro_binary" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    doc_id * 7 - 3 AS vl,
+        |    doc_id % 500 - 250 AS vi,
+        |    doc_id % 2 = 1 AS vb,
+        |    (doc_id % 1000) / 8.0 AS vd,
+        |    'u' || CAST(doc_id % 100 AS VARCHAR) AS vs,
+        |    doc_id % 97 = 0 AS corrupt
+        |  FROM documents
+        |), z AS (
+        |  SELECT *,
+        |    CASE WHEN vl >= 0 THEN 2 * vl ELSE -2 * vl - 1 END AS z1,
+        |    CASE WHEN vi >= 0 THEN 2 * vi ELSE -2 * vi - 1 END AS z2,
+        |    length(vs) AS sl
+        |  FROM base
+        |), g AS (
+        |  SELECT *,
+        |    1 + (CASE WHEN z1 >= 128 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN z1 >= 16384 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN z1 >= 2097152 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN z1 >= 268435456 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN z1 >= 34359738368 THEN 1 ELSE 0 END) AS g1,
+        |    1 + (CASE WHEN z2 >= 128 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN z2 >= 16384 THEN 1 ELSE 0 END) AS g2
+        |  FROM z
+        |)
+        |SELECT doc_id, NOT corrupt AS ok,
+        |  CASE WHEN corrupt THEN NULL ELSE vl END AS f_long,
+        |  CAST(CASE WHEN corrupt THEN NULL ELSE vi END AS BIGINT) AS f_int,
+        |  CASE WHEN corrupt THEN NULL ELSE vb END AS f_bool,
+        |  CASE WHEN corrupt THEN NULL ELSE vd END AS f_double,
+        |  CASE WHEN corrupt THEN NULL ELSE vs END AS f_str,
+        |  CAST(CASE WHEN corrupt THEN 3
+        |            ELSE g1 + g2 + 1 + 8 + 1 + sl END AS BIGINT) AS byte_len
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "multimodal_png" ->
       """WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 5 + doc_id % 4 AS h FROM documents),
