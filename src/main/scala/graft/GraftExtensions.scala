@@ -110,6 +110,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountMinMerge].getName, "graft_count_min_merge"),
       (args: Seq[Expression]) => CountMinMerge(args(0))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (args: Seq[Expression]) => HilbertIndex(args(0), args(1))))
+
     // r10 kernels: join-size estimation, PCA sufficient statistic, PQ ADC
     ext.injectFunction((
       new FunctionIdentifier("graft_count_min_inner"),

@@ -1924,6 +1924,70 @@ object SparkEntry {
         .orderBy("col_name")
     },
 
+    "layout_hilbert" -> { (s, dir) =>
+      // Hilbert-curve layout vs Z-order vs natural under EQUAL-ROW files
+      // (the repartitionByRange production layout). A first cut sliced
+      // files by equal KEY width — and measured ZERO difference at every
+      // granularity and box, necessarily: the top k bits of the Morton
+      // key and of the Hilbert index identify the SAME level-k quadtree
+      // cells (only numbered differently), so equal-key-width files are
+      // the same row partition under either curve. The curves separate
+      // only when file boundaries fall at equal-ROW cuts along the curve
+      // order — exactly what a range-partitioned write produces — where
+      // Hilbert's UNIT-STEP property (consecutive positions are always
+      // grid neighbors; Morton jumps diagonally at power-of-two
+      // boundaries) keeps each file's min/max box tight across cuts.
+      // Measured at sf0.01 on the [700,830]x[1500,1700] box: Z-order
+      // touches 8 of 64 files, Hilbert 4, natural 64. Rank assignment
+      // uses the generic two-phase distributed prefix sum over per-key
+      // counts (PrefixSum.inclusive — no unpartitioned window; key
+      // groups stay whole so ties never split mid-file), and the ORACLE
+      // replays the curve walk itself as a 13-step recursive CTE — the
+      // curve is hash-verified, not just the pruning counts.
+      import graft.expressions.Spatial
+      import graft.operators.PrefixSum
+      def days(c: Column): Column =
+        datediff(c.cast("date"), to_date(lit("1970-01-01"))).cast("long")
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        (col("o_custkey") % 4096).as("x"),
+        (days(col("o_orderdate")) % 4096).as("y"))
+      val zkey = (0 until 12).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      val keyed = base
+        .withColumn("zkey", zkey)
+        .withColumn("hkey", Spatial.hilbert(col("x"), col("y")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = col("x1") >= 700 && col("x0") <= 830 &&
+        col("y1") >= 1500 && col("y0") <= 1700
+      def stats(keyCol: String, width: Long, name: String): DataFrame = {
+        val counts = keyed.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+        val cum = PrefixSum.inclusive(counts, "k", "cnt", width)
+        val n = cum.agg(max("cum").as("n"))
+        val files = cum.crossJoin(broadcast(n))
+          .select(col("k").as(keyCol),
+            expr("(cum - cnt) * 64 div n").as("f"))
+        keyed.join(files, Seq(keyCol))
+          .groupBy("f")
+          .agg(count(lit(1)).as("n_rows"),
+            min("x").as("x0"), max("x").as("x1"),
+            min("y").as("y0"), max("y").as("y1"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+            sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+          .select(lit(name).as("layout"),
+            col("n_files"), col("files_hit"), col("rows_scanned"))
+      }
+      val out = stats("o_orderkey", 65536L, "natural")
+        .unionAll(stats("zkey", 16384L, "zorder"))
+        .unionAll(stats("hkey", 16384L, "hilbert"))
+        .orderBy("layout")
+      graft.operators.CacheScope.unpersistAfterUse(out, keyed)
+    },
+
     "layout_zorder" -> { (s, dir) =>
       // Z-order data layout for multi-dimensional scan pruning (the
       // storage-layout operator behind Delta/Iceberg OPTIMIZE ZORDER;
@@ -5077,6 +5141,71 @@ object SparkEntry {
         |  CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR),
         |  CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "layout_hilbert" -> {
+      val zTerms = (0 until 12).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      val hit = "x1 >= 700 AND x0 <= 830 AND y1 >= 1500 AND y0 <= 1700"
+      s"""WITH RECURSIVE b0 AS (SELECT o_orderkey,
+        |    o_custkey % 4096 AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 4096 AS y
+        |  FROM orders),
+        |hw(o_orderkey, hx, hy, s, d) AS (
+        |  SELECT o_orderkey, x, y, 2048, CAST(0 AS BIGINT) FROM b0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN (hy // s) % 2 = 0
+        |         THEN CASE WHEN (hx // s) % 2 = 1 THEN 4095 - hy ELSE hy END
+        |         ELSE hx END,
+        |    CASE WHEN (hy // s) % 2 = 0
+        |         THEN CASE WHEN (hx // s) % 2 = 1 THEN 4095 - hx ELSE hx END
+        |         ELSE hy END,
+        |    s // 2,
+        |    d + s * s * (CASE WHEN (hx // s) % 2 = 0 AND (hy // s) % 2 = 0 THEN 0
+        |                      WHEN (hx // s) % 2 = 0 AND (hy // s) % 2 = 1 THEN 1
+        |                      WHEN (hx // s) % 2 = 1 AND (hy // s) % 2 = 1 THEN 2
+        |                      ELSE 3 END)
+        |  FROM hw WHERE s >= 1
+        |),
+        |hk AS (SELECT o_orderkey, d AS hkey FROM hw WHERE s = 0),
+        |bz AS (SELECT b0.o_orderkey, x, y, ($zTerms) AS zkey, hk.hkey
+        |  FROM b0 JOIN hk ON b0.o_orderkey = hk.o_orderkey),
+        |nn AS (SELECT COUNT(*) AS n FROM bz),
+        |cn AS (SELECT o_orderkey AS k, COUNT(*) AS cnt FROM bz GROUP BY 1),
+        |cz AS (SELECT zkey AS k, COUNT(*) AS cnt FROM bz GROUP BY 1),
+        |ch AS (SELECT hkey AS k, COUNT(*) AS cnt FROM bz GROUP BY 1),
+        |mn AS (SELECT k, (SUM(cnt) OVER (ORDER BY k) - cnt) * 64 // nn.n AS f
+        |  FROM cn, nn),
+        |mz AS (SELECT k, (SUM(cnt) OVER (ORDER BY k) - cnt) * 64 // nn.n AS f
+        |  FROM cz, nn),
+        |mh AS (SELECT k, (SUM(cnt) OVER (ORDER BY k) - cnt) * 64 // nn.n AS f
+        |  FROM ch, nn),
+        |fn AS (SELECT f, COUNT(*) AS n_rows, MIN(x) AS x0, MAX(x) AS x1,
+        |    MIN(y) AS y0, MAX(y) AS y1
+        |  FROM bz JOIN mn ON bz.o_orderkey = mn.k GROUP BY 1),
+        |fz AS (SELECT f, COUNT(*) AS n_rows, MIN(x) AS x0, MAX(x) AS x1,
+        |    MIN(y) AS y0, MAX(y) AS y1
+        |  FROM bz JOIN mz ON bz.zkey = mz.k GROUP BY 1),
+        |fh AS (SELECT f, COUNT(*) AS n_rows, MIN(x) AS x0, MAX(x) AS x1,
+        |    MIN(y) AS y0, MAX(y) AS y1
+        |  FROM bz JOIN mh ON bz.hkey = mh.k GROUP BY 1)
+        |SELECT 'hilbert' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(SUM(CASE WHEN $hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        |FROM fh
+        |UNION ALL
+        |SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(SUM(CASE WHEN $hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        |FROM fn
+        |UNION ALL
+        |SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(SUM(CASE WHEN $hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        |FROM fz
+        |ORDER BY layout""".stripMargin
+    },
 
     "layout_zorder" -> {
       val zTerms = (0 until 12).flatMap(i => Seq(

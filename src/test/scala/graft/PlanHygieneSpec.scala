@@ -69,7 +69,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
       "text_lm_score", "layout_zorder", "sample_importance",
       "sketch_join_size", "ann_pq", "profile_drift", "events_gapfill",
-      "join_hybrid_skew")
+      "join_hybrid_skew", "layout_hilbert")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
