@@ -3590,6 +3590,66 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "pipeline_curate_incremental" -> { (s, dir) =>
+      // The curation funnel at STEADY STATE — what actually runs on every
+      // new crawl batch once a corpus exists (pipeline_curate is the
+      // bootstrap; this is the daily loop): gate the delta batch map-only
+      // (language-ID + quality), dedup it against the EXISTING corpus via
+      // the sharded-Bloom prefilter + exact anti-join over maybe-hits
+      // (the dedup_incremental lane — the base corpus is touched only
+      // through its fingerprint column and the fixed-size filter table,
+      // never rescanned as text), dedup within the batch (keyed
+      // fingerprint window), and assign reproducible splits. Cross-batch
+      // duplicates are PLANTED (1-in-10 delta docs copy their even
+      // neighbor's text, the dedup_incremental plant) so the cross-batch
+      // lane is non-vacuous at any SF. Shape at 100 TB: the delta pays
+      // two map-only enrichment passes + one keyed probe + one keyed
+      // window; base-side cost is one fingerprint scan + |shards|
+      // fixed-size filters (in production the filter table is PERSISTED
+      // and OR-merged per batch — mergeShardedFilters — so even that
+      // scan amortizes away).
+      import graft.expressions.{Sketch, TokenStats}
+      import graft.operators.{IncrementalDedup, Sampling}
+      def hits(stops: Seq[String]) = element_at(
+        Sketch.column(TokenStats(Sketch.expr(col("text")), stops, lowercase = true)), 3)
+      val nTok = element_at(col("st"), 1)
+      val nUniq = element_at(col("st"), 2)
+      val stopHits = element_at(col("st"), 3)
+      val score = lit(0.4) * (nUniq / nTok) + lit(0.4) * (lit(1.0) - stopHits / nTok) +
+        lit(0.2) * least(lit(1.0), nTok / lit(200.0))
+      val docs = Tables.documents(s, dir)
+      val corpusRaw = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val delta = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .join(corpusRaw.select(col("doc_id").as("nb_id"), col("text").as("nb_text")),
+          col("nb_id") === col("doc_id") - 1, "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5 && col("nb_id").isNotNull, col("nb_text"))
+            .otherwise(col("text")).as("text"))
+      val gated = delta
+        .withColumn("st", Sketch.column(
+          TokenStats(Sketch.expr(col("text")), Tf.EnStops, lowercase = true)))
+        .withColumn("lang_pred",
+          Tf.langId(hits(Tf.EnStops), hits(Tf.EsStops), hits(Tf.DeStops)))
+        .withColumn("quality", score)
+        .where(col("lang_pred") === "en" && col("quality") >= 0.6)
+        .withColumn("fp", Tf.fingerprintHex(col("text")))
+      val baseFp = corpusRaw.select(Tf.fingerprintHex(col("text")).as("fp"))
+      val bitsPerShard = 1 << 16
+      val n = corpusRaw.count() // bounded driver fetch (shard sizing, SE convention)
+      val numShards = math.max(4L, (8L * n + bitsPerShard - 1) / bitsPerShard).toInt
+      val fresh = IncrementalDedup.newRowsSharded(
+        gated.select("doc_id", "quality", "fp"), baseFp, "fp",
+        numShards, bitsPerShard, numHashes = 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      fresh
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("quality"),
+          Sampling.assignSplit(col("doc_id"),
+            Seq(("train", 80), ("valid", 90), ("test", 100))).as("split"))
+        .orderBy("doc_id")
+    },
+
     "pipeline_curate" -> { (s, dir) =>
       // the full curation funnel as ONE query: language-ID -> quality gate
       // -> exact near-dup removal (normalized fingerprint, min-id survivor)
@@ -3888,6 +3948,42 @@ object SparkEntry {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("source")
       CacheScope.unpersistAfterUse(out, r)
+    },
+
+    "events_association" -> { (s, dir) =>
+      // Association rules over behavioral baskets (the Apriori/market-
+      // basket core: support, confidence, lift for event-type pairs,
+      // basket = the set of types a user touched in one day). Shape at
+      // 100 TB: the corpus collapses FIRST to distinct (user, day, type)
+      // — one keyed dedup — then pair generation is a self-join keyed on
+      // the (user, day) basket id whose per-basket cost is bounded by
+      // |types|² (25 here), never corpus²; supports are keyed aggs with
+      // |types|-bounded output. Lift and confidence are single IEEE
+      // divisions of exact BIGINTs (bit-identical cross-engine); the
+      // integer support columns carry the exact evidence.
+      val dayNs = 86400000000000L
+      val basket = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"), col("event_type"))
+        .distinct()
+      val nB = basket.select("user_id", "day").distinct().count() // bounded driver scalar
+      val singles = basket.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+      val pairs = basket.as("a")
+        .join(basket.as("b"), Seq("user_id", "day"))
+        .where(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(singles.select(col("event_type").as("type_a"), col("n_single").as("n_a")),
+          Seq("type_a"))
+        .join(singles.select(col("event_type").as("type_b"), col("n_single").as("n_b")),
+          Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+          lit(nB).as("n_baskets"),
+          (col("n_ab").cast("double") / lit(nB.toDouble)).as("support"),
+          (col("n_ab").cast("double") / col("n_a")).as("confidence_a_b"),
+          ((col("n_ab") * lit(nB)).cast("double") / (col("n_a") * col("n_b")))
+            .as("lift"))
+        .orderBy("type_a", "type_b")
     },
 
     "events_user_paths" -> { (s, dir) =>
@@ -6123,6 +6219,39 @@ object SparkEntry {
         |  (cum_tokens - 1) // 2048 AS batch_id
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "pipeline_curate_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |delta0 AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 5 AND c.doc_id IS NOT NULL
+        |         THEN c.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN corpus c ON c.doc_id = d.doc_id - 1
+        |  WHERE d.doc_id % 2 = 1),
+        |t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM delta0),
+        |m AS (SELECT doc_id, text, len(toks) AS n,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS BIGINT) AS sh,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','en','que','los','un'], x))) AS BIGINT) AS hs,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','ein','zu'], x))) AS BIGINT) AS hd,
+        |    len(list_distinct(toks)) AS u
+        |  FROM t),
+        |scored AS (SELECT doc_id, text,
+        |    0.4 * (u / n) + 0.4 * (1.0 - sh / n) + 0.2 * least(1.0, n / 200.0) AS quality
+        |  FROM m
+        |  WHERE (sh >= hs AND sh >= hd AND sh > 0)
+        |    AND 0.4 * (u / n) + 0.4 * (1.0 - sh / n) + 0.2 * least(1.0, n / 200.0) >= 0.6),
+        |fps AS (SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |  FROM scored),
+        |basefp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |  FROM corpus),
+        |fresh AS (SELECT * FROM fps WHERE f NOT IN (SELECT f FROM basefp)),
+        |ded AS (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rk
+        |  FROM fresh)
+        |SELECT doc_id, quality,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM ded WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
     "pipeline_curate" ->
       """WITH t AS (SELECT doc_id, source, text,
         |    string_split(lower(text), ' ') AS toks FROM documents),
@@ -6426,6 +6555,29 @@ object SparkEntry {
         |SELECT r.source, r.n_src, r.share, r.keep_rate,
         |  COALESCE(k.n_kept, 0) AS n_kept
         |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin,
+
+    "events_association" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type
+        |  FROM events
+        |), nb AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, day FROM b)),
+        |s AS (SELECT event_type, COUNT(*) AS n_single FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, c.event_type AS type_b, COUNT(*) AS n_ab
+        |  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+        |    AND a.event_type < c.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b,
+        |  CAST(sa.n_single AS BIGINT) AS n_a, CAST(sb.n_single AS BIGINT) AS n_b,
+        |  CAST(p.n_ab AS BIGINT) AS n_ab, CAST(nb.n AS BIGINT) AS n_baskets,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+        |  CAST(p.n_ab AS DOUBLE) / sa.n_single AS confidence_a_b,
+        |  CAST(p.n_ab * nb.n AS DOUBLE) / (sa.n_single * sb.n_single) AS lift
+        |FROM p
+        |  JOIN s sa ON p.type_a = sa.event_type
+        |  JOIN s sb ON p.type_b = sb.event_type, nb
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "events_user_paths" ->
       """WITH e AS (
