@@ -69,7 +69,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "sketch_heavy_hitters", "mixture_rebalance", "select_quality_top",
       "text_lm_score", "layout_zorder", "sample_importance",
       "sketch_join_size", "ann_pq", "profile_drift", "events_gapfill",
-      "join_hybrid_skew", "layout_hilbert")
+      "join_hybrid_skew", "layout_hilbert",
+      // mixture_temperature reuses Mixture.rates' ONE-ROW (M, W) scalar
+      // broadcast — the mixture_rebalance shape with sqrt-grid weights
+      "mixture_temperature")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
