@@ -1200,6 +1200,38 @@ object SparkEntry {
         .orderBy("batch_id")
     },
 
+    "sink_shard_export" -> { (s, dir) =>
+      // Deterministic sharded training-data export with CONTENT-addressed
+      // manifests (the delivery end of the curation pipeline: downstream
+      // trainers need shard files whose contents are byte-reproducible
+      // across reruns/backfills so a manifest hash proves the dataset
+      // version): docs route to 8 shards by the stable md5 bucket (the
+      // sample_split hash — repartition/backfill-invariant, unlike any
+      // row-order-dependent chunking), each shard's line stream is the
+      // (doc_id TAB md5(text)) records in doc_id order, and the manifest
+      // row carries n_docs, total byte length, and the md5 of the entire
+      // shard content. Per-shard assembly is sort_array over
+      // collect_list of (doc_id, line) structs — bounded by shard size,
+      // the text itself never enters the shuffle (lines carry the text's
+      // md5, not the text). The oracle rebuilds every shard's content
+      // string with an ordered string_agg and must reproduce the SAME
+      // md5 — a one-doc difference, order flip, or separator drift
+      // breaks the hash.
+      import graft.operators.Sampling
+      val lines = Tables.documents(s, dir)
+        .select(Sampling.hashBucket(col("doc_id"), 8).as("shard_id"),
+          col("doc_id"),
+          concat(col("doc_id").cast("string"), lit("\t"), md5(col("text"))).as("line"))
+      lines.groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("array_join(transform(array_sort(collect_list(struct(doc_id, line))), x -> x.line), '\n')")
+            .as("content"))
+        .select(col("shard_id"), col("n_docs"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("shard_id")
+    },
+
     "stream_enrich" -> { (s, dir) =>
       // Stream-static dimension join (streaming/StreamEnrich.scala): the
       // event stream picks up a customer segment from a broadcast static
@@ -4725,6 +4757,22 @@ object SparkEntry {
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, CAST(ts AS DATE) ORDER BY event_type, day""".stripMargin,
+
+    "sink_shard_export" ->
+      """WITH l AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard_id,
+        |    doc_id,
+        |    CAST(doc_id AS VARCHAR) || chr(9) || md5(text) AS line
+        |  FROM documents
+        |), sh AS (
+        |  SELECT shard_id, COUNT(*) AS n_docs,
+        |    string_agg(line, chr(10) ORDER BY doc_id) AS content
+        |  FROM l GROUP BY shard_id
+        |)
+        |SELECT shard_id, n_docs,
+        |  CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+        |  md5(content) AS content_md5
+        |FROM sh ORDER BY shard_id""".stripMargin,
 
     "sink_batch" ->
       """SELECT l_orderkey // 2048 AS batch_id, COUNT(*) AS n_rows,
