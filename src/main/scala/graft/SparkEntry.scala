@@ -561,6 +561,49 @@ object SparkEntry {
         .orderBy("type_a", "type_b")
     },
 
+    "sketch_hist_reaggregate" -> { (s, dir) =>
+      // The HISTOGRAM leg of the stored-sketch lifecycle — with this,
+      // every approximate family in the repo (HLL, Bloom, CMS, histogram
+      // quantiles) re-merges stored tables losslessly, so no window ever
+      // rescans raw data. The histogram "sketch" is a plain relational
+      // (key, bucket, cnt) table, so unlike the byte-buffer families the
+      // ENTIRE lifecycle is SQL-replayable: daily tables are one keyed
+      // agg, the window re-merge is SUM by bucket (associative — merged
+      // is bucket-identical to direct, claimed per-bucket via a
+      // full-outer compare, not just per-estimate), and the median
+      // estimate reads the first bucket whose cum reaches ceil(n/2) —
+      // the agg_quantile_hist selection rule over the merged table.
+      val width = 5.0
+      val ev = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .select(col("event_type"), col("day"), col("value"))
+      def b(c: Column): Column = floor(c / lit(width)).cast("long")
+      val daily = ev.groupBy(col("event_type"), col("day"), b(col("value")).as("bucket"))
+        .agg(count(lit(1)).as("cnt_day"))
+      val merged = daily.groupBy("event_type", "bucket")
+        .agg(sum("cnt_day").as("cnt"))
+      val direct = ev.groupBy(col("event_type"), b(col("value")).as("bucket"))
+        .agg(count(lit(1)).as("cnt_direct"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bucket")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val est = merged
+        .withColumn("cum", sum("cnt").over(wk))
+        .withColumn("n", sum("cnt").over(wn))
+        .where(col("cum") >= ceil(lit(0.5) * col("n")))
+        .groupBy("event_type").agg(min("bucket").as("p50_bucket"))
+      merged.join(direct, Seq("event_type", "bucket"), "full")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("cnt") === col("cnt_direct"), 1L).otherwise(0L)).as("n_equal"),
+          sum(col("cnt")).as("n_rows"))
+        .join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_buckets"), col("n_rows"),
+          (col("n_equal") === col("n_buckets")).as("ok_merge_lossless"),
+          ((col("p50_bucket") + 1) * lit(width)).as("p50_est"))
+        .orderBy("event_type")
+    },
+
     "sketch_cms_reaggregate" -> { (s, dir) =>
       // The CMS leg of the stored-sketch lifecycle (HLL has hll_merge,
       // Bloom has bloom_merge — count-min now completes the set): one
@@ -4310,6 +4353,42 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_hist_reaggregate" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value FROM events
+        |), daily AS (
+        |  SELECT event_type, day, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS cnt_day
+        |  FROM ev GROUP BY 1, 2, 3
+        |), merged AS (
+        |  SELECT event_type, bucket, SUM(cnt_day) AS cnt FROM daily GROUP BY 1, 2
+        |), direct AS (
+        |  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS cnt_direct
+        |  FROM ev GROUP BY 1, 2
+        |), est AS (
+        |  SELECT event_type, MIN(bucket) AS p50_bucket FROM (
+        |    SELECT event_type, bucket,
+        |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |      SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |    FROM merged) t
+        |  WHERE cum >= ceil(0.5 * n) GROUP BY 1
+        |), cmp AS (
+        |  SELECT COALESCE(m.event_type, d.event_type) AS event_type,
+        |    COUNT(*) AS n_buckets,
+        |    SUM(CASE WHEN m.cnt = d.cnt_direct THEN 1 ELSE 0 END) AS n_equal,
+        |    SUM(m.cnt) AS n_rows
+        |  FROM merged m FULL JOIN direct d
+        |    ON m.event_type = d.event_type AND m.bucket = d.bucket
+        |  GROUP BY 1
+        |)
+        |SELECT cmp.event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  n_equal = n_buckets AS ok_merge_lossless,
+        |  (p50_bucket + 1) * 5.0 AS p50_est
+        |FROM cmp JOIN est ON cmp.event_type = est.event_type
+        |ORDER BY cmp.event_type""".stripMargin,
 
     "sketch_cms_reaggregate" ->
       """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
