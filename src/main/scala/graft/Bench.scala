@@ -65,10 +65,22 @@ object Bench {
         if (!assertOk || runs.forall(_._2.isDefined)) None
         else try {
           val df = fn(spark, sfDir)
-          df.schema.find(f => f.name == "ok" &&
-            f.dataType == org.apache.spark.sql.types.BooleanType).flatMap { _ =>
-            val bad = df.where(!org.apache.spark.sql.functions.col("ok")).count()
-            if (bad > 0) Some(s"claim check failed: $bad ok=false rows") else None
+          // every boolean claim column participates: `ok` plus the named
+          // `ok_*` family (ok_merge_lossless, ok_a, ok_bound, ...) — all
+          // are all-true-by-contract; intentionally varying booleans use
+          // other names (pass, is_anomaly, decoded, keep)
+          val claimCols = df.schema.fields.filter(f =>
+            (f.name == "ok" || f.name.startsWith("ok_")) &&
+              f.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
+          if (claimCols.isEmpty) None
+          else {
+            val anyFalse = claimCols
+              .map(c => !org.apache.spark.sql.functions.col(c))
+              .reduce(_ || _)
+            val bad = df.where(anyFalse).count()
+            if (bad > 0)
+              Some(s"claim check failed: $bad rows false in ${claimCols.mkString("/")}")
+            else None
           }
         } catch {
           case e: Throwable => Some(jsonSafe(s"claim check: ${e.getClass.getSimpleName}"))
