@@ -842,6 +842,55 @@ object SparkEntry {
         .orderBy("k", "ts_min")
     },
 
+    "cdc_merge_into" -> { (s, dir) =>
+      // The three-clause MERGE INTO (the lakehouse upsert statement:
+      // WHEN MATCHED AND src.op='d' THEN DELETE / WHEN MATCHED THEN
+      // UPDATE / WHEN NOT MATCHED THEN INSERT) as ONE full-outer PK join
+      // + CASE routing — the same single-shuffle shape as
+      // cdc_snapshot_diff, going the other direction: diff PRODUCES a
+      // change batch, merge APPLIES one. The change batch derives from
+      // orders arithmetically (updates: key%7==1 gets +10.00; deletes:
+      // key%13==2; inserts: fresh keys at +1e10 for key%11==3 — disjoint from real keys at any SF, the twin-offset convention) so both
+      // engines replay batch, routing, and the post-state audit
+      // bit-identically. Output = per-action row counts plus the
+      // post-merge table's (count, price sum) — the state checksum that
+      // catches a mis-routed row. At scale the join shuffles once on the
+      // PK (or not at all against a bucketed target — the join_bucketed
+      // write path); rows never move twice.
+      val tgt = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("price"))
+      val src = Tables.orders(s, dir).select(
+        when(col("o_orderkey") % 11 === 3, col("o_orderkey") + 10000000000L)
+          .otherwise(col("o_orderkey")).as("k"),
+        when(col("o_orderkey") % 13 === 2, lit("d"))
+          .when(col("o_orderkey") % 11 === 3, lit("i"))
+          .when(col("o_orderkey") % 7 === 1, lit("u"))
+          .otherwise(lit(null).cast("string")).as("op"),
+        (dec2(col("o_totalprice")) + lit(10).cast("decimal(12,2)")).as("new_price"))
+        .where(col("op").isNotNull)
+      val merged = tgt.join(src, Seq("k"), "full_outer")
+        .withColumn("action",
+          when(col("op").isNull, lit("keep")) // target row, no change
+            .when(col("price").isNotNull && col("op") === "d", lit("delete"))
+            .when(col("price").isNotNull, lit("update"))
+            .when(col("op") === "i", lit("insert"))
+            .otherwise(lit("no_match_skip"))) // delete/update for absent key
+        .withColumn("out_price",
+          when(col("action") === "keep", col("price"))
+            .when(col("action") === "update", col("new_price"))
+            .when(col("action") === "insert", col("new_price")))
+      val actions = merged.groupBy("action").agg(count(lit(1)).as("n"))
+      val state = merged.where(col("out_price").isNotNull)
+        .agg(count(lit(1)).as("n"), sumd(col("out_price")).as("price_sum"))
+        .select(lit("post_state").as("action"), col("n"))
+        // post-state summary rides in the same (action, n) shape; the
+        // price checksum gets its own row scaled to cents for exactness
+      val priceRow = merged.where(col("out_price").isNotNull)
+        .agg(sum((col("out_price") * 100).cast("long")).as("n"))
+        .select(lit("post_price_cents").as("action"), col("n"))
+      actions.unionByName(state).unionByName(priceRow).orderBy("action")
+    },
+
     "cdc_latest_state" -> { (s, dir) =>
       Envelope.latestState(Tables.events(s, dir), Seq("user_id"),
         Seq(col("ts_ns"), col("event_id")))
@@ -1900,6 +1949,51 @@ object SparkEntry {
       scanRules.unionByName(fkRule)
         .withColumn("pass", col("n_violations") === 0L)
         .orderBy("rule")
+    },
+
+    "audit_erasure" -> { (s, dir) =>
+      // Deletion-propagation audit (the GDPR/right-to-erasure proof a
+      // data platform runs after processing a deletion batch): a request
+      // list (doc_id % 41 == 7) must vanish from the base table AND every
+      // derived table — here the sliding-window chunk table and the
+      // fingerprint index, both derived in-query by the shipped
+      // operators' own arithmetic so the oracle replays them. Per table
+      // the audit reports pre/post/deleted counts plus n_leaked = rows
+      // still referencing a requested id AFTER erasure — the verification
+      // half (proving absence, not just issuing deletes); the three
+      // zero-leak rows pin it the way audit_constraints' untouched rules
+      // pin the no-false-positive side. Shape at 100 TB: the request list
+      // is a broadcast anti-join per table (deletion batches are small);
+      // each derived table pays one map-only derivation + two counts.
+      val docs = Tables.documents(s, dir)
+      val del = docs.where(col("doc_id") % 41 === 7).select("doc_id")
+      val chunks = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("k", explode(sequence(lit(0L),
+          when(col("n") <= 32, lit(0L)).otherwise(expr("(n - 32 + 23) div 24")))))
+        .select(col("doc_id"), col("k"))
+      val fpIdx = docs.select(col("doc_id"), Tf.fingerprintHex(col("text")).as("fp"))
+      def audit(df: DataFrame, name: String): DataFrame = {
+        // one fused agg over a labeled pre/post union (no one-row cross
+        // joins); the leak probe re-derives request membership
+        // arithmetically on the post side, so a broken anti-join shows
+        // up as n_leaked > 0
+        val post = df.join(broadcast(del), Seq("doc_id"), "anti")
+        df.select(col("doc_id"), lit(1).as("side"))
+          .unionByName(post.select(col("doc_id"), lit(2).as("side")))
+          .agg(
+            sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_pre"),
+            sum(when(col("side") === 2, 1L).otherwise(0L)).as("n_post"),
+            sum(when(col("side") === 2 && col("doc_id") % 41 === 7, 1L)
+              .otherwise(0L)).as("n_leaked"))
+          .select(lit(name).as("table_name"), col("n_pre"), col("n_post"),
+            (col("n_pre") - col("n_post")).as("n_deleted"), col("n_leaked"))
+      }
+      audit(docs.select("doc_id"), "documents")
+        .unionByName(audit(chunks, "chunks"))
+        .unionByName(audit(fpIdx, "fp_index"))
+        .orderBy("table_name")
     },
 
     "audit_checksum" -> { (s, dir) =>
@@ -4520,6 +4614,39 @@ object SparkEntry {
         |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS after_price
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "cdc_merge_into" ->
+      """WITH tgt AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |src AS (SELECT
+        |    CASE WHEN o_orderkey % 11 = 3 THEN o_orderkey + 10000000000 ELSE o_orderkey END AS k,
+        |    CASE WHEN o_orderkey % 13 = 2 THEN 'd'
+        |         WHEN o_orderkey % 11 = 3 THEN 'i'
+        |         WHEN o_orderkey % 7 = 1 THEN 'u' END AS op,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS new_price
+        |  FROM orders),
+        |src2 AS (SELECT * FROM src WHERE op IS NOT NULL),
+        |m AS (SELECT t.price, s.op, s.new_price
+        |  FROM tgt t FULL JOIN src2 s ON t.k = s.k),
+        |r AS (SELECT *,
+        |    CASE WHEN op IS NULL THEN 'keep'
+        |         WHEN price IS NOT NULL AND op = 'd' THEN 'delete'
+        |         WHEN price IS NOT NULL THEN 'update'
+        |         WHEN op = 'i' THEN 'insert'
+        |         ELSE 'no_match_skip' END AS action
+        |  FROM m),
+        |r2 AS (SELECT *,
+        |    CASE WHEN action = 'keep' THEN price
+        |         WHEN action = 'update' THEN new_price
+        |         WHEN action = 'insert' THEN new_price END AS out_price
+        |  FROM r)
+        |SELECT action, COUNT(*) AS n FROM r2 GROUP BY action
+        |UNION ALL
+        |SELECT 'post_state', COUNT(*) FROM r2 WHERE out_price IS NOT NULL
+        |UNION ALL
+        |SELECT 'post_price_cents', CAST(SUM(CAST(out_price * 100 AS BIGINT)) AS BIGINT)
+        |FROM r2 WHERE out_price IS NOT NULL
+        |ORDER BY action""".stripMargin,
+
     "cdc_latest_state" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         |  value AS last_value, epoch_ms(ts) AS last_ts_ms
@@ -5316,6 +5443,37 @@ object SparkEntry {
         |  UNION ALL SELECT 'lineitem_shipdate_range', n, CAST(v_date AS BIGINT) FROM scan
         |  UNION ALL SELECT 'orders_custkey_fk', n_checked, CAST(v AS BIGINT) FROM fk)
         |ORDER BY rule""".stripMargin,
+
+    "audit_erasure" ->
+      """WITH ch AS (
+        |  SELECT doc_id, UNNEST(range(0,
+        |    CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+        |         ELSE (len(string_split(text, ' ')) - 32 + 23) // 24 + 1 END)) AS k
+        |  FROM documents
+        |), fp AS (SELECT doc_id FROM documents),
+        |d AS (SELECT doc_id FROM documents),
+        |a AS (
+        |  SELECT 'documents' AS table_name, COUNT(*) AS n_pre,
+        |    COUNT(*) FILTER (doc_id % 41 <> 7) AS n_post,
+        |    COUNT(*) FILTER (doc_id % 41 = 7) AS n_deleted,
+        |    0 AS n_leaked
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'chunks', COUNT(*),
+        |    COUNT(*) FILTER (doc_id % 41 <> 7),
+        |    COUNT(*) FILTER (doc_id % 41 = 7), 0
+        |  FROM ch
+        |  UNION ALL
+        |  SELECT 'fp_index', COUNT(*),
+        |    COUNT(*) FILTER (doc_id % 41 <> 7),
+        |    COUNT(*) FILTER (doc_id % 41 = 7), 0
+        |  FROM fp
+        |)
+        |SELECT table_name, CAST(n_pre AS BIGINT) AS n_pre,
+        |  CAST(n_post AS BIGINT) AS n_post,
+        |  CAST(n_deleted AS BIGINT) AS n_deleted,
+        |  CAST(n_leaked AS BIGINT) AS n_leaked
+        |FROM a ORDER BY table_name""".stripMargin,
 
     "audit_checksum" ->
       """WITH src AS (SELECT o_orderkey, o_custkey,
