@@ -3976,6 +3976,54 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "convert_proto_binary" -> { (s, dir) =>
+      // Protobuf wire-format decode — structurally the OPPOSITE contract
+      // of convert_avro_binary, and the pair covers both Kafka payload
+      // families: Avro is schema-ordered fields with no framing, proto is
+      // self-framing (field_number << 3 | wire_type) tags that arrive in
+      // any order and may include fields the reader has never heard of —
+      // which a correct decoder SKIPS by wire type (forward
+      // compatibility), not rejects. The synthesized records emit fields
+      // OUT of numeric order (3,1,9,4,2,5) and plant an UNKNOWN field 9
+      // in every record, so a decoder that assumes order or rejects
+      // unknowns fails every row; 1-in-89 payloads truncate to 2 bytes
+      // for the dead-letter lane. The oracle recomputes fields
+      // arithmetically and the byte length from the tag+varint width
+      // formula — the skipped unknown field's bytes INCLUDED, so a
+      // decoder that drops them from accounting breaks the hash too.
+      // Map-only, like every codec lane.
+      import s.implicits._
+      import graft.functions.ProtoBinary
+      import graft.functions.ProtoBinary._
+      val schema = Map(1 -> (PInt64: PType), 2 -> (PSint64: PType),
+        3 -> (PString: PType), 4 -> (PDouble: PType), 5 -> (PBool: PType))
+      Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val full = ProtoBinary.encode(Seq(
+          (3, PString, "p" + (id % 50)),
+          (1, PInt64, id * 3 + 1),
+          (9, PInt64, id % 128), // unknown to the reader: must be skipped
+          (4, PDouble, (id % 1000).toDouble / 4.0),
+          (2, PSint64, id % 400 - 200),
+          (5, PBool, id % 3 == 0)))
+        val payload = if (id % 89 == 0) full.take(2) else full
+        ProtoBinary.decode(schema, payload) match {
+          case Some(m) =>
+            (id, true, m.get(1).map(_.asInstanceOf[Long]),
+              m.get(2).map(_.asInstanceOf[Long]),
+              m.get(3).map(_.asInstanceOf[String]),
+              m.get(4).map(_.asInstanceOf[Double]),
+              m.get(5).map(_.asInstanceOf[Boolean]),
+              payload.length.toLong)
+          case None =>
+            (id, false, None: Option[Long], None: Option[Long],
+              None: Option[String], None: Option[Double], None: Option[Boolean],
+              payload.length.toLong)
+        }
+      }.toDF("doc_id", "decoded", "f_id", "f_delta", "f_name", "f_score",
+          "f_flag", "byte_len")
+        .orderBy("doc_id")
+    },
+
     "multimodal_png" -> { (s, dir) =>
       // PNG round trip (RFC 2083, the ubiquitous raster format a bare JVM
       // decodes EXACTLY — Inflater + CRC32 ship in java.util.zip): pixels
@@ -6752,6 +6800,45 @@ object SparkEntry {
         |  CASE WHEN corrupt THEN NULL ELSE vs END AS f_str,
         |  CAST(CASE WHEN corrupt THEN 3
         |            ELSE g1 + g2 + 1 + 8 + 1 + sl END AS BIGINT) AS byte_len
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "convert_proto_binary" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    doc_id * 3 + 1 AS v1,
+        |    doc_id % 400 - 200 AS v2,
+        |    'p' || CAST(doc_id % 50 AS VARCHAR) AS v3,
+        |    (doc_id % 1000) / 4.0 AS v4,
+        |    doc_id % 3 = 0 AS v5,
+        |    doc_id % 128 AS v9,
+        |    doc_id % 89 = 0 AS corrupt
+        |  FROM documents
+        |), z AS (
+        |  SELECT *,
+        |    CASE WHEN v2 >= 0 THEN 2 * v2 ELSE -2 * v2 - 1 END AS z2,
+        |    length(v3) AS sl
+        |  FROM base
+        |), g AS (
+        |  SELECT *,
+        |    1 + (CASE WHEN v1 >= 128 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 >= 16384 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 >= 2097152 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 >= 268435456 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 >= 34359738368 THEN 1 ELSE 0 END) AS g1,
+        |    1 + (CASE WHEN z2 >= 128 THEN 1 ELSE 0 END) AS g2
+        |  FROM z
+        |)
+        |SELECT doc_id, NOT corrupt AS decoded,
+        |  CASE WHEN corrupt THEN NULL ELSE v1 END AS f_id,
+        |  CASE WHEN corrupt THEN NULL ELSE v2 END AS f_delta,
+        |  CASE WHEN corrupt THEN NULL ELSE v3 END AS f_name,
+        |  CASE WHEN corrupt THEN NULL ELSE v4 END AS f_score,
+        |  CASE WHEN corrupt THEN NULL ELSE v5 END AS f_flag,
+        |  CAST(CASE WHEN corrupt THEN 2
+        |            -- tags are 1 byte each (fields <= 9); unknown field 9's
+        |            -- varint is 1 byte (v9 < 128) and IS counted
+        |            ELSE (1 + 1 + sl) + (1 + g1) + (1 + 1) + (1 + 8) + (1 + g2) + (1 + 1)
+        |       END AS BIGINT) AS byte_len
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "multimodal_png" ->
