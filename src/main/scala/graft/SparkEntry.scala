@@ -1589,6 +1589,34 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "events_forecast" -> { (s, dir) =>
+      // Seasonal-naive forecast + backtest (the baseline every real
+      // forecasting system must beat, and the backtest harness that
+      // proves it: forecast(type, d) = count(type, d−7), scored by MAE
+      // over every day with a forecast). Weekly seasonality is the right
+      // naive for event logs; the error arithmetic is all integers (SUM
+      // of |cnt − lag7|) with ONE final IEEE division for the MAE, so
+      // both engines replay the backtest bit-for-bit. Shape at 100 TB:
+      // ONE corpus-sized keyed agg to the daily frame; the lag and the
+      // scoring run on O(types × days) rows partitioned by type.
+      val dayNs = 86400000000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      // calendar join (day − 7), not a row-lag: identical when days are
+      // dense, but still exactly "same weekday last week" across gaps
+      val fc = daily.select(col("event_type"), (col("day") + 7).as("day"),
+        col("cnt").as("fc"))
+      daily.join(fc, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days_scored"),
+          sum(abs(col("cnt") - col("fc"))).as("total_abs_err"),
+          max(abs(col("cnt") - col("fc"))).as("worst_abs_err"))
+        .withColumn("mae",
+          col("total_abs_err").cast("double") / col("n_days_scored"))
+        .orderBy("event_type")
+    },
+
     "events_gapfill" -> { (s, dir) =>
       // Calendar densification + trailing 7-day moving aggregates (the
       // gap-filling every time-series dashboard needs: a day with zero
@@ -1674,6 +1702,51 @@ object SparkEntry {
         .select(col("v").as("doc_id"), col("cluster").as("cluster_id"),
           (col("v") === col("cluster")).as("is_rep"))
         .orderBy("doc_id")
+    },
+
+    "graph_cc_incremental" -> { (s, dir) =>
+      // Incremental connected components (the graph leg of the
+      // incremental-maintenance family beside cdc_incremental_agg /
+      // cdc_incremental_join / dedup_lsh_incremental: absorb a batch of
+      // NEW edges without recomputing closure over the old graph). The
+      // persisted state is the (node → root) component table; a delta
+      // edge CONTRACTS through it (endpoint → its root, self for unseen
+      // nodes), star CC runs over the contracted ROOT graph only — a
+      // vanishing fraction of the corpus graph — and the final
+      // assignment is one keyed map of old roots to new. Correctness
+      // argument: each base root is the min id of its component, so the
+      // min over merged roots is the true min of the merged component —
+      // label semantics identical to a full recompute, which IS the
+      // oracle (the dedup_clusters recursive CTE over ALL pairs): the
+      // hash compare is the incremental ≡ recompute proof, the
+      // cdc_incremental_agg convention on graphs.
+      val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = pairs.where(col("id_a") % 5 =!= 1 && col("id_b") % 5 =!= 1)
+      val delta = pairs.where(col("id_a") % 5 === 1 || col("id_b") % 5 === 1)
+      val baseCC = Dedup.connectedComponentsStar(base, "id_a", "id_b")
+        .select(col("v"), col("cluster"))
+      val contracted = delta
+        .join(baseCC.select(col("v").as("id_a"), col("cluster").as("ra0")), Seq("id_a"), "left")
+        .join(baseCC.select(col("v").as("id_b"), col("cluster").as("rb0")), Seq("id_b"), "left")
+        .select(coalesce(col("ra0"), col("id_a")).as("ra"),
+          coalesce(col("rb0"), col("id_b")).as("rb"))
+        .where(col("ra") =!= col("rb"))
+      val rootMap = Dedup.connectedComponentsStar(contracted, "ra", "rb")
+        .select(col("v").as("r"), col("cluster").as("new_root"))
+      val deltaNodes = delta.select(col("id_a").as("v"))
+        .unionByName(delta.select(col("id_b").as("v"))).distinct()
+        .join(baseCC, Seq("v"), "left")
+        .select(col("v"), coalesce(col("cluster"), col("v")).as("r"))
+      val allNodes = baseCC.select(col("v"), col("cluster").as("r"))
+        .unionByName(deltaNodes).distinct()
+      val out = allNodes.join(rootMap, Seq("r"), "left")
+        .select(col("v").as("doc_id"),
+          coalesce(col("new_root"), col("r")).as("cluster_id"))
+        .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+      graft.operators.CacheScope.unpersistAfterUse(out, pairs)
     },
 
     "dedup_survivors" -> { (s, dir) =>
@@ -5168,6 +5241,18 @@ object SparkEntry {
         |  CAST(MIN(v) AS DOUBLE) AS low, CAST(MIN(close_v) AS DOUBLE) AS close
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "events_forecast" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.event_type, COUNT(*) AS n_days_scored,
+        |  CAST(SUM(abs(a.cnt - f.cnt)) AS BIGINT) AS total_abs_err,
+        |  CAST(MAX(abs(a.cnt - f.cnt)) AS BIGINT) AS worst_abs_err,
+        |  CAST(SUM(abs(a.cnt - f.cnt)) AS DOUBLE) / COUNT(*) AS mae
+        |FROM d a JOIN d f ON a.event_type = f.event_type AND f.day = a.day - 7
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+
     "events_gapfill" ->
       """WITH d AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
@@ -5215,6 +5300,24 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "graph_cc_incremental" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        |      FROM w WHERE len(toks) >= 5),
+        |pr AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(a.sh || b.sh)) >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |reach(v, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+        |)
+        |SELECT v AS doc_id, MIN(lab) AS cluster_id, v = MIN(lab) AS is_rep
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
