@@ -1589,6 +1589,31 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "events_rolling_median" -> { (s, dir) =>
+      // Rolling ORDER statistics (trailing 7-day median of daily counts —
+      // the robust moving baseline events_gapfill's moving MEAN cannot
+      // give; no engine has a median-over-moving-window operator, so the
+      // window materializes as a bounded 7× self-expansion of the DAILY
+      // frame — cover join on day offsets, the events_rolling_users
+      // trick — and one exact interpolated percentile per (type, day)
+      // group). Shape at 100 TB: the corpus pays ONE keyed agg to
+      // O(types × days); the expansion and percentile run on that tiny
+      // frame. percentile() interpolation matches DuckDB quantile_cont
+      // bit-for-bit on integer counts (the events_anomaly precedent).
+      val dayNs = 86400000000000L
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val cover = daily.select(col("event_type"), col("cnt"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      daily.select("event_type", "day")
+        .join(cover, Seq("event_type", "day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_window"),
+          expr("percentile(cnt, 0.5)").as("med7"))
+        .orderBy("event_type", "day")
+    },
+
     "events_forecast" -> { (s, dir) =>
       // Seasonal-naive forecast + backtest (the baseline every real
       // forecasting system must beat, and the backtest harness that
@@ -5240,6 +5265,17 @@ object SparkEntry {
         |  CAST(MIN(open_v) AS DOUBLE) AS open, CAST(MAX(v) AS DOUBLE) AS high,
         |  CAST(MIN(v) AS DOUBLE) AS low, CAST(MIN(close_v) AS DOUBLE) AS close
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_rolling_median" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), c0 AS (SELECT event_type, cnt, day, UNNEST(range(0, 7)) AS k FROM d),
+        |cov AS (SELECT event_type, cnt, day + k AS day FROM c0)
+        |SELECT d.event_type, d.day, COUNT(*) AS n_window,
+        |  quantile_cont(cov.cnt, 0.5) AS med7
+        |FROM d JOIN cov ON d.event_type = cov.event_type AND d.day = cov.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_forecast" ->
       """WITH d AS (
