@@ -706,6 +706,22 @@ object SparkEntry {
         .limit(20)
     },
 
+    "cube_agg" -> { (s, dir) =>
+      // CUBE aggregation (all 2^k grouping sets in one pass — the BI
+      // cross-tab rollup_agg's hierarchy cannot give): Spark expands the
+      // cube into grouping sets inside ONE Expand + keyed aggregate
+      // (each input row fans out 4×, map-side partials apply per set) —
+      // never 2^k separate scans. grouping_id disambiguates the NULL
+      // that means "all" from a NULL data value — the correctness trap
+      // naive cube emulations hit.
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumd(dec2(col("l_quantity"))).as("sum_qty"),
+          grouping_id().as("gid")) // must live inside the cube aggregate
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     "rollup_agg" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
@@ -4704,6 +4720,13 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
