@@ -83,6 +83,10 @@ object ProtoBinary {
         if (p >= bytes.length) return None
         val b = bytes(p) & 0xff
         p += 1
+        // Strictness: at shift 63 only ONE payload bit fits in a Long; a
+        // 10th byte with any higher bit set would silently alias two
+        // distinct encodings onto one value — reject instead.
+        if (shift == 63 && (b & 0x7e) != 0) return None
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return Some(v)
         shift += 7

@@ -497,6 +497,15 @@ object MediaCodecs {
         if (k == 0 && inflater.needsInput()) return None // truncated stream
         off += k
       }
+      // Strict end-of-stream: a full raster is not enough — the deflate
+      // stream must also FINISH exactly here. Probe once so zlib sees the
+      // final-block marker, then reject trailing compressed data (probe
+      // produced bytes), an unfinished stream, or unread IDAT input.
+      if (off == raw.length && !inflater.finished()) {
+        val probe = new Array[Byte](1)
+        if (inflater.inflate(probe) > 0) return None // stream longer than raster
+      }
+      if (!inflater.finished() || inflater.getRemaining != 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
     if (off != raw.length) return None
