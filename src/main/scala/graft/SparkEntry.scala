@@ -308,6 +308,39 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    "q17_small_qty" -> { (s, dir) =>
+      // TPC-H Q17-shape correlated scalar subquery ("rows below 20% of
+      // their part's average order quantity"), DECORRELATED: the per-row
+      // scalar subquery avg(l_quantity) over the row's partkey becomes ONE
+      // pre-aggregated keyed frame joined back on l_partkey — the rewrite
+      // every BI workload needs, because the naive form is a per-row
+      // rescan (BroadcastNestedLoop at best). Two scale choices: (a) the
+      // part filter is pushed BEFORE the per-key aggregate — filtering by
+      // partkey keeps every lineitem row of a qualifying partkey, so the
+      // per-key avg over the filtered frame is identical to the full-table
+      // subquery, and the aggregate shrinks by the part-filter selectivity;
+      // (b) the comparison is exact decimal arithmetic, qty*5*cnt < sum
+      // (⇔ qty < 0.2·avg with cnt > 0), so no float divide enters the
+      // hash-compared output. The oracle runs the ORIGINAL correlated
+      // two-subquery form in DuckDB — decorrelation proven equivalent, not
+      // assumed. 100 TB shape: one broadcast dim join + one self-keyed agg
+      // + one keyed join, all on l_partkey; AQE coalesces the tail.
+      val sel = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).where(col("p_size") <= 10)
+          .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("p_brand"),
+          dec2(col("l_quantity")).as("qty"), dec2(col("l_extendedprice")).as("price"))
+      val perKey = sel.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      sel.join(perKey, Seq("l_partkey"))
+        .where(col("qty") * lit(5) * col("cnt_qty") < col("sum_qty"))
+        .groupBy("p_brand")
+        .agg((sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+        .orderBy("p_brand")
+    },
+
     "join_broadcast" -> { (s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -4203,6 +4236,28 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     },
 
+    "multimodal_frames" -> { (s, dir) =>
+      // §2 row 32b's own gate: the partition-batched frame-slicing path
+      // (operators/Multimodal.sampleFrames) driven end-to-end — fixed-
+      // stride byte offsets over an opaque binary payload, one row per
+      // frame, empty payloads yielding ZERO frames (not sequence(0,-1)).
+      // The oracle replays slice positions + md5 of the sliced bytes in
+      // DuckDB (documents are ASCII, so byte and char offsets coincide).
+      // Shape at 100 TB: map-only explode, frames bounded per doc (≤6),
+      // payload bytes never shuffle — frame_bytes reduces to md5 before
+      // the sort.
+      import graft.operators.Multimodal
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(docs, "doc_id", "payload",
+          stride = 256, maxFrames = 6, frameLen = 64)
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 256).as("start_pos"), col("byte_len"),
+          md5(col("frame_bytes")).as("frame_md5"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     "cdc_snapshot_diff" -> { (s, dir) =>
       // CDC without a log: diff two PK-keyed snapshot versions into
       // Debezium-shaped c/u/d events with before/after images — the
@@ -4486,6 +4541,20 @@ object SparkEntry {
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the ORIGINAL correlated form — two scalar subqueries per row; the
+    // Spark side runs the decorrelated keyed-join rewrite, so a hash match
+    // here PROVES the decorrelation equivalence rather than assuming it
+    "q17_small_qty" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_small
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 10
+        |  AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 *
+        |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
@@ -7037,6 +7106,15 @@ object SparkEntry {
         |  substr(text, CAST(fi * 100 + 1 AS INT), 32) AS frame_text,
         |  sha256(substr(text, CAST(fi * 100 + 1 AS INT), 32)) AS frame_sha
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, t.f AS frame_idx, t.f*256 AS start_pos,
+        |  octet_length(CAST(text AS BLOB)) AS byte_len,
+        |  md5(substring(text, CAST(t.f*256+1 AS INT), 64)) AS frame_md5,
+        |  CAST(length(substring(text, CAST(t.f*256+1 AS INT), 64)) AS BIGINT) AS frame_len
+        |FROM documents,
+        |  UNNEST(generate_series(0, CAST(least(6, (octet_length(CAST(text AS BLOB))+255)//256) AS BIGINT) - 1)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "cdc_snapshot_diff" ->
       """WITH v1 AS (
