@@ -1944,6 +1944,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_images" -> { (s, dir) =>
+      // Image near-dup — the multimodal dedup lane beside the fifteen text
+      // lanes: mixed-format stored corpus (PPM base / QOI perturbed twin /
+      // PNG thumbnail per seed group, all through the REAL codecs and the
+      // real nearest-neighbor resize), magic-byte raster decode, 64-bit
+      // aHash, Hamming-banded candidates (4×16-bit bands — pigeonhole
+      // makes banding LOSSLESS at threshold 3), exact in-bucket verify.
+      // The oracle replays the planted pixel arithmetic → hash bits →
+      // brute-force all-pairs Hamming in SQL, so a codec bug (QOI op
+      // semantics, PNG filter reconstruction, resize indexing) breaks the
+      // hash match. aHash is resize-invariant by construction here: the
+      // 8×8 thumbnail of a multiple-of-8 image samples the same source
+      // pixels as the hash, so base↔thumbnail pairs land at Hamming 0,
+      // and the +24 perturbation lane exercises 1–3-bit distances.
+      import s.implicits._
+      import graft.operators.ImageDedup
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      ImageDedup.nearDupPairs(ImageDedup.fingerprints(ImageDedup.corpus(ids)))
+        .orderBy("a_id", "b_id")
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3,
         Dedup.MinHashConfig(threshold = 0.9), blockCol = Some("source"))
@@ -5652,6 +5673,37 @@ object SparkEntry {
         |      FROM h CROSS JOIN (SELECT unnest(range(16)) AS bit) bits GROUP BY doc_id, bit)
         |SELECT b.doc_id, CAST(SUM(CASE WHEN 2 * cnt > n THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
         |FROM b JOIN tot ON b.doc_id = tot.doc_id GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // replays the planted pixel function → 8x8 aHash samples → bit packing
+    // (two 32-bit halves, no sign arithmetic) → brute-force all-pairs
+    // Hamming; the Spark side goes through real codec encode/decode and the
+    // real resize, so a hash match proves the whole media pipeline
+    "dedup_images" ->
+      """WITH img AS (
+        |  SELECT doc_id AS img_id, doc_id // 3 AS seed, doc_id % 3 AS var,
+        |    8*(2 + (doc_id // 3) % 3) AS w, 8*(2 + (doc_id // 3) % 2) AS h,
+        |    ('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 15))::BIGINT AS h60
+        |  FROM documents),
+        |cells AS (
+        |  SELECT img_id, tj.j*8 + ti.i AS k,
+        |    CASE WHEN var = 1 AND ((ti.i*w//8) + (tj.j*h//8)) % 13 = 0
+        |      THEN least(255, ((1+h60%127)*(ti.i*w//8) + (1+(h60//127)%131)*(tj.j*h//8)
+        |                       + ((h60//16637)%61)*(ti.i*w//8)*(tj.j*h//8) + h60%256) % 256 + 24)
+        |      ELSE ((1+h60%127)*(ti.i*w//8) + (1+(h60//127)%131)*(tj.j*h//8)
+        |            + ((h60//16637)%61)*(ti.i*w//8)*(tj.j*h//8) + h60%256) % 256
+        |    END AS g
+        |  FROM img, UNNEST(generate_series(0,7)) AS ti(i), UNNEST(generate_series(0,7)) AS tj(j)),
+        |m AS (SELECT img_id, k, g, SUM(g) OVER (PARTITION BY img_id) // 64 AS mean FROM cells),
+        |hashes AS (
+        |  SELECT img_id,
+        |    SUM(CASE WHEN k < 32 AND g > mean THEN (1::BIGINT << k) ELSE 0 END) AS h_lo,
+        |    SUM(CASE WHEN k >= 32 AND g > mean THEN (1::BIGINT << (k-32)) ELSE 0 END) AS h_hi
+        |  FROM m GROUP BY img_id)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id,
+        |  CAST(bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, source,

@@ -48,6 +48,21 @@ object MediaCodecs {
     header ++ raster
   }
 
+  /** P6 encode of an arbitrary raster (rgb triplets, row-major) — the
+    * general form of [[ppmEncode]]'s constant-color convenience. */
+  def ppmEncodeRaster(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "raster size mismatch")
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+  }
+
+  /** (width, height, rgb raster copy) of a valid P6 payload; None on
+    * malformation. The raster-access sibling of [[ppmDecode]] (which
+    * reduces to summary stats), for stages that transform pixels. */
+  def ppmRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    ppmHeader(bytes).map { case (w, h, pos) =>
+      (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
+    }
+
   /** Parse a P6 payload: magic, whitespace/comment-tolerant header ints,
     * 8-bit raster. Returns None on any malformation (dead-letter, the
     * converter-error analogue of reader's per-row error returns). */
