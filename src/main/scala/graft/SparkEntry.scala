@@ -3425,6 +3425,23 @@ object SparkEntry {
         .orderBy("step")
     },
 
+    "text_unigram_train" -> { (s, dir) =>
+      // Unigram-LM tokenizer trainer (operators/UnigramTrain.scala) — the
+      // SentencePiece-style EM half beside BPE: substring-seeded candidate
+      // vocabulary, two hard-EM rounds of Viterbi segmentation (cut-point
+      // bitmask enumeration, ≤128 masks at the len≤8 cap) + piece
+      // re-counting, all under the scaled-integer cost len(bin(C div c))
+      // so the oracle replays BOTH rounds bit-for-bit — seeding, top-60
+      // selection with (cnt desc, piece) tie-break, segmentation argmin
+      // with smallest-mask ties, and the count/cost updates.
+      val words = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.UnigramTrain.train(words, "word", "freq")
+        .orderBy(col("cnt").desc, col("piece"))
+    },
+
     "text_bpe_encode" -> { (s, dir) =>
       // BPE application — the train→apply loop closed: train 6 merges on
       // the word-frequency table (text_bpe_train's trainer), then encode
@@ -5673,6 +5690,68 @@ object SparkEntry {
         |      FROM h CROSS JOIN (SELECT unnest(range(16)) AS bit) bits GROUP BY doc_id, bit)
         |SELECT b.doc_id, CAST(SUM(CASE WHEN 2 * cnt > n THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
         |FROM b JOIN tot ON b.doc_id = tot.doc_id GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // replays BOTH hard-EM rounds bit-for-bit: substring seeding, top-60
+    // (cnt desc, piece) selection, bitmask Viterbi argmin with
+    // smallest-mask ties, and the integer cost len(bin(C div c)); the
+    // candidate-segmentation grid is shared across rounds (only scoring
+    // changes), exactly as in the engine
+    "text_unigram_train" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) u
+        |  WHERE len(word) > 0 GROUP BY word),
+        |subs AS MATERIALIZED (
+        |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT substring(word, st.s, l.l) AS piece, freq
+        |    FROM w, UNNEST(generate_series(1, 4)) AS l(l),
+        |         UNNEST(generate_series(1, len(word) - l.l + 1)) AS st(s)) q
+        |  GROUP BY piece),
+        |v0 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM subs WHERE len(piece) >= 2 ORDER BY cnt DESC, piece LIMIT 60) mq),
+        |v0c AS MATERIALIZED (
+        |  SELECT piece, cnt, length(bin(CAST((SELECT SUM(cnt) FROM v0) AS BIGINT) // cnt)) AS cost FROM v0),
+        |grid AS MATERIALIZED (
+        |  SELECT word, freq, mm.m, ti.i,
+        |    CASE WHEN ti.i = len(word) - 1 OR ((mm.m >> ti.i) & 1) = 1 THEN 1 ELSE 0 END AS cut,
+        |    substring(word, ti.i + 1, 1) AS ch
+        |  FROM w, UNNEST(generate_series(0, (1 << (len(word) - 1)) - 1)) AS mm(m),
+        |       UNNEST(generate_series(0, len(word) - 1)) AS ti(i)
+        |  WHERE len(word) <= 8),
+        |pieces AS MATERIALIZED (
+        |  SELECT word, freq, m, pid, string_agg(ch, '' ORDER BY i) AS piece FROM (
+        |    SELECT word, freq, m, i, ch,
+        |      COALESCE(SUM(cut) OVER (PARTITION BY word, m ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pid
+        |    FROM grid) g
+        |  GROUP BY word, freq, m, pid),
+        |best1 AS MATERIALIZED (
+        |  SELECT word, m FROM (
+        |    SELECT p.word, p.m, row_number() OVER (PARTITION BY p.word ORDER BY SUM(v.cost), p.m) AS rn
+        |    FROM pieces p LEFT JOIN v0c v ON p.piece = v.piece
+        |    GROUP BY p.word, p.m
+        |    HAVING COUNT(*) = COUNT(v.piece)) q WHERE rn = 1),
+        |cnt1 AS MATERIALIZED (
+        |  SELECT p.piece, CAST(SUM(p.freq) AS BIGINT) AS cnt
+        |  FROM pieces p JOIN best1 b ON p.word = b.word AND p.m = b.m
+        |  GROUP BY p.piece),
+        |v1c AS MATERIALIZED (
+        |  SELECT piece, cnt, length(bin(CAST((SELECT SUM(cnt) FROM cnt1) AS BIGINT) // cnt)) AS cost FROM cnt1),
+        |best2 AS MATERIALIZED (
+        |  SELECT word, m FROM (
+        |    SELECT p.word, p.m, row_number() OVER (PARTITION BY p.word ORDER BY SUM(v.cost), p.m) AS rn
+        |    FROM pieces p LEFT JOIN v1c v ON p.piece = v.piece
+        |    GROUP BY p.word, p.m
+        |    HAVING COUNT(*) = COUNT(v.piece)) q WHERE rn = 1),
+        |cnt2 AS MATERIALIZED (
+        |  SELECT p.piece, CAST(SUM(p.freq) AS BIGINT) AS cnt
+        |  FROM pieces p JOIN best2 b ON p.word = b.word AND p.m = b.m
+        |  GROUP BY p.piece)
+        |SELECT piece, cnt,
+        |  CAST(length(bin(CAST((SELECT SUM(cnt) FROM cnt2) AS BIGINT) // cnt)) AS BIGINT) AS cost
+        |FROM cnt2 ORDER BY cnt DESC, piece""".stripMargin,
 
     // replays the planted pixel function → 8x8 aHash samples → bit packing
     // (two 32-bit halves, no sign arithmetic) → brute-force all-pairs
