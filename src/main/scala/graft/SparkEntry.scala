@@ -1965,6 +1965,25 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     },
 
+    "dedup_audio" -> { (s, dir) =>
+      // Audio near-dup — the waveform sibling of dedup_images: WAV corpus
+      // through the real RIFF/PCM16 codec, 64-window energy-profile hash
+      // (integer Haitsma–Kalker skeleton: bit w = E_w > E_{w+1 mod 64}),
+      // shared 4×16-bit Hamming banding (pigeonhole-lossless at 3), exact
+      // verify. Comparing ADJACENT energies makes the hash amplitude-
+      // invariant by construction — the planted gain-doubled twin lands
+      // at Hamming 0 through a byte-different WAV payload — and the
+      // sparse +64 perturbation variant plants 1–3-bit near-misses. The
+      // oracle replays waveform → windows → energies → bits → brute-force
+      // all-pairs Hamming in SQL, so a WAV chunk-walk or sample-decode
+      // bug breaks the hash.
+      import s.implicits._
+      import graft.operators.AudioDedup
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      AudioDedup.nearDupPairs(AudioDedup.fingerprints(AudioDedup.corpus(ids)))
+        .orderBy("a_id", "b_id")
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3,
         Dedup.MinHashConfig(threshold = 0.9), blockCol = Some("source"))
@@ -3440,6 +3459,26 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("freq"))
       graft.operators.UnigramTrain.train(words, "word", "freq")
         .orderBy(col("cnt").desc, col("piece"))
+    },
+
+    "text_unigram_encode" -> { (s, dir) =>
+      // The apply half of the unigram train→apply loop (BPE has the same
+      // pair): train, then Viterbi-encode the DISTINCT vocabulary under
+      // the final costs, emitting the byte-exact segmentation string per
+      // word — the strongest possible oracle granularity (the SQL replay
+      // must reproduce every chosen cut, not just counts). Words with no
+      // valid segmentation dead-letter (n_pieces=0, null encoding) rather
+      // than dropping. Shape at 100 TB: the corpus collapses to distinct
+      // words first; encode is one map-only pass with the ≤100-entry cost
+      // table broadcast; the corpus-side re-join is text_bpe_encode's
+      // already-covered keyed-join shape.
+      val words = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val trained = graft.operators.UnigramTrain.train(words, "word", "freq")
+      graft.operators.UnigramTrain.encodeWords(words, "word", "freq", trained)
+        .orderBy("word")
     },
 
     "text_bpe_encode" -> { (s, dir) =>
@@ -5753,6 +5792,79 @@ object SparkEntry {
         |  CAST(length(bin(CAST((SELECT SUM(cnt) FROM cnt2) AS BIGINT) // cnt)) AS BIGINT) AS cost
         |FROM cnt2 ORDER BY cnt DESC, piece""".stripMargin,
 
+    // the train oracle extended one argmin pass: segment every word under
+    // the FINAL costs and reproduce the byte-exact '·'-joined segmentation
+    "text_unigram_encode" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) u
+        |  WHERE len(word) > 0 GROUP BY word),
+        |subs AS MATERIALIZED (
+        |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT substring(word, st.s, l.l) AS piece, freq
+        |    FROM w, UNNEST(generate_series(1, 4)) AS l(l),
+        |         UNNEST(generate_series(1, len(word) - l.l + 1)) AS st(s)) q
+        |  GROUP BY piece),
+        |v0 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM subs WHERE len(piece) >= 2 ORDER BY cnt DESC, piece LIMIT 60) mq),
+        |v0c AS MATERIALIZED (
+        |  SELECT piece, cnt, length(bin(CAST((SELECT SUM(cnt) FROM v0) AS BIGINT) // cnt)) AS cost FROM v0),
+        |grid AS MATERIALIZED (
+        |  SELECT word, freq, mm.m, ti.i,
+        |    CASE WHEN ti.i = len(word) - 1 OR ((mm.m >> ti.i) & 1) = 1 THEN 1 ELSE 0 END AS cut,
+        |    substring(word, ti.i + 1, 1) AS ch
+        |  FROM w, UNNEST(generate_series(0, (1 << (len(word) - 1)) - 1)) AS mm(m),
+        |       UNNEST(generate_series(0, len(word) - 1)) AS ti(i)
+        |  WHERE len(word) <= 8),
+        |pieces AS MATERIALIZED (
+        |  SELECT word, freq, m, pid, string_agg(ch, '' ORDER BY i) AS piece FROM (
+        |    SELECT word, freq, m, i, ch,
+        |      COALESCE(SUM(cut) OVER (PARTITION BY word, m ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pid
+        |    FROM grid) g
+        |  GROUP BY word, freq, m, pid),
+        |best1 AS MATERIALIZED (
+        |  SELECT word, m FROM (
+        |    SELECT p.word, p.m, row_number() OVER (PARTITION BY p.word ORDER BY SUM(v.cost), p.m) AS rn
+        |    FROM pieces p LEFT JOIN v0c v ON p.piece = v.piece
+        |    GROUP BY p.word, p.m
+        |    HAVING COUNT(*) = COUNT(v.piece)) q WHERE rn = 1),
+        |cnt1 AS MATERIALIZED (
+        |  SELECT p.piece, CAST(SUM(p.freq) AS BIGINT) AS cnt
+        |  FROM pieces p JOIN best1 b ON p.word = b.word AND p.m = b.m
+        |  GROUP BY p.piece),
+        |v1c AS MATERIALIZED (
+        |  SELECT piece, cnt, length(bin(CAST((SELECT SUM(cnt) FROM cnt1) AS BIGINT) // cnt)) AS cost FROM cnt1),
+        |best2 AS MATERIALIZED (
+        |  SELECT word, m FROM (
+        |    SELECT p.word, p.m, row_number() OVER (PARTITION BY p.word ORDER BY SUM(v.cost), p.m) AS rn
+        |    FROM pieces p LEFT JOIN v1c v ON p.piece = v.piece
+        |    GROUP BY p.word, p.m
+        |    HAVING COUNT(*) = COUNT(v.piece)) q WHERE rn = 1),
+        |cnt2 AS MATERIALIZED (
+        |  SELECT p.piece, CAST(SUM(p.freq) AS BIGINT) AS cnt
+        |  FROM pieces p JOIN best2 b ON p.word = b.word AND p.m = b.m
+        |  GROUP BY p.piece),
+        |v2c AS MATERIALIZED (
+        |  SELECT piece, cnt, length(bin(CAST((SELECT SUM(cnt) FROM cnt2) AS BIGINT) // cnt)) AS cost FROM cnt2),
+        |best3 AS MATERIALIZED (
+        |  SELECT word, m FROM (
+        |    SELECT p.word, p.m, row_number() OVER (PARTITION BY p.word ORDER BY SUM(v.cost), p.m) AS rn
+        |    FROM pieces p LEFT JOIN v2c v ON p.piece = v.piece
+        |    GROUP BY p.word, p.m
+        |    HAVING COUNT(*) = COUNT(v.piece)) q WHERE rn = 1),
+        |wenc AS MATERIALIZED (
+        |  SELECT p.word, COUNT(*) AS n_pieces,
+        |    string_agg(p.piece, chr(183) ORDER BY p.pid) AS encoded,
+        |    CAST(SUM(v.cost) AS BIGINT) AS enc_cost
+        |  FROM pieces p JOIN best3 b ON p.word = b.word AND p.m = b.m
+        |    JOIN v2c v ON p.piece = v.piece
+        |  GROUP BY p.word)
+        |SELECT w.word, w.freq, COALESCE(e.n_pieces, 0) AS n_pieces, e.encoded, e.enc_cost
+        |FROM w LEFT JOIN wenc e ON w.word = e.word ORDER BY w.word""".stripMargin,
+
     // replays the planted pixel function → 8x8 aHash samples → bit packing
     // (two 32-bit halves, no sign arithmetic) → brute-force all-pairs
     // Hamming; the Spark side goes through real codec encode/decode and the
@@ -5781,6 +5893,39 @@ object SparkEntry {
         |SELECT a.img_id AS a_id, b.img_id AS b_id,
         |  CAST(bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
         |FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // replays waveform synthesis → 64 window energies → adjacent-compare
+    // bits → bit packing → brute-force all-pairs Hamming
+    "dedup_audio" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id, doc_id // 3 AS seed, doc_id % 3 AS var,
+        |    CAST(8 + (doc_id // 3) % 5 AS BIGINT) AS k
+        |  FROM documents),
+        |samp AS (
+        |  SELECT id, ti.i // k AS w,
+        |    abs(((('0x' || substr(md5(CAST(seed AS VARCHAR) || '-' || CAST((ti.i // k) // 16 AS VARCHAR)),
+        |                          ((ti.i // k) % 16) * 2 + 1, 2))::BIGINT % 97) + 1)
+        |          * ((ti.i % 17) - 8)
+        |        + CASE WHEN var = 2 AND ti.i % 97 = 0 THEN 64 ELSE 0 END)
+        |      * CASE WHEN var = 1 THEN 2 ELSE 1 END AS a
+        |  FROM img, UNNEST(generate_series(0, 64*k - 1)) AS ti(i)),
+        |en AS (SELECT id, w, CAST(SUM(a) AS BIGINT) AS e FROM samp GROUP BY id, w),
+        |bits AS (
+        |  SELECT id, w, CASE WHEN e > nxt THEN 1 ELSE 0 END AS b FROM (
+        |    SELECT id, w, e,
+        |      COALESCE(LEAD(e) OVER (PARTITION BY id ORDER BY w),
+        |               FIRST_VALUE(e) OVER (PARTITION BY id ORDER BY w)) AS nxt
+        |    FROM en) q),
+        |hashes AS (
+        |  SELECT id,
+        |    SUM(CASE WHEN w < 32 AND b = 1 THEN (1::BIGINT << w) ELSE 0 END) AS h_lo,
+        |    SUM(CASE WHEN w >= 32 AND b = 1 THEN (1::BIGINT << (w - 32)) ELSE 0 END) AS h_hi
+        |  FROM bits GROUP BY id)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
         |WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
 

@@ -37,9 +37,13 @@ object ImageDedup {
     * recurs ~17×, exact-dup cliques grow with the corpus, and the pair
     * output itself goes quadratic. md5 coefficients decorrelate seeds
     * permanently — the same reason GenScale ciphers text across copies. */
-  def seedHash(seed: Long): Long = {
+  def seedHash(seed: Long): Long = seedHashStr(seed.toString)
+
+  /** String form of the hash60 convention, for compound keys like the
+    * audio lane's per-(seed, window) envelope. */
+  def seedHashStr(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(seed.toString.getBytes("US-ASCII"))
+    val hex = md.digest(s.getBytes("US-ASCII"))
       .map(b => f"${b & 0xff}%02x").mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
@@ -170,32 +174,10 @@ object ImageDedup {
   }
 
   /** Near-dup pairs at Hamming ≤ maxHamming (must be ≤ 3 for the 4-band
-    * losslessness guarantee): band table → keyed self-join on (band_id,
-    * band_val) → distinct candidates → exact Hamming verify. Returns
-    * (a_id, b_id, hamming), a_id < b_id — provably identical to the
-    * brute-force all-pairs oracle. */
-  def nearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, s"4x16-bit banding is only lossless to Hamming 3, got $maxHamming")
-    val bands = fps.select(col("img_id"), col("h_lo"), col("h_hi"),
-      posexplode(array(
-        col("h_lo").bitwiseAND(lit(0xffffL)),
-        shiftright(col("h_lo"), 16),
-        col("h_hi").bitwiseAND(lit(0xffffL)),
-        shiftright(col("h_hi"), 16))))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_val")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.as("x").join(bands.as("y"), Seq("band_id", "band_val"))
-      .where(col("x.img_id") < col("y.img_id"))
-      .select(col("x.img_id").as("a_id"), col("y.img_id").as("b_id"),
-        col("x.h_lo").as("alo"), col("x.h_hi").as("ahi"),
-        col("y.h_lo").as("blo"), col("y.h_hi").as("bhi"))
-      .distinct()
-    val pairs = cand
-      .withColumn("hamming",
-        expr("bit_count(alo ^ blo) + bit_count(ahi ^ bhi)").cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
-    CacheScope.unpersistAfterUse(pairs, bands)
-  }
+    * losslessness guarantee) — the shared [[HammingPairs]] machinery:
+    * band table → keyed self-join → distinct candidates → exact Hamming
+    * verify. Returns (a_id, b_id, hamming), a_id < b_id — provably
+    * identical to the brute-force all-pairs oracle. */
+  def nearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame =
+    HammingPairs.pairs(fps, "img_id", maxHamming)
 }

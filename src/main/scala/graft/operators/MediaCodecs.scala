@@ -159,6 +159,40 @@ object MediaCodecs {
   /** Parse a RIFF/WAVE payload: walk chunks to fmt + data (tolerating
     * extra chunks in between), require PCM16 mono, extract sample count
     * and peak amplitude. None on malformation. */
+  /** (sample rate, PCM16 samples) of a valid mono WAV; None on
+    * malformation. The sample-access sibling of [[wavDecode]] (which
+    * reduces to summary features), for stages that transform or
+    * fingerprint the waveform. Same chunk-walk and guards. */
+  def wavSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes.length < 12) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int) = new String(bytes, at, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var pos = 12
+    var rate = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val tag = tag4(pos)
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len.toLong > bytes.length) return None
+      tag match {
+        case "fmt " =>
+          if (len < 16) return None
+          val codec = buf.getShort(pos + 8)
+          val channels = buf.getShort(pos + 10)
+          val bits = buf.getShort(pos + 22)
+          if (codec != 1 || channels != 1 || bits != 16) return None
+          rate = buf.getInt(pos + 12)
+        case "data" =>
+          if (rate < 0) return None // fmt must precede data
+          samples = Array.tabulate(len / 2)(i => buf.getShort(pos + 8 + i * 2))
+        case _ => // skip unknown chunk
+      }
+      pos += 8 + len + (len & 1)
+    }
+    if (rate < 0 || samples == null) None else Some((rate, samples))
+  }
+
   def wavDecode(id: Long, bytes: Array[Byte]): Option[MediaInfo] = {
     if (bytes.length < 12) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -112,4 +112,38 @@ object UnigramTrain {
       .map { case (p, c) => (p, c, pieceCost(cFinal, c)) }
       .toDF("piece", "cnt", "cost")
   }
+
+  /** Viterbi-encode the distinct vocabulary under a trained (piece, cnt,
+    * cost) table — the apply half of train→apply (BpeTrain.encodeWords'
+    * sibling). Map-only over the word table with the trained costs
+    * broadcast; a word with no valid segmentation (pruned pieces, or
+    * longer than [[maxWordLen]]) dead-letters with n_pieces = 0 and null
+    * encoding instead of being dropped. Every word that received a
+    * final-round segmentation during training is guaranteed encodable:
+    * its pieces are exactly the ones the final counts came from. */
+  def encodeWords(
+      words: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      trained: DataFrame,
+      maxWordLen: Int = 8): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val costs = trained.select(col("piece"), col("cost"))
+      .as[(String, Long)].collect().toMap
+    val bc = s.sparkContext.broadcast(costs)
+    words
+      .select(col(wordCol).as("word"), col(freqCol).cast("long").as("freq"))
+      .as[(String, Long)]
+      .map { case (word, freq) =>
+        val seg = if (word.length > maxWordLen) None else segment(word, bc.value)
+        seg match {
+          case Some(sg) =>
+            (word, freq, sg.length.toLong,
+              Some(sg.mkString("·")), Some(sg.map(bc.value).sum))
+          case None => (word, freq, 0L, None: Option[String], None: Option[Long])
+        }
+      }
+      .toDF("word", "freq", "n_pieces", "encoded", "enc_cost")
+  }
 }

@@ -90,4 +90,28 @@ class UnigramTrainSpec extends AnyFunSuite {
     // non-vacuous: a multi-char piece must survive EM
     assert(expected.keys.exists(_.length > 1))
   }
+
+  test("encodeWords reassembles every word exactly and dead-letters OOV") {
+    import TestSpark.spark.implicits._
+    val words = Seq(("ababab", 4L), ("abc", 2L)).toDF("word", "freq")
+    val trained = UnigramTrain.train(words, "word", "freq", topPieces = 3)
+    val enc = UnigramTrain.encodeWords(words, "word", "freq", trained)
+      .as[(String, Long, Long, Option[String], Option[Long])].collect()
+    assert(enc.length === 2)
+    for ((word, _, n, encoded, cost) <- enc) {
+      assert(n > 0 && encoded.isDefined && cost.isDefined, s"$word must encode")
+      val pieces = encoded.get.split('·').toSeq
+      assert(pieces.mkString === word, "pieces must reassemble the word byte-exactly")
+      assert(pieces.length.toLong === n)
+      // every trained word's final segmentation pieces are in the vocab
+      val costs = trained.as[(String, Long, Long)].collect()
+        .map { case (p, _, c) => p -> c }.toMap
+      assert(cost.get === pieces.map(costs).sum)
+    }
+    // OOV lane: a word whose characters were pruned from the final vocab
+    val oov = UnigramTrain.encodeWords(
+      Seq(("zzz", 1L)).toDF("word", "freq"), "word", "freq", trained)
+      .as[(String, Long, Long, Option[String], Option[Long])].collect().head
+    assert(oov === (("zzz", 1L, 0L, None, None)))
+  }
 }
