@@ -341,6 +341,36 @@ object SparkEntry {
         .orderBy("p_brand")
     },
 
+    "q22_inactive_rich" -> { (s, dir) =>
+      // TPC-H Q22 shape — the OTHER classic decorrelation class beside
+      // q17's per-group scalar subquery: an UNCORRELATED scalar subquery
+      // (global positive-balance average) plus a correlated NOT EXISTS
+      // (customers with no orders). Decorrelated: the scalar collapses to
+      // a one-row aggregate broadcast-cross-joined onto the scan (the one
+      // legitimate crossJoin shape — PlanHygieneSpec bans the rest), and
+      // NOT EXISTS becomes a broadcast-able LEFT ANTI join on the key.
+      // Exactness: above-average is tested as bal·n_pos > sum_pos
+      // (cross-multiplied decimals — no decimal-avg rounding divergence
+      // between engines); the oracle runs the original two-subquery SQL.
+      // "Inactive" = no order since 2000-01-01 (all-time coverage is
+      // dense in this data — an unrestricted NOT EXISTS is vacuous, and
+      // the anti-join's date filter is pushed into the orders scan).
+      val cust = Tables.customer(s, dir)
+      val stats = cust.where(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(dec2(col("c_acctbal"))).as("sum_pos"))
+      cust.crossJoin(broadcast(stats))
+        .where(dec2(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sumd(dec2(col("c_acctbal"))).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
     "join_broadcast" -> { (s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -1963,6 +1993,29 @@ object SparkEntry {
       val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
       ImageDedup.nearDupPairs(ImageDedup.fingerprints(ImageDedup.corpus(ids)))
         .orderBy("a_id", "b_id")
+    },
+
+    "dedup_images_incremental" -> { (s, dir) =>
+      // Incremental media dedup — the Bloom/LSH-index lifecycle applied
+      // to perceptual hashes: "yesterday's" corpus (img_id % 10 != 0) has
+      // its pairs and its band INDEX already; today's delta (img_id % 10
+      // == 0) is fingerprinted alone and PROBED against index ∪ delta
+      // bands, so per-batch cost tracks the delta while the index is
+      // only read through a keyed join. The output unions prior pairs
+      // with probed pairs, and the oracle is dedup_images' brute-force
+      // all-pairs SQL over EVERYTHING — a hash match is an incremental ≡
+      // recompute proof (the graph_cc_incremental convention).
+      import s.implicits._
+      import graft.operators.{HammingPairs, ImageDedup}
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val fps = ImageDedup.fingerprints(ImageDedup.corpus(ids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = fps.where(pmod(col("img_id"), lit(10)) =!= 0)
+      val delta = fps.where(pmod(col("img_id"), lit(10)) === 0)
+      val result = HammingPairs.pairs(base, "img_id")
+        .unionByName(HammingPairs.probePairs(base, delta, "img_id"))
+        .orderBy("a_id", "b_id")
+      graft.operators.CacheScope.unpersistAfterUse(result, fps)
     },
 
     "dedup_audio" -> { (s, dir) =>
@@ -4502,6 +4555,38 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these at sf0.01). */
+  /** Brute-force all-pairs image-hash oracle, shared verbatim by
+    * `dedup_images` and `dedup_images_incremental`: the incremental lane
+    * computes the same pair set as prior-pairs ∪ delta-probe, so hashing
+    * against the identical full-recompute SQL proves incremental ≡
+    * recompute. */
+  private val dedupImagesOracle: String =
+    """WITH img AS (
+      |  SELECT doc_id AS img_id, doc_id // 3 AS seed, doc_id % 3 AS var,
+      |    8*(2 + (doc_id // 3) % 3) AS w, 8*(2 + (doc_id // 3) % 2) AS h,
+      |    ('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 15))::BIGINT AS h60
+      |  FROM documents),
+      |cells AS (
+      |  SELECT img_id, tj.j*8 + ti.i AS k,
+      |    CASE WHEN var = 1 AND ((ti.i*w//8) + (tj.j*h//8)) % 13 = 0
+      |      THEN least(255, ((1+h60%127)*(ti.i*w//8) + (1+(h60//127)%131)*(tj.j*h//8)
+      |                       + ((h60//16637)%61)*(ti.i*w//8)*(tj.j*h//8) + h60%256) % 256 + 24)
+      |      ELSE ((1+h60%127)*(ti.i*w//8) + (1+(h60//127)%131)*(tj.j*h//8)
+      |            + ((h60//16637)%61)*(ti.i*w//8)*(tj.j*h//8) + h60%256) % 256
+      |    END AS g
+      |  FROM img, UNNEST(generate_series(0,7)) AS ti(i), UNNEST(generate_series(0,7)) AS tj(j)),
+      |m AS (SELECT img_id, k, g, SUM(g) OVER (PARTITION BY img_id) // 64 AS mean FROM cells),
+      |hashes AS (
+      |  SELECT img_id,
+      |    SUM(CASE WHEN k < 32 AND g > mean THEN (1::BIGINT << k) ELSE 0 END) AS h_lo,
+      |    SUM(CASE WHEN k >= 32 AND g > mean THEN (1::BIGINT << (k-32)) ELSE 0 END) AS h_hi
+      |  FROM m GROUP BY img_id)
+      |SELECT a.img_id AS a_id, b.img_id AS b_id,
+      |  CAST(bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+      |WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "snapshot_scan" ->
@@ -4632,6 +4717,17 @@ object SparkEntry {
         |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |    < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // original form: uncorrelated scalar subquery + correlated NOT EXISTS
+    "q22_inactive_rich" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
@@ -5869,32 +5965,12 @@ object SparkEntry {
     // (two 32-bit halves, no sign arithmetic) → brute-force all-pairs
     // Hamming; the Spark side goes through real codec encode/decode and the
     // real resize, so a hash match proves the whole media pipeline
-    "dedup_images" ->
-      """WITH img AS (
-        |  SELECT doc_id AS img_id, doc_id // 3 AS seed, doc_id % 3 AS var,
-        |    8*(2 + (doc_id // 3) % 3) AS w, 8*(2 + (doc_id // 3) % 2) AS h,
-        |    ('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 15))::BIGINT AS h60
-        |  FROM documents),
-        |cells AS (
-        |  SELECT img_id, tj.j*8 + ti.i AS k,
-        |    CASE WHEN var = 1 AND ((ti.i*w//8) + (tj.j*h//8)) % 13 = 0
-        |      THEN least(255, ((1+h60%127)*(ti.i*w//8) + (1+(h60//127)%131)*(tj.j*h//8)
-        |                       + ((h60//16637)%61)*(ti.i*w//8)*(tj.j*h//8) + h60%256) % 256 + 24)
-        |      ELSE ((1+h60%127)*(ti.i*w//8) + (1+(h60//127)%131)*(tj.j*h//8)
-        |            + ((h60//16637)%61)*(ti.i*w//8)*(tj.j*h//8) + h60%256) % 256
-        |    END AS g
-        |  FROM img, UNNEST(generate_series(0,7)) AS ti(i), UNNEST(generate_series(0,7)) AS tj(j)),
-        |m AS (SELECT img_id, k, g, SUM(g) OVER (PARTITION BY img_id) // 64 AS mean FROM cells),
-        |hashes AS (
-        |  SELECT img_id,
-        |    SUM(CASE WHEN k < 32 AND g > mean THEN (1::BIGINT << k) ELSE 0 END) AS h_lo,
-        |    SUM(CASE WHEN k >= 32 AND g > mean THEN (1::BIGINT << (k-32)) ELSE 0 END) AS h_hi
-        |  FROM m GROUP BY img_id)
-        |SELECT a.img_id AS a_id, b.img_id AS b_id,
-        |  CAST(bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
-        |FROM hashes a JOIN hashes b ON a.img_id < b.img_id
-        |WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
-        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_images" -> dedupImagesOracle,
+
+    // IDENTICAL brute-force SQL on purpose: the Spark side computes the
+    // same pair set incrementally (prior pairs ∪ delta probe), so the
+    // hash match is an incremental ≡ recompute proof
+    "dedup_images_incremental" -> dedupImagesOracle,
 
     // replays waveform synthesis → 64 window energies → adjacent-compare
     // bits → bit packing → brute-force all-pairs Hamming

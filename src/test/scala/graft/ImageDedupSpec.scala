@@ -88,4 +88,27 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(expected.exists(_._3 == 0L))
     assert(expected.exists(_._3 > 0L))
   }
+
+  test("incremental probe union equals full recompute for any base/delta split") {
+    import TestSpark.spark.implicits._
+    import graft.operators.HammingPairs
+    val n = 60L
+    val fps = ImageDedup.fingerprints(ImageDedup.corpus((0L until n).toDS()))
+      .cache()
+    val full = ImageDedup.nearDupPairs(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (mod <- Seq(2L, 7L, 10L)) {
+      val base = fps.where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("img_id"),
+        org.apache.spark.sql.functions.lit(mod)) =!= 0L)
+      val delta = fps.where(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("img_id"),
+        org.apache.spark.sql.functions.lit(mod)) === 0L)
+      val inc = HammingPairs.pairs(base, "img_id")
+        .unionByName(HammingPairs.probePairs(base, delta, "img_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(inc === full, s"split mod $mod")
+    }
+    fps.unpersist()
+  }
 }

@@ -72,7 +72,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "join_hybrid_skew", "layout_hilbert",
       // mixture_temperature reuses Mixture.rates' ONE-ROW (M, W) scalar
       // broadcast — the mixture_rebalance shape with sqrt-grid weights
-      "mixture_temperature")
+      "mixture_temperature",
+      // q22_inactive_rich broadcasts the ONE-ROW (n_pos, sum_pos)
+      // positive-balance aggregate onto the customer scan — the
+      // decorrelated uncorrelated-scalar-subquery shape
+      "q22_inactive_rich")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
