@@ -2018,6 +2018,46 @@ object SparkEntry {
       graft.operators.CacheScope.unpersistAfterUse(result, fps)
     },
 
+    "dedup_video_frames" -> { (s, dir) =>
+      // Video near-dup — the third multimodal lane (images: pixels, audio:
+      // waveform, video: FRAME SEQUENCES): fixed-size raw frames
+      // concatenated into one binary payload, sliced back through the REAL
+      // frame-sampling operator (Multimodal.sampleFrames — the video
+      // analogue of a raw-capture decode), per-frame content hash, then an
+      // inverted frame-hash index join: two videos are near-dups when they
+      // share ≥ 2 distinct frames (shot-level containment — robust to
+      // dropped leading frames and single-frame edits, both planted).
+      // Fully declarative: no mapPartitions, whole pipeline in Catalyst
+      // expressions. Scale note: the frame-hash join is keyed; real
+      // corpora have stop-frames (black/intro frames in thousands of
+      // videos), so hashes seen in > 32 videos are dropped before the
+      // self-join — the similarity-join prefix-filtering / stopword cap.
+      val vids = Tables.documents(s, dir)
+        .select(col("doc_id").as("vid_id"),
+          expr("doc_id div 3").as("seed"), pmod(col("doc_id"), lit(3)).as("var"))
+        .withColumn("f", lit(8) + pmod(col("seed"), lit(5)))
+        .withColumn("payload", concat_ws("", expr(
+          """transform(sequence(CASE WHEN var = 1 THEN 1 ELSE 0 END, f - 1),
+            |  j -> CASE WHEN var = 2 AND j % 5 = 2
+            |         THEN md5(cast(concat(cast(seed AS string), ':', cast(j AS string), ':x') AS binary))
+            |         ELSE md5(cast(concat(cast(seed AS string), ':', cast(j AS string)) AS binary))
+            |       END)""".stripMargin)).cast("binary"))
+      val frames = graft.operators.Multimodal.sampleFrames(
+        vids.select("vid_id", "payload"), "vid_id", "payload",
+        stride = 32, maxFrames = 16, frameLen = 32)
+        .select(col("vid_id"), md5(col("frame_bytes")).as("h"))
+        .distinct()
+      val hot = frames.groupBy("h").agg(count(lit(1)).as("n_vids"))
+        .where(col("n_vids") > 32).select("h")
+      val fh = frames.join(hot, Seq("h"), "left_anti")
+      fh.as("x").join(fh.as("y"), Seq("h"))
+        .where(col("x.vid_id") < col("y.vid_id"))
+        .groupBy(col("x.vid_id").as("a_id"), col("y.vid_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("a_id", "b_id")
+    },
+
     "dedup_audio" -> { (s, dir) =>
       // Audio near-dup — the waveform sibling of dedup_images: WAV corpus
       // through the real RIFF/PCM16 codec, 64-window energy-profile hash
@@ -5971,6 +6011,28 @@ object SparkEntry {
     // same pair set incrementally (prior pairs ∪ delta probe), so the
     // hash match is an incremental ≡ recompute proof
     "dedup_images_incremental" -> dedupImagesOracle,
+
+    // replays frame synthesis (md5-hex frames, dropped-first and
+    // edited-frame variants) → distinct per-video frame hashes →
+    // stop-frame cap → shared-frame counting
+    "dedup_video_frames" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS vid_id, doc_id // 3 AS seed, doc_id % 3 AS var,
+        |    8 + (doc_id // 3) % 5 AS f
+        |  FROM documents),
+        |frames AS (
+        |  SELECT vid_id,
+        |    CASE WHEN var = 2 AND t.j % 5 = 2
+        |      THEN md5(CAST(seed AS VARCHAR) || ':' || CAST(t.j AS VARCHAR) || ':x')
+        |      ELSE md5(CAST(seed AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)) END AS fr
+        |  FROM vid, UNNEST(generate_series(CASE WHEN var = 1 THEN 1 ELSE 0 END, f - 1)) AS t(j)),
+        |fh AS (SELECT DISTINCT vid_id, md5(fr) AS h FROM frames),
+        |hot AS (SELECT h FROM fh GROUP BY h HAVING COUNT(*) > 32),
+        |fh2 AS (SELECT vid_id, h FROM fh WHERE h NOT IN (SELECT h FROM hot))
+        |SELECT a.vid_id AS a_id, b.vid_id AS b_id, COUNT(*) AS n_shared
+        |FROM fh2 a JOIN fh2 b ON a.h = b.h AND a.vid_id < b.vid_id
+        |GROUP BY a.vid_id, b.vid_id HAVING COUNT(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // replays waveform synthesis → 64 window energies → adjacent-compare
     // bits → bit packing → brute-force all-pairs Hamming
