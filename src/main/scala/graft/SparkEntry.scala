@@ -341,6 +341,78 @@ object SparkEntry {
         .orderBy("p_brand")
     },
 
+    "join_spatial_grid" -> { (s, dir) =>
+      // Spatial proximity self-join — the 2-D sibling of join_range /
+      // join_interval_overlap: all point pairs within Euclidean radius
+      // r = 500, via grid bucketing. Cell side = r, each LEFT point
+      // explodes to its 3×3 cell neighborhood (a pair within r differs by
+      // ≤ 1 cell per axis, so the keyed cell join is COMPLETE, and each
+      // qualifying pair is produced exactly once: the smaller id's explode
+      // hits the larger's cell through one offset), exact integer dist²
+      // verify in buckets — no sqrt, no floats in the output. The
+      // coordinate space side scales as 2582·⌈√n⌉ so point DENSITY (and
+      // the output-per-point rate) is constant across SFs — a fixed side
+      // was rejected on paper: pair count would grow quadratically with
+      // corpus size, measuring output explosion instead of join scaling.
+      // One-row count broadcast = the mixture_rebalance scalar shape.
+      val r = 500L
+      val cust = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val pts = cust.crossJoin(broadcast(stats))
+        .withColumn("side", expr("2582 * cast(ceil(sqrt(cast(n as double))) as long)"))
+        .withColumn("h60", Tf.hash60(col("id").cast("string")))
+        .withColumn("x", pmod(col("h60"), col("side")))
+        .withColumn("y", pmod(expr("h60 div side"), col("side")))
+        .withColumn("cx", expr(s"x div $r"))
+        .withColumn("cy", expr(s"y div $r"))
+        .select("id", "x", "y", "cx", "cy")
+      val probe = pts
+        .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+          col("cx"), col("cy"))
+        .withColumn("d", explode(sequence(lit(0), lit(8))))
+        .select(col("a_id"), col("ax"), col("ay"),
+          (col("cx") + pmod(col("d"), lit(3)) - 1).as("jcx"),
+          (col("cy") + expr("d div 3") - 1).as("jcy"))
+      val build = pts.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("jcx"), col("cy").as("jcy"))
+      probe.join(build, Seq("jcx", "jcy"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("dist2",
+          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by")) * (col("ay") - col("by")))
+        .where(col("dist2") <= lit(r * r))
+        .select("a_id", "b_id", "dist2")
+        .orderBy("a_id", "b_id")
+    },
+
+    "q8_market_share" -> { (s, dir) =>
+      // TPC-H Q8 shape — conditional-aggregation share-of-market: one
+      // supplier nation's fraction of a region's yearly revenue, the
+      // classic CASE-inside-SUM share pattern. Both the numerator and
+      // denominator are EXACT decimal sums over one joined frame (no
+      // second pass, no self-join); only the final share divides, as
+      // IEEE double on both engines. Dims broadcast; the fact-side
+      // pipeline shuffles once per join key, grouped by year at the end.
+      val nat = Tables.nation(s, dir)
+      val joined = Tables.region(s, dir).where(col("r_name") === "ASIA")
+        .join(nat.select(col("n_nationkey").as("cn_key"), col("n_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, dir), col("c_nationkey") === col("cn_key"))
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      joined
+        .withColumn("vol", dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", col("vol"))
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(col("vol")).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    },
+
     "q22_inactive_rich" -> { (s, dir) =>
       // TPC-H Q22 shape — the OTHER classic decorrelation class beside
       // q17's per-group scalar subquery: an UNCORRELATED scalar subquery
@@ -2188,6 +2260,23 @@ object SparkEntry {
           col("sxy"), col("sxx"), slope.as("slope"),
           ((col("sy") - slope * col("sx")) / nD).as("intercept"))
         .orderBy("flag")
+    },
+
+    "audit_kanonymity" -> { (s, dir) =>
+      // k-anonymity audit — the privacy sibling of audit_constraints /
+      // audit_erasure: report every quasi-identifier equivalence class
+      // smaller than k = 5 (each is a re-identification risk: the QI
+      // combination singles out < k people). QI here = (nation, segment,
+      // coarsened balance bucket). ONE keyed agg + a having filter —
+      // metadata-scale output; in a real deployment the generalization-
+      // lattice search (widen buckets until all classes reach k) loops
+      // this same agg driver-side, each step one pass.
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(5000)).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
     },
 
     "audit_constraints" -> { (s, dir) =>
@@ -4758,6 +4847,39 @@ object SparkEntry {
         |    < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    // brute-force all-pairs distance oracle; the Spark side must find the
+    // identical pair set through the grid
+    "join_spatial_grid" ->
+      """WITH c AS (SELECT COUNT(*) AS n FROM customer),
+        |pts AS (
+        |  SELECT id, h60 % side AS x, (h60 // side) % side AS y FROM (
+        |    SELECT c_custkey AS id,
+        |      ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h60,
+        |      2582 * CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS side
+        |    FROM customer, c) q)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 250000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share,
+        |  COUNT(*) AS n_items
+        |FROM region
+        |JOIN nation cn ON cn.n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = cn.n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // original form: uncorrelated scalar subquery + correlated NOT EXISTS
     "q22_inactive_rich" ->
       """SELECT c_nationkey, COUNT(*) AS numcust,
@@ -6114,6 +6236,13 @@ object SparkEntry {
         |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM st ORDER BY flag""".stripMargin,
+
+    "audit_kanonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 5000) AS BIGINT) AS bal_bucket, COUNT(*) AS n
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
 
     "audit_constraints" ->
       """WITH li AS (

@@ -76,7 +76,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // q22_inactive_rich broadcasts the ONE-ROW (n_pos, sum_pos)
       // positive-balance aggregate onto the customer scan — the
       // decorrelated uncorrelated-scalar-subquery shape
-      "q22_inactive_rich")
+      "q22_inactive_rich",
+      // join_spatial_grid broadcasts the ONE-ROW point count used for the
+      // density-normalizing coordinate side — the mixture_rebalance shape
+      "join_spatial_grid")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
