@@ -341,6 +341,34 @@ object SparkEntry {
         .orderBy("p_brand")
     },
 
+    "join_bloom_prefilter" -> { (s, dir) =>
+      // Runtime-filter join pushdown made explicit — the pattern behind
+      // Spark's own runtime filters / DPP, built from this repo's Bloom
+      // expression: a selective dim predicate (segment + balance) reduces
+      // to ONE serialized filter row, broadcast onto the fact scan, and
+      // the fact side drops non-matching rows MAP-SIDE before the join
+      // shuffle. At 100 TB this is the difference between shuffling the
+      // whole fact table and shuffling the ~0.5% that can match. Bloom
+      // has no false negatives, so the exact join after the prefilter
+      // loses nothing — proven by hashing against the PLAIN join oracle;
+      // false positives only cost prefilter width and are removed by the
+      // exact join.
+      import graft.expressions.Bloom
+      val dim = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"))
+      val bloomRow = dim.agg(
+        Bloom.aggregate(col("c_custkey"), numBits = 1 << 17, numHashes = 5).as("bf"))
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(bloomRow))
+        .where(Bloom.mightContain(col("bf"), col("o_custkey")))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(dec2(col("o_totalprice"))).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     "join_spatial_grid" -> { (s, dir) =>
       // Spatial proximity self-join — the 2-D sibling of join_range /
       // join_interval_overlap: all point pairs within Euclidean radius
@@ -1796,6 +1824,38 @@ object SparkEntry {
         .withColumn("mae",
           col("total_abs_err").cast("double") / col("n_days_scored"))
         .orderBy("event_type")
+    },
+
+    "events_ewma" -> { (s, dir) =>
+      // Integer-exact EWMA smoothing (α = 1/8) per event type — the
+      // recursive half of the forecasting family (anomaly/forecast/
+      // rolling are window-expressible; EWMA's recurrence is not): ewma_0
+      // = x_0, ewma_t = (7·ewma_{t-1} + x_t) div 8, all terms
+      // NON-NEGATIVE so floor and truncating division agree between
+      // engines (a (x−s)/8 incremental form was rejected on paper: Spark
+      // `div` truncates toward zero, DuckDB `//` floors — negative
+      // deltas diverge). Shape at 100 TB: the corpus collapses to ONE
+      // keyed daily agg; the recurrence runs as an aggregate HOF over
+      // each type's O(days) series — metadata scale, interpreted cost
+      // bounded by types × days, never corpus-sized. Oracle replays the
+      // recurrence with a recursive CTE over day ranks.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("xs"))
+        .withColumn("out", expr(
+          """aggregate(xs,
+            |  cast(array() as array<struct<day:bigint,cnt:bigint,ewma:bigint>>),
+            |  (acc, x) -> array_append(acc, named_struct(
+            |    'day', x.day, 'cnt', x.cnt,
+            |    'ewma', CASE WHEN size(acc) = 0 THEN x.cnt
+            |                 ELSE (7 * element_at(acc, -1).ewma + x.cnt) div 8
+            |            END)))""".stripMargin))
+        .select(col("event_type"), explode(col("out")).as("o"))
+        .select(col("event_type"), col("o.day").as("day"),
+          col("o.cnt").as("cnt"), col("o.ewma").as("ewma"))
+        .orderBy("event_type", "day")
     },
 
     "events_gapfill" -> { (s, dir) =>
@@ -4847,6 +4907,16 @@ object SparkEntry {
         |    < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    // the PLAIN join — the Spark side must lose nothing through the Bloom
+    // prefilter (no false negatives) and keep nothing extra (exact join
+    // drops false positives)
+    "join_bloom_prefilter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // brute-force all-pairs distance oracle; the Spark side must find the
     // identical pair set through the grid
     "join_spatial_grid" ->
@@ -5018,6 +5088,24 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // replays the integer EWMA recurrence with a recursive CTE over
+    // per-type day ranks
+    "events_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, day, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM daily),
+        |ew AS (
+        |  SELECT event_type, day, cnt, r, cnt AS ewma FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.cnt, x.r, (7 * e.ewma + x.cnt) // 8 AS ewma
+        |  FROM ew e JOIN ranked x ON x.event_type = e.event_type AND x.r = e.r + 1)
+        |SELECT event_type, day, cnt, CAST(ewma AS BIGINT) AS ewma
+        |FROM ew ORDER BY event_type, day""".stripMargin,
 
     "sketch_hist_reaggregate" ->
       """WITH ev AS (
