@@ -832,6 +832,43 @@ object SparkEntry {
         .orderBy("l_returnflag", "q")
     },
 
+    "bitmap_reaggregate" -> { (s, dir) =>
+      // The EXACT member of the stored-sketch lifecycle (HLL/KMV/CMS/
+      // histogram estimate; the bitmap answers the same questions with
+      // zero error at memory ∝ true cardinality — the Druid/ClickHouse
+      // groupBitmap shape): one canonical sorted delta-varint bitmap per
+      // (event_type, day); any window answered later by UNION-merge of
+      // stored bitmaps. The wire form is canonical (sorted, unique), so
+      // merged bytes are BIT-identical to building over the union —
+      // claimed as md5(merged) == md5(direct). bitmap_and_count gives the
+      // exact first-day↔last-day retention overlap, the exact sibling of
+      // KMV's estimated intersection. ok_exact pins bitmap cardinality ==
+      // count(DISTINCT) per type.
+      import graft.expressions.Bitmap
+      val ev = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .select(col("event_type"), col("day"), col("user_id"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(Bitmap.sketch(col("user_id")).as("bm"))
+      val merged = daily.groupBy("event_type").agg(
+        Bitmap.merge(col("bm")).as("bm_m"),
+        min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val direct = ev.groupBy("event_type").agg(
+        Bitmap.sketch(col("user_id")).as("bm_d"),
+        countDistinct(col("user_id")).as("n_exact"))
+      val first = daily.select(col("event_type"), col("day").as("d0"), col("bm").as("bm_first"))
+      val last = daily.select(col("event_type"), col("day").as("d1"), col("bm").as("bm_last"))
+      merged.join(direct, Seq("event_type"))
+        .join(first, Seq("event_type", "d0"))
+        .join(last, Seq("event_type", "d1"))
+        .select(col("event_type"), col("n_exact"),
+          Bitmap.count(col("bm_m")).as("n_bitmap"),
+          (md5(col("bm_m")) === md5(col("bm_d"))).as("ok_merge_lossless"),
+          (Bitmap.count(col("bm_m")) === col("n_exact")).as("ok_exact"),
+          Bitmap.andCount(col("bm_first"), col("bm_last")).as("n_both_days"))
+        .orderBy("event_type")
+    },
+
     "sketch_reaggregate" -> { (s, dir) =>
       // the pre-aggregated sketch-table lifecycle: one 4 KB sketch stored
       // per (group, day), any window answered later by MERGING sketches
@@ -5083,6 +5120,25 @@ object SparkEntry {
     "sketch_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, true AS ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the claims replay exactly: n_bitmap must equal count(DISTINCT), and
+    // the first/last-day overlap is an INTERSECT count
+    "bitmap_reaggregate" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+        |bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1),
+        |n AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM ev GROUP BY 1),
+        |got_both AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_both_days FROM (
+        |    SELECT ev.event_type, user_id FROM ev JOIN bounds USING (event_type) WHERE day = d0
+        |    INTERSECT
+        |    SELECT ev.event_type, user_id FROM ev JOIN bounds USING (event_type) WHERE day = d1) q
+        |  GROUP BY event_type)
+        |SELECT n.event_type, n.n_exact, n.n_exact AS n_bitmap,
+        |  true AS ok_merge_lossless, true AS ok_exact,
+        |  COALESCE(g.n_both_days, 0) AS n_both_days
+        |FROM n LEFT JOIN got_both g ON n.event_type = g.event_type
+        |ORDER BY n.event_type""".stripMargin,
 
     "sketch_reaggregate" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
