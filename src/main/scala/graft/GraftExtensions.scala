@@ -131,5 +131,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
       (args: Seq[Expression]) => PqAdc(args(0), args(1), intArg(args(2), "ks"))))
+
+    // r11 kernels: exact distinct-value bitmaps
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap"),
+      new ExpressionInfo(classOf[BitmapBytes].getName, "graft_bitmap"),
+      (args: Seq[Expression]) => BitmapBytes(args(0))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_merge"),
+      new ExpressionInfo(classOf[BitmapMergeAgg].getName, "graft_bitmap_merge"),
+      (args: Seq[Expression]) => BitmapMergeAgg(args(0))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_count"),
+      new ExpressionInfo(classOf[BitmapCount].getName, "graft_bitmap_count"),
+      (args: Seq[Expression]) => BitmapCount(args(0))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_and_count"),
+      new ExpressionInfo(classOf[BitmapAndCount].getName, "graft_bitmap_and_count"),
+      (args: Seq[Expression]) => BitmapAndCount(args(0), args(1))))
   }
 }

@@ -383,34 +383,35 @@ object SparkEntry {
       // was rejected on paper: pair count would grow quadratically with
       // corpus size, measuring output explosion instead of join scaling.
       // One-row count broadcast = the mixture_rebalance scalar shape.
-      val r = 500L
-      val cust = Tables.customer(s, dir).select(col("c_custkey").as("id"))
-      val stats = cust.agg(count(lit(1)).as("n"))
-      val pts = cust.crossJoin(broadcast(stats))
-        .withColumn("side", expr("2582 * cast(ceil(sqrt(cast(n as double))) as long)"))
-        .withColumn("h60", Tf.hash60(col("id").cast("string")))
-        .withColumn("x", pmod(col("h60"), col("side")))
-        .withColumn("y", pmod(expr("h60 div side"), col("side")))
-        .withColumn("cx", expr(s"x div $r"))
-        .withColumn("cy", expr(s"y div $r"))
-        .select("id", "x", "y", "cx", "cy")
-      val probe = pts
-        .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
-          col("cx"), col("cy"))
-        .withColumn("d", explode(sequence(lit(0), lit(8))))
-        .select(col("a_id"), col("ax"), col("ay"),
-          (col("cx") + pmod(col("d"), lit(3)) - 1).as("jcx"),
-          (col("cy") + expr("d div 3") - 1).as("jcy"))
-      val build = pts.select(col("id").as("b_id"), col("x").as("bx"),
-        col("y").as("by"), col("cx").as("jcx"), col("cy").as("jcy"))
-      probe.join(build, Seq("jcx", "jcy"))
-        .where(col("a_id") < col("b_id"))
-        .withColumn("dist2",
-          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-            (col("ay") - col("by")) * (col("ay") - col("by")))
-        .where(col("dist2") <= lit(r * r))
-        .select("a_id", "b_id", "dist2")
-        .orderBy("a_id", "b_id")
+      // Machinery in operators/SpatialGrid.scala (shared with the kNN
+      // variant).
+      import graft.operators.SpatialGrid
+      val pts = SpatialGrid.points(Tables.customer(s, dir), "c_custkey", 500L)
+      SpatialGrid.pairsWithin(pts, 500L).orderBy("a_id", "b_id")
+    },
+
+    "join_spatial_knn" -> { (s, dir) =>
+      // Bounded kNN join — for each point, its k = 3 nearest neighbors
+      // WITHIN radius r (the practical exact form: unbounded kNN needs
+      // data-dependent ring expansion and cannot be verified by a static
+      // grid; bounding by r makes the grid candidate set provably
+      // complete, so the per-point top-k over it is exact). Symmetrize
+      // the a<b pair set, then one partitioned window takes the k
+      // nearest with deterministic (dist², neighbor id) tie-break —
+      // WindowGroupLimit prunes before the full sort at scale.
+      import graft.operators.SpatialGrid
+      val pts = SpatialGrid.points(Tables.customer(s, dir), "c_custkey", 500L)
+      val pairs = SpatialGrid.pairsWithin(pts, 500L)
+      val sym = pairs
+        .select(col("a_id").as("id"), col("b_id").as("nb"), col("dist2"))
+        .unionByName(pairs
+          .select(col("b_id").as("id"), col("a_id").as("nb"), col("dist2")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("dist2"), col("nb"))
+      sym.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select("id", "rk", "nb", "dist2")
+        .orderBy("id", "rk")
     },
 
     "q8_market_share" -> { (s, dir) =>
@@ -4969,6 +4970,30 @@ object SparkEntry {
         |FROM pts a JOIN pts b ON a.id < b.id
         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 250000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // brute-force within-radius pairs, symmetrized, same deterministic
+    // (dist2, nb) window tie-break
+    "join_spatial_knn" ->
+      """WITH c AS (SELECT COUNT(*) AS n FROM customer),
+        |pts AS (
+        |  SELECT id, h60 % side AS x, (h60 // side) % side AS y FROM (
+        |    SELECT c_custkey AS id,
+        |      ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h60,
+        |      2582 * CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS side
+        |    FROM customer, c) q),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+        |  FROM pts a JOIN pts b ON a.id < b.id
+        |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 250000),
+        |sym AS (
+        |  SELECT a_id AS id, b_id AS nb, dist2 FROM pairs
+        |  UNION ALL SELECT b_id, a_id, dist2 FROM pairs)
+        |SELECT id, CAST(rk AS BIGINT) AS rk, nb, dist2 FROM (
+        |  SELECT id, nb, dist2,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist2, nb) AS rk
+        |  FROM sym) q
+        |WHERE rk <= 3 ORDER BY id, rk""".stripMargin,
 
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -104,4 +104,22 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(est === 100L)
   }
+
+  test("r11 kernels: exact bitmap build/merge/count/intersect callable from SQL") {
+    // daily bitmaps union-merged == direct distinct count, exactly
+    val n = spark.sql(
+      """WITH d AS (SELECT id % 4 AS day, graft_bitmap(id % 100) AS bm
+        |  FROM range(1000) GROUP BY id % 4),
+        |m AS (SELECT graft_bitmap_merge(bm) AS bm FROM d)
+        |SELECT graft_bitmap_count(m.bm) FROM m""".stripMargin).head().getLong(0)
+    assert(n === 100L)
+
+    // intersection of {0..59} and {40..99} = {40..59}
+    val both = spark.sql(
+      """SELECT graft_bitmap_and_count(
+        |  (SELECT graft_bitmap(id) FROM range(60)),
+        |  (SELECT graft_bitmap(id) FROM range(40, 100)))""".stripMargin)
+      .head().getLong(0)
+    assert(both === 20L)
+  }
 }

@@ -79,7 +79,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q22_inactive_rich",
       // join_spatial_grid broadcasts the ONE-ROW point count used for the
       // density-normalizing coordinate side — the mixture_rebalance shape
-      "join_spatial_grid",
+      "join_spatial_grid", "join_spatial_knn",
       // join_bloom_prefilter broadcasts the ONE-ROW serialized Bloom
       // filter onto the fact scan — the runtime-filter pushdown itself
       "join_bloom_prefilter")
