@@ -1869,10 +1869,10 @@ object SparkEntry {
       // recursive half of the forecasting family (anomaly/forecast/
       // rolling are window-expressible; EWMA's recurrence is not): ewma_0
       // = x_0, ewma_t = (7·ewma_{t-1} + x_t) div 8, all terms
-      // NON-NEGATIVE so floor and truncating division agree between
-      // engines (a (x−s)/8 incremental form was rejected on paper: Spark
-      // `div` truncates toward zero, DuckDB `//` floors — negative
-      // deltas diverge). Shape at 100 TB: the corpus collapses to ONE
+      // NON-NEGATIVE so every division-semantics question (floor vs
+      // truncate — engines agree on truncate for integers, but python
+      // reference models floor, and DuckDB floors for FLOAT operands)
+      // is moot. Shape at 100 TB: the corpus collapses to ONE
       // keyed daily agg; the recurrence runs as an aggregate HOF over
       // each type's O(days) series — metadata scale, interpreted cost
       // bounded by types × days, never corpus-sized. Oracle replays the
@@ -1893,6 +1893,65 @@ object SparkEntry {
         .select(col("event_type"), explode(col("out")).as("o"))
         .select(col("event_type"), col("o.day").as("day"),
           col("o.cnt").as("cnt"), col("o.ewma").as("ewma"))
+        .orderBy("event_type", "day")
+    },
+
+    "events_holt" -> { (s, dir) =>
+      // Holt double-exponential (level + trend) smoothing, α = β = 1/8 —
+      // extends events_ewma with a trend state. Unlike EWMA the trend
+      // DELTA can be negative, so the division semantics were MEASURED
+      // before relying on them: Spark `div` and DuckDB `//` both
+      // truncate toward zero for integers (−1 div 8 = 0 in both; an
+      // earlier draft wrongly assumed DuckDB floors — it floors only for
+      // FLOAT operands), so plain integer division agrees bit-for-bit
+      // across engines for any sign. Same metadata-scale shape as
+      // events_ewma: one keyed daily agg, then an aggregate HOF over each
+      // type's O(days) series. l_i = (x_i + 7(l+t)) div 8,
+      // t_i = ((l_i − l) + 7t) div 8.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("xs"))
+        .withColumn("out", expr(
+          """aggregate(xs,
+            |  cast(array() as array<struct<day:bigint,cnt:bigint,level:bigint,trend:bigint>>),
+            |  (acc, x) -> array_append(acc,
+            |    CASE WHEN size(acc) = 0
+            |      THEN named_struct('day', x.day, 'cnt', x.cnt,
+            |             'level', x.cnt, 'trend', cast(0 as bigint))
+            |      ELSE named_struct('day', x.day, 'cnt', x.cnt,
+            |        'level',
+            |          (x.cnt + 7 * (element_at(acc, -1).level + element_at(acc, -1).trend)) div 8,
+            |        'trend',
+            |          (((x.cnt + 7 * (element_at(acc, -1).level + element_at(acc, -1).trend)) div 8
+            |            - element_at(acc, -1).level) + 7 * element_at(acc, -1).trend) div 8)
+            |    END))""".stripMargin))
+        .select(col("event_type"), explode(col("out")).as("o"))
+        .select(col("event_type"), col("o.day").as("day"), col("o.cnt").as("cnt"),
+          col("o.level").as("level"), col("o.trend").as("trend"))
+        .orderBy("event_type", "day")
+    },
+
+    "events_rank_stats" -> { (s, dir) =>
+      // Statistical ranking windows over the daily series: row_number,
+      // quartile (ntile 4) and percent_rank — the last emitted as an
+      // EXACT integer fraction (rk−1, n−1) instead of the engines'
+      // float percent_rank, which would hash-diverge on division. All
+      // three share one partitioned (type) window ordered by (cnt desc,
+      // day) — deterministic total order, no unpartitioned windows.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("cnt").desc, col("day"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      daily
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_num", col("rk") - 1)
+        .withColumn("pct_den", count(lit(1)).over(wn) - 1)
+        .select("event_type", "day", "cnt", "rk", "quartile", "pct_num", "pct_den")
         .orderBy("event_type", "day")
     },
 
@@ -5169,6 +5228,41 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // replays the Holt level/trend recurrence with a recursive CTE;
+    // DuckDB's integer `//` truncates toward zero exactly like Spark's
+    // `div` (measured: −1 // 8 = 0), so the signed trend divides agree
+    "events_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, day, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM daily),
+        |h AS (
+        |  SELECT event_type, day, cnt, r, cnt AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.cnt, x.r,
+        |    (x.cnt + 7 * (e.level + e.trend)) // 8 AS level,
+        |    (((x.cnt + 7 * (e.level + e.trend)) // 8 - e.level) + 7 * e.trend) // 8 AS trend
+        |  FROM h e JOIN ranked x ON x.event_type = e.event_type AND x.r = e.r + 1)
+        |SELECT event_type, day, cnt, CAST(level AS BIGINT) AS level, CAST(trend AS BIGINT) AS trend
+        |FROM h ORDER BY event_type, day""".stripMargin,
+
+    "events_rank_stats" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cnt,
+        |  CAST(row_number() OVER w AS BIGINT) AS rk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(row_number() OVER w - 1 AS BIGINT) AS pct_num,
+        |  CAST(COUNT(*) OVER (PARTITION BY event_type) - 1 AS BIGINT) AS pct_den
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY cnt DESC, day)
+        |ORDER BY event_type, day""".stripMargin,
 
     // replays the integer EWMA recurrence with a recursive CTE over
     // per-type day ranks

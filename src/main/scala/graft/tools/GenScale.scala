@@ -28,7 +28,17 @@ import org.apache.spark.sql.functions._
   *    ~ N(0, 1/dim), far below every near-dup threshold).
   *
   * Usage: runMain graft.tools.GenScale <srcDir> <outDir> <factor>
-  */
+  *
+  * DO NOT COMPOSE applications (e.g. sf0.1 →x10→ sf1 →x10→ sf10):
+  * generate each target directly from the base with one factor. Sign
+  * masks are elementwise-COMMUTATIVE, so under composition the composed
+  * copy (c, d) and copy (d, c) receive the identical mask s_c⊙s_d and
+  * their embedding vectors are bit-equal — measured in round 11 as
+  * ~207k real cross-copy duplicate pairs at cos ≥ 0.9 in a composed
+  * sf10, which correctly (and confusingly) trip the dedup_semantic
+  * planted-pairs-only claim. One direct application has no such
+  * collision; the text cipher composes as (non-commutative) permutation
+  * composition and only dodges the same bug by accident. */
 object GenScale {
 
   private def splitmix64(seed: Long): Long = graft.expressions.Sketch.splitmix64(seed)
