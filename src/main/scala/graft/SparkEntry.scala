@@ -1955,6 +1955,36 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "events_cusum" -> { (s, dir) =>
+      // CUSUM change-point detection (Page 1954) — the control-chart
+      // member of the smoothing family: one-sided cumulative excursions
+      // above the per-type mean, s_t = max(0, s_{t-1} + (x_t − μ)),
+      // alarm when s crosses 5·μ div 4. μ is the integer per-type mean
+      // (sum div n) computed in the same keyed agg pass; signed deltas
+      // are safe because both engines truncate integer division (the
+      // events_holt measurement). Recurrence = aggregate HOF over the
+      // O(days) series; oracle = recursive CTE.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("xs"),
+          expr("sum(cnt) div count(1)").as("mu"))
+        .withColumn("out", expr(
+          """aggregate(xs,
+            |  cast(array() as array<struct<day:bigint,cnt:bigint,s:bigint>>),
+            |  (acc, x) -> array_append(acc, named_struct(
+            |    'day', x.day, 'cnt', x.cnt,
+            |    's', greatest(cast(0 as bigint),
+            |           (CASE WHEN size(acc) = 0 THEN cast(0 as bigint)
+            |                 ELSE element_at(acc, -1).s END) + x.cnt - mu))))""".stripMargin))
+        .select(col("event_type"), col("mu"), explode(col("out")).as("o"))
+        .select(col("event_type"), col("o.day").as("day"), col("o.cnt").as("cnt"),
+          col("mu"), col("o.s").as("cusum"),
+          expr("o.s > (mu * 5) div 4").as("alarm"))
+        .orderBy("event_type", "day")
+    },
+
     "events_gapfill" -> { (s, dir) =>
       // Calendar densification + trailing 7-day moving aggregates (the
       // gap-filling every time-series dashboard needs: a day with zero
@@ -5228,6 +5258,30 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // replays the CUSUM excursion recurrence with a recursive CTE; the
+    // integer mean and the 5μ/4 alarm threshold use the same truncating
+    // division on both sides
+    "events_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type, SUM(cnt) // COUNT(*) AS mu FROM daily GROUP BY 1),
+        |ranked AS (
+        |  SELECT d.event_type, d.day, d.cnt, m.mu,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS r
+        |  FROM daily d JOIN mu m ON d.event_type = m.event_type),
+        |cu AS (
+        |  SELECT event_type, day, cnt, mu, r,
+        |    greatest(CAST(0 AS BIGINT), cnt - mu) AS s
+        |  FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.cnt, x.mu, x.r,
+        |    greatest(CAST(0 AS BIGINT), e.s + x.cnt - x.mu) AS s
+        |  FROM cu e JOIN ranked x ON x.event_type = e.event_type AND x.r = e.r + 1)
+        |SELECT event_type, day, cnt, CAST(mu AS BIGINT) AS mu, CAST(s AS BIGINT) AS cusum,
+        |  s > (mu * 5) // 4 AS alarm
+        |FROM cu ORDER BY event_type, day""".stripMargin,
 
     // replays the Holt level/trend recurrence with a recursive CTE;
     // DuckDB's integer `//` truncates toward zero exactly like Spark's
