@@ -84,9 +84,15 @@ object Bench {
                 org.apache.spark.sql.functions.lit(true)))
               .reduce(_ || _)
             val bad = df.where(anyFalse).count()
-            if (bad > 0)
-              Some(s"claim check failed: $bad rows false in ${claimCols.mkString("/")}")
-            else None
+            if (bad > 0) {
+              // Diagnosable from the artifact: include sample violating rows
+              // (full column values — e.g. observed est vs exact for a bound
+              // claim) so a probabilistic-bound trip like sketch_cms's
+              // ok_bound is debuggable without a rerun.
+              val sample = df.where(anyFalse).limit(3).toJSON.collect()
+                .mkString("; ").replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(600)
+              Some(s"claim check failed: $bad rows false in ${claimCols.mkString("/")}; sample: $sample")
+            } else None
           }
         } catch {
           case e: Throwable => Some(jsonSafe(s"claim check: ${e.getClass.getSimpleName}"))
@@ -109,13 +115,16 @@ object Bench {
     // disable (e.g. read-only checkouts).
     val sfName = new java.io.File(sfDir).getName
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"/root/repo/bench_local/latest_$sfName.json")
+      s"bench_local/latest_$sfName.json") // cwd-relative: sbt runs from the repo root
     if (outPath.nonEmpty) try {
       val f = new java.io.File(outPath)
       Option(f.getParentFile).foreach(_.mkdirs())
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(line) finally w.close()
-    } catch { case _: Throwable => () } // artifact write must never fail the bench
+    } catch { // artifact write must never fail the bench — but fatals propagate
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench artifact write failed: $e")
+    }
     spark.stop()
   }
 }

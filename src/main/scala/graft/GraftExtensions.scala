@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.LongType
 
 import graft.expressions._
 
@@ -136,7 +137,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_bitmap"),
       new ExpressionInfo(classOf[BitmapBytes].getName, "graft_bitmap"),
-      (args: Seq[Expression]) => BitmapBytes(args(0))))
+      // Cast to LONG like the Scala API (Bitmap.sketch) — without it an INT
+      // or string column from SQL would ClassCastException at runtime.
+      (args: Seq[Expression]) => BitmapBytes(Cast(args(0), LongType))))
 
     ext.injectFunction((
       new FunctionIdentifier("graft_bitmap_merge"),

@@ -79,43 +79,70 @@ final class BitmapBuffer {
 }
 
 object BitmapCodec {
-  /** Decode the canonical wire form to a sorted long array. */
-  def decode(bytes: Array[Byte]): Array[Long] = {
-    var p = 0
-    def varint(): Long = {
-      var v = 0L; var shift = 0
-      while (true) {
-        val b = bytes(p); p += 1
-        v |= (b & 0x7fL) << shift
-        if ((b & 0x80) == 0) return v
-        shift += 7
-      }
-      v
+  /** The SQL kernels (`graft_bitmap_count` etc.) can be fed arbitrary
+    * binary, so every read is bounds-checked and malformation surfaces as
+    * this exception (caught → NULL in the scalar expressions), never as an
+    * executor AIOOBE or a giant allocation. */
+  final class Malformed(msg: String) extends IllegalArgumentException(s"malformed bitmap: $msg")
+
+  private def fail(msg: String): Nothing = throw new Malformed(msg)
+
+  // Bounds- and overflow-checked varint starting at `start`; returns
+  // (value, position after the varint).
+  private def readVarint(bytes: Array[Byte], start: Int): (Long, Int) = {
+    var p = start
+    var v = 0L; var shift = 0
+    while (true) {
+      if (p >= bytes.length) fail("truncated varint")
+      val b = bytes(p); p += 1
+      if (shift == 63 && (b & 0x7e) != 0) fail("varint overflows 64 bits")
+      v |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return (v, p)
+      shift += 7
+      if (shift > 63) fail("varint overflows 64 bits")
     }
-    val n = varint().toInt
+    (v, p) // unreachable
+  }
+
+  /** Decode the canonical wire form to a sorted long array. Strict: the
+    * count must fit the remaining bytes (each encoded value costs >= 1
+    * byte) and the input must be fully consumed — trailing garbage is
+    * malformation, matching the PNG/Avro strictness convention. */
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    if (bytes == null || bytes.length == 0) fail("empty input")
+    val (nL, p0) = readVarint(bytes, 0)
+    if (nL < 0L || nL > (bytes.length - p0).toLong) fail(s"count $nL exceeds payload")
+    val n = nL.toInt
+    if (n == 0) {
+      if (p0 != bytes.length) fail("trailing bytes")
+      return Array.emptyLongArray
+    }
     val out = new Array[Long](n)
+    var p = p0
     var i = 0
     var prev = 0L
     while (i < n) {
-      if (i == 0) { val z = varint(); prev = (z >>> 1) ^ -(z & 1L) }
-      else prev += varint()
+      val (raw, p2) = readVarint(bytes, p)
+      p = p2
+      if (i == 0) prev = (raw >>> 1) ^ -(raw & 1L)
+      else {
+        if (raw <= 0L) fail("non-positive delta") // canonical deltas are >= 1
+        prev += raw
+      }
       out(i) = prev
       i += 1
     }
+    if (p != bytes.length) fail("trailing bytes")
     out
   }
 
-  /** Cardinality without materializing the values. */
+  /** Cardinality without materializing the values (count varint only, with
+    * the same bounds validation as decode). */
   def cardinality(bytes: Array[Byte]): Long = {
-    var p = 0
-    var v = 0L; var shift = 0
-    while (true) {
-      val b = bytes(p); p += 1
-      v |= (b & 0x7fL) << shift
-      if ((b & 0x80) == 0) return v
-      shift += 7
-    }
-    v
+    if (bytes == null || bytes.length == 0) fail("empty input")
+    val (nL, p0) = readVarint(bytes, 0)
+    if (nL < 0L || nL > (bytes.length - p0).toLong) fail(s"count $nL exceeds payload")
+    nL
   }
 
   /** Exact |A ∩ B| by two-pointer walk over the sorted decodes. */
@@ -220,13 +247,15 @@ case class BitmapMergeAgg(
   override def prettyName: String = "bitmap_merge"
 }
 
-/** `bitmap_count(bytes)` → exact cardinality. */
+/** `bitmap_count(bytes)` → exact cardinality; NULL on malformed input
+  * (the dead-letter convention — corrupt bytes must not crash executors). */
 case class BitmapCount(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
-    BitmapCodec.cardinality(v.asInstanceOf[Array[Byte]])
+    try BitmapCodec.cardinality(v.asInstanceOf[Array[Byte]])
+    catch { case _: BitmapCodec.Malformed => null }
   override protected def withNewChildInternal(newChild: Expression): BitmapCount =
     copy(child = newChild)
   override def prettyName: String = "bitmap_count"
@@ -237,9 +266,10 @@ case class BitmapCount(child: Expression)
 case class BitmapAndCount(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    BitmapCodec.andCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    try BitmapCodec.andCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    catch { case _: BitmapCodec.Malformed => null }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BitmapAndCount =
     copy(left = newLeft, right = newRight)

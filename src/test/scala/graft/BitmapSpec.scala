@@ -52,6 +52,43 @@ class BitmapSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed bytes are rejected with Malformed, never AIOOBE or giant allocation") {
+    def mustFail(bytes: Array[Byte], what: String): Unit = {
+      intercept[BitmapCodec.Malformed] { BitmapCodec.decode(bytes) }
+      what match {
+        case "count" => intercept[BitmapCodec.Malformed] { BitmapCodec.cardinality(bytes) }
+        case _ => ()
+      }
+    }
+    mustFail(Array.emptyByteArray, "count")                       // empty input
+    mustFail(Array[Byte](0x80.toByte), "count")                   // truncated count varint
+    mustFail(Array[Byte](5), "count")                             // count 5, zero payload bytes
+    // count varint claiming ~2^60 values: must fail the payload bound, not allocate
+    mustFail(Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x10, 1, 1, 1), "count")
+    // 10-byte varint with high bits set past 64 → overflow rejection
+    mustFail(Array.fill[Byte](10)(0xff.toByte) :+ 1.toByte, "count")
+    mustFail(Array[Byte](1, 2, 7), "decode")                      // trailing bytes
+    mustFail(Array[Byte](2, 2, 0), "decode")                      // zero delta (non-canonical)
+    mustFail(Array[Byte](2, 2), "decode")                         // truncated value list
+    // valid bytes still decode after all that
+    assert(BitmapCodec.decode(build(Seq(1L, 5L, 5L))).toSeq === Seq(1L, 5L))
+  }
+
+  test("SQL kernels return NULL on malformed binary and cast INT input to long") {
+    import TestSpark.spark.implicits._
+    val df = Seq((1, Array[Byte](0x80.toByte)), (2, Array[Byte](5))).toDF("id", "b")
+    df.createOrReplaceTempView("badbm")
+    val out = TestSpark.spark.sql(
+      "SELECT graft_bitmap_count(b) AS c, graft_bitmap_and_count(b, b) AS ac FROM badbm")
+      .collect()
+    out.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+    // graft_bitmap over an INT column: implicit cast, no ClassCastException
+    val bm = TestSpark.spark.sql(
+      "SELECT graft_bitmap_count(graft_bitmap(id)) AS n FROM badbm").collect()
+    assert(bm.head.getLong(0) === 2L)
+  }
+
   test("DataFrame lifecycle: daily bitmaps union-merge losslessly, counts exact") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions._
