@@ -472,6 +472,46 @@ object SparkEntry {
         .orderBy("c_nationkey")
     },
 
+    "q21_waiting_supplier" -> { (s, dir) =>
+      // TPC-H Q21 shape — the remaining classic decorrelation class after
+      // q17 (correlated scalar) and q22 (uncorrelated scalar + NOT EXISTS):
+      // EXISTS and NOT EXISTS against the SAME fact table with per-row
+      // correlation ("a peer line from another supplier exists, but no
+      // PROBLEM line from another supplier exists"; problem = returnflag
+      // 'R' — this data has no receipt/commit dates). Naively that is two
+      // per-row rescans of lineitem; decorrelated, both subqueries collapse
+      // into ONE per-order aggregate: n_supp = distinct suppliers in the
+      // order (EXISTS peer ⇔ n_supp > 1) and n_prob_supp = distinct
+      // suppliers with a problem line (l1 itself is a problem line, so
+      // NOT EXISTS other problem supplier ⇔ n_prob_supp == 1). The
+      // distinct counts are built as a two-level keyed agg — per
+      // (order, supplier) first, then per order — instead of
+      // countDistinct, so no expand doubles the fact scan. The oracle runs
+      // the ORIGINAL doubly-correlated SQL in DuckDB, proving the rewrite.
+      // 100 TB shape: every join/agg is keyed on l_orderkey (AQE
+      // co-partitions them); supplier⋈nation is a broadcast dim.
+      val li = Tables.lineitem(s, dir)
+      val prob = col("l_returnflag") === "R"
+      val perOrder = li
+        .groupBy(col("l_orderkey").as("pk_orderkey"), col("l_suppkey").as("pk_suppkey"))
+        .agg(max(when(prob, 1L).otherwise(0L)).as("has_prob"))
+        .groupBy("pk_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum(col("has_prob")).as("n_prob_supp"))
+      li.where(prob)
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("pk_orderkey"))
+        .where(col("n_supp") > 1 && col("n_prob_supp") === 1)
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir).where(col("n_name") === "NATION_4"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
     "join_broadcast" -> { (s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -5111,6 +5151,21 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
