@@ -47,13 +47,25 @@ object AnnPq {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n > 0) v.map(_ / n) else v
       }
-    require(sample.length >= ks, s"sample ${sample.length} < ks $ks")
-    val dim = sample.head.length
+    subspaceKMeans(sample, m, ks, iters)
+  }
+
+  /** M independent per-subspace Lloyd k-means (L2) over the given rows —
+    * shared by direct-encoding PQ (rows = normalized vectors) and the
+    * IVF-PQ composition (rows = coarse-quantizer residuals).
+    * @return M × ks × (dim/M). */
+  def subspaceKMeans(
+      rows: Array[Array[Double]],
+      m: Int,
+      ks: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    require(rows.length >= ks, s"rows ${rows.length} < ks $ks")
+    val dim = rows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
 
     Array.tabulate(m) { mm =>
-      val s = sample.map(_.slice(mm * sub, (mm + 1) * sub))
+      val s = rows.map(_.slice(mm * sub, (mm + 1) * sub))
       var cents = s.take(ks).map(_.clone())
       var iter = 0
       while (iter < iters) {

@@ -37,24 +37,39 @@ object SpatialGrid {
       .select("id", "x", "y", "cx", "cy")
   }
 
-  /** All pairs (a_id < b_id, dist2) within radius r, via the 3×3
-    * neighborhood grid join. */
+  /** All pairs (a_id < b_id, dist2) within radius r, via the HALF
+    * neighborhood grid join: each probe point explodes to only the 5
+    * offsets {(0,0),(1,0),(−1,1),(0,1),(1,1)} instead of the full 3×3.
+    * For any cell delta d ∈ {−1,0,1}² exactly one of d, −d is in the
+    * offset set (both coincide at (0,0)), so every cross-cell pair within
+    * r is generated exactly once — whichever endpoint sits in the
+    * (cy,cx)-lexicographically smaller cell is the probe — and same-cell
+    * pairs, the only ones generated in both orientations, are deduped by
+    * the in-cell id rule. Probe explode volume drops 9n → 5n and candidate
+    * pairs from 2× to ~1× the qualifying set (the r11 verdict's 100 TB
+    * shuffle note); the completeness theorem is unchanged. Because probe/
+    * build orientation now follows cell order rather than id order, the
+    * output normalizes to a_id < b_id at the end. */
   def pairsWithin(pts: DataFrame, r: Long): DataFrame = {
+    val offs = Seq((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
     val probe = pts
       .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
         col("cx"), col("cy"))
-      .withColumn("d", explode(sequence(lit(0), lit(8))))
+      .withColumn("o", explode(array(offs.map { case (dx, dy) =>
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")) }: _*)))
       .select(col("a_id"), col("ax"), col("ay"),
-        (col("cx") + pmod(col("d"), lit(3)) - 1).as("jcx"),
-        (col("cy") + expr("d div 3") - 1).as("jcy"))
+        (col("cx") + col("o.dx")).as("jcx"),
+        (col("cy") + col("o.dy")).as("jcy"),
+        (col("o.dx") === 0L && col("o.dy") === 0L).as("same_cell"))
     val build = pts.select(col("id").as("b_id"), col("x").as("bx"),
       col("y").as("by"), col("cx").as("jcx"), col("cy").as("jcy"))
     probe.join(build, Seq("jcx", "jcy"))
-      .where(col("a_id") < col("b_id"))
+      .where(!col("same_cell") || col("a_id") < col("b_id"))
       .withColumn("dist2",
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))
       .where(col("dist2") <= lit(r * r))
-      .select("a_id", "b_id", "dist2")
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("dist2"))
   }
 }
