@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev utility: run named queries once and print timings.
-  * Usage: runMain graft.RunOne <sfDir> <name1,name2,...> [explain]
+  * Usage: runMain graft.RunOne <sfDir> <name1,name2,...> [explain|show]
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",")
     val explain = args.length > 2 && args(2) == "explain"
+    val show = args.length > 2 && args(2) == "show"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
@@ -25,6 +26,7 @@ object RunOne {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (explain) df.explain("formatted")
+      if (show) df.show(100, false)
       val n = df.count()
       println(f"[runone] $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }

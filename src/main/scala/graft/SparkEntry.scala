@@ -3522,6 +3522,33 @@ object SparkEntry {
       annVerification(approx, exact, k = 5, "recall_ge_0.3", 0.3)
     },
 
+    "ann_ivf_pq" -> { (s, dir) =>
+      // Composed IVF-PQ (IVFADC, Jégou 2011 §IV) — the production 100 TB
+      // ANN shape assembled from the two existing halves: the corpus at
+      // rest is (list_id, 8 residual codes) — partitionable by list_id for
+      // file-level pruning AND 64× compressed — and each query ADC-scans
+      // only its nprobe of nlist lists, then exact-re-ranks the top C.
+      // Residual encoding makes the composition precise: the score
+      // decomposes exactly as q·v = q·cents(list) + q·residual, so the
+      // only approximation is PQ error on the residual plus the IVF scan
+      // restriction. Self-verifying like the other ANN tiers (recall floor
+      // vs in-query brute force; the 0.2 floor matches ann_ivf's — the IVF
+      // scan restriction dominates — and is conservative vs MEASURED
+      // recall@5 of 0.90 at sf0.01 / 0.76 at sf0.1: residual codes + the
+      // C=100 exact re-rank recover nearly everything the probe reaches).
+      import graft.operators.AnnIvfPq
+      val emb = Tables.embeddings(s, dir)
+      val idx = AnnIvfPq.train(emb, "vec_id", "embedding", nlist = 16, m = 8, ks = 16)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val approx = AnnIvfPq.searchTopK(emb, queries, "vec_id", "embedding", idx,
+        nprobe = 4, candidates = 100, k = 5)
+      val exact = Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      annVerification(approx, exact, k = 5, "recall_ge_0.2", 0.2)
+    },
+
     // ---- text analysis (#28-31) ----
 
     "text_tokens" -> { (s, dir) =>
@@ -7196,6 +7223,12 @@ object SparkEntry {
       """SELECT vec_id AS query_id, 'candidates_ranked' AS metric, true AS ok
         |FROM embeddings WHERE vec_id < 10
         |UNION ALL SELECT CAST(-1 AS BIGINT), 'recall_ge_0.3', true
+        |ORDER BY query_id, metric""".stripMargin,
+
+    "ann_ivf_pq" ->
+      """SELECT vec_id AS query_id, 'candidates_ranked' AS metric, true AS ok
+        |FROM embeddings WHERE vec_id < 10
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 'recall_ge_0.2', true
         |ORDER BY query_id, metric""".stripMargin,
 
     "text_tokens" ->
