@@ -155,5 +155,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bitmap_and_count"),
       new ExpressionInfo(classOf[BitmapAndCount].getName, "graft_bitmap_and_count"),
       (args: Seq[Expression]) => BitmapAndCount(args(0), args(1))))
+
+    // r12 kernels: canonical mergeable rank/quantile sample
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rank_sample"),
+      new ExpressionInfo(classOf[RankSampleAgg].getName, "graft_rank_sample"),
+      (args: Seq[Expression]) => RankSampleAgg(
+        Cast(args(0), LongType), Cast(args(1), LongType), intArg(args(2), "k"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rank_sample_merge"),
+      new ExpressionInfo(classOf[RankSampleMergeAgg].getName, "graft_rank_sample_merge"),
+      (args: Seq[Expression]) => RankSampleMergeAgg(args(0), intArg(args(1), "k"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rank_sample_quantile"),
+      new ExpressionInfo(classOf[RankSampleQuantile].getName, "graft_rank_sample_quantile"),
+      (args: Seq[Expression]) => RankSampleQuantile(args(0), intArg(args(1), "q_pct"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rank_sample_count"),
+      new ExpressionInfo(classOf[RankSampleCount].getName, "graft_rank_sample_count"),
+      (args: Seq[Expression]) => RankSampleCount(args(0))))
   }
 }

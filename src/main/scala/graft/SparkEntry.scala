@@ -935,6 +935,73 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "sketch_rank_reaggregate" -> { (s, dir) =>
+      // Canonical mergeable rank/quantile sketch — the distribution-free
+      // member of the stored-sketch lifecycle (the histogram lane needs a
+      // priori bucket ranges; this one answers any quantile with a DKW
+      // rank guarantee independent of the value domain). Design note in
+      // expressions/RankSampleAggregate.scala: a literal KLL compactor was
+      // REJECTED because its compaction is arrival-order-dependent — merge
+      // ≡ rebuild could never be a canonical-bytes md5 equality and the
+      // oracle could replay nothing; the bottom-k-by-row-hash sample is a
+      // pure function of the multiset, so the DuckDB oracle REPLAYS the
+      // entire sketch (hash60 u, bottom-k window, integer-exact rank pick)
+      // and hash-compares the ESTIMATES themselves — the strongest gate in
+      // the sketch tier — while DKW gives the distribution-free bound:
+      // sup|F_m − F| ≤ ε w.p. 1−δ, ε² ≤ 15/(2m) at δ = 1e−6 (15 ≥
+      // ln(2e6)), asserted per quantile by exact integer/decimal(38,0)
+      // arithmetic (no libm calls — ln/sqrt differ in ULP across engines).
+      // Lifecycle: one ≤64 KB sketch per (returnflag, ship-month); any
+      // window answered later by union-merge, never rescanning raw rows.
+      import graft.expressions.RankSample
+      val k = 4096
+      val li = Tables.lineitem(s, dir)
+        .withColumn("v", (dec2(col("l_extendedprice")) * 100).cast("long"))
+        .withColumn("u", Tf.hash60(concat(col("l_orderkey").cast("string"),
+          lit("-"), col("l_linenumber").cast("string"))))
+      val monthly = li
+        .groupBy(col("l_returnflag"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
+        .agg(RankSample.sketch(col("u"), col("v"), k).as("sk"))
+      val merged = monthly.groupBy("l_returnflag")
+        .agg(RankSample.merge(col("sk"), k).as("sk_m"))
+      val direct = li.groupBy("l_returnflag")
+        .agg(RankSample.sketch(col("u"), col("v"), k).as("sk_d"),
+          count(lit(1)).as("n"))
+      val qs = Seq(25, 50, 75, 95)
+      val est = merged.join(direct, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          least(lit(k.toLong), col("n")).as("m"),
+          (md5(col("sk_m")) === md5(col("sk_d"))).as("ok_merge_lossless"),
+          explode(array(qs.map(q => struct(lit(q.toLong).as("q_pct"),
+            RankSample.quantile(col("sk_m"), q).as("est"))): _*)).as("e"))
+        .select(col("l_returnflag"), col("e.q_pct").as("q_pct"), col("e.est").as("est"),
+          col("n"), col("m"), col("ok_merge_lossless"))
+      // one broadcast-joined corpus pass pins the exact rank of each
+      // estimate for the DKW claims
+      val ranks = li
+        .join(broadcast(est.select(col("l_returnflag").as("rf"),
+          col("q_pct").as("qp"), col("est").as("ev"))),
+          col("l_returnflag") === col("rf"))
+        .groupBy("rf", "qp")
+        .agg(sum(when(col("v") <= col("ev"), 1L).otherwise(0L)).as("cnt_le"),
+          sum(when(col("v") < col("ev"), 1L).otherwise(0L)).as("cnt_lt"))
+      val dLo = col("q_pct") * col("n") - lit(100L) * col("cnt_le")
+      val eHi = lit(100L) * col("cnt_lt") * col("m") - col("q_pct") * col("n") * col("m") -
+        lit(100L) * col("n")
+      est.join(ranks, col("l_returnflag") === col("rf") && col("q_pct") === col("qp"))
+        .select(col("l_returnflag"), col("q_pct"), col("est"), col("n"), col("m"),
+          col("ok_merge_lossless"),
+          when(dLo <= 0L, lit(true)).otherwise(
+            dLo.cast("decimal(38,0)") * dLo.cast("decimal(38,0)") * lit(2L) * col("m") <=
+              lit(150000L).cast("decimal(38,0)") * col("n") * col("n")).as("ok_rank_lo"),
+          when(eHi <= 0L, lit(true)).otherwise(
+            eHi.cast("decimal(38,0)") * eHi.cast("decimal(38,0)") * lit(2L) <=
+              lit(150000L).cast("decimal(38,0)") * col("n") * col("n") * col("m"))
+            .as("ok_rank_hi"))
+        .orderBy("l_returnflag", "q_pct")
+    },
+
     "window_topn" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, dir)
@@ -5462,6 +5529,53 @@ object SparkEntry {
         |SELECT event_type, uid AS top_user, n_exact,
         |  true AS ok_merge_lossless, true AS ok_onesided, true AS ok_bound
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // The oracle REPLAYS the whole rank sample: same md5-derived u, same
+    // bottom-k-by-(u,v) selection, same integer-exact rank pick — so the
+    // estimate VALUES hash-compare, not just claims. The DKW claims are
+    // replayed with identical integer/decimal(38,0) arithmetic.
+    "sketch_rank_reaggregate" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))::BIGINT AS u
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY u, v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |kept AS (SELECT * FROM ranked WHERE rn <= 4096),
+        |km AS (SELECT l_returnflag, n, COUNT(*) AS m FROM kept GROUP BY 1, 2),
+        |byv AS (
+        |  SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr
+        |  FROM kept),
+        |qs AS (SELECT UNNEST([25, 50, 75, 95]) AS q_pct),
+        |est AS (
+        |  SELECT km.l_returnflag, q_pct, km.n, km.m, byv.v AS est
+        |  FROM km CROSS JOIN qs
+        |  JOIN byv ON byv.l_returnflag = km.l_returnflag
+        |    AND byv.vr = (q_pct * km.m + 99) // 100),
+        |rk AS (
+        |  SELECT e.l_returnflag, e.q_pct,
+        |    SUM(CASE WHEN li.v <= e.est THEN 1 ELSE 0 END) AS cnt_le,
+        |    SUM(CASE WHEN li.v < e.est THEN 1 ELSE 0 END) AS cnt_lt
+        |  FROM li JOIN est e ON li.l_returnflag = e.l_returnflag
+        |  GROUP BY 1, 2)
+        |SELECT e.l_returnflag, CAST(e.q_pct AS BIGINT) AS q_pct, e.est,
+        |  CAST(e.n AS BIGINT) AS n, CAST(e.m AS BIGINT) AS m,
+        |  true AS ok_merge_lossless,
+        |  CASE WHEN e.q_pct * e.n - 100 * rk.cnt_le <= 0 THEN true
+        |       ELSE CAST(e.q_pct * e.n - 100 * rk.cnt_le AS DECIMAL(38,0))
+        |              * CAST(e.q_pct * e.n - 100 * rk.cnt_le AS DECIMAL(38,0)) * 2 * e.m
+        |            <= CAST(150000 AS DECIMAL(38,0)) * e.n * e.n END AS ok_rank_lo,
+        |  CASE WHEN 100 * rk.cnt_lt * e.m - e.q_pct * e.n * e.m - 100 * e.n <= 0 THEN true
+        |       ELSE CAST(100 * rk.cnt_lt * e.m - e.q_pct * e.n * e.m - 100 * e.n AS DECIMAL(38,0))
+        |              * CAST(100 * rk.cnt_lt * e.m - e.q_pct * e.n * e.m - 100 * e.n AS DECIMAL(38,0)) * 2
+        |            <= CAST(150000 AS DECIMAL(38,0)) * e.n * e.n * e.m END AS ok_rank_hi
+        |FROM est e JOIN rk ON e.l_returnflag = rk.l_returnflag AND e.q_pct = rk.q_pct
+        |ORDER BY 1, 2""".stripMargin,
 
     "sketch_kmv" ->
       """WITH d AS (

@@ -122,4 +122,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(both === 20L)
   }
+
+  test("r12 kernels: rank sample build/merge/quantile/count callable from SQL") {
+    // k larger than the input: the sample is exhaustive, so quantiles are
+    // exact — p50 of 0..999 at rank ceil(0.5*1000)=500 is value 499
+    val r = spark.sql(
+      """WITH d AS (SELECT id % 4 AS part, graft_rank_sample(id * 2654435761, id, 2000) AS sk
+        |  FROM range(1000) GROUP BY id % 4),
+        |m AS (SELECT graft_rank_sample_merge(sk, 2000) AS sk FROM d)
+        |SELECT graft_rank_sample_quantile(sk, 50), graft_rank_sample_count(sk) FROM m"""
+        .stripMargin).head()
+    assert(r.getLong(0) === 499L)
+    assert(r.getLong(1) === 1000L)
+  }
 }
