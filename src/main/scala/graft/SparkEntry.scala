@@ -1709,6 +1709,26 @@ object SparkEntry {
         .orderBy("c_id", "p_id")
     },
 
+    "stream_full_outer_join" -> { (s, dir) =>
+      // stream-stream FULL OUTER interval join — the remaining
+      // completeness-semantics member after 19b3 (inner) and 19b7 (left
+      // outer): every click AND every purchase lands. The two null-
+      // extension horizons are ASYMMETRIC, derived from the interval
+      // condition: clicks match only purchases at-or-before them, so an
+      // unmatched click null-extends once the final watermark passes it
+      // (c_ts < wm); a purchase can match clicks up to `window` after it,
+      // so its state outlives the watermark by the window (p_ts < wm −
+      // window). Both horizons are deterministic under AvailableNow, so
+      // the oracle replays them; rows younger than their horizon are
+      // deliberately ABSENT (a checkpoint restart would emit them later).
+      graft.streaming.StreamJoin.clicksWithRecentPurchasesFull(
+        s, s"$dir/events.parquet", workDir("sfjoin", dir))
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          expr("unix_micros(c_ts)").as("c_ts_us"), col("c_id"),
+          expr("unix_micros(p_ts)").as("p_ts_us"), col("p_id"))
+        .orderBy("c_id", "p_id")
+    },
+
     "stream_evolve" -> { (s, dir) =>
       // streaming ingest across a migration: epoch-0 rows predate the DDL
       // (old column name `amount`, no `flag`), epoch-2 rows carry the final
@@ -6123,6 +6143,37 @@ object SparkEntry {
         |        AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts))
         |)
         |SELECT * FROM matched UNION ALL SELECT * FROM evicted
+        |ORDER BY c_id, p_id""".stripMargin,
+
+    "stream_full_outer_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT epoch_us(least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)))
+        |         - 3600000000 AS m),
+        |matched AS (
+        |  SELECT c.user_id, epoch_us(c.ts) AS c_ts_us, c.event_id AS c_id,
+        |    epoch_us(p.ts) AS p_ts_us, p.event_id AS p_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+        |), click_null AS (
+        |  SELECT c.user_id, epoch_us(c.ts) AS c_ts_us, c.event_id AS c_id,
+        |    CAST(NULL AS BIGINT) AS p_ts_us, CAST(NULL AS BIGINT) AS p_id
+        |  FROM c, wm
+        |  WHERE epoch_us(c.ts) < wm.m
+        |    AND NOT EXISTS (SELECT 1 FROM p
+        |      WHERE p.user_id = c.user_id
+        |        AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts))
+        |), purchase_null AS (
+        |  SELECT p.user_id, CAST(NULL AS BIGINT) AS c_ts_us, CAST(NULL AS BIGINT) AS c_id,
+        |    epoch_us(p.ts) AS p_ts_us, p.event_id AS p_id
+        |  FROM p, wm
+        |  WHERE epoch_us(p.ts) < wm.m - 3600000000
+        |    AND NOT EXISTS (SELECT 1 FROM c
+        |      WHERE c.user_id = p.user_id
+        |        AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) AND epoch_us(p.ts) + 3600000000)
+        |)
+        |SELECT * FROM matched UNION ALL SELECT * FROM click_null
+        |UNION ALL SELECT * FROM purchase_null
         |ORDER BY c_id, p_id""".stripMargin,
 
     "stream_evolve" ->

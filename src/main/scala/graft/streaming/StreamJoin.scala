@@ -52,6 +52,25 @@ object StreamJoin {
       window: String = "1 hour"): DataFrame =
     run(spark, eventsPath, workDir, window, "left_outer")
 
+  /** FULL OUTER variant — the completeness-semantics member: every click
+    * AND every purchase lands, matched or not. Null-extension happens per
+    * SIDE at that side's state eviction, and the two horizons are
+    * asymmetric because the interval condition is: a click matches only
+    * purchases AT OR BEFORE it (p_ts ≤ c_ts), so a click stops matching
+    * anything new once the watermark passes it — clicks null-extend at
+    * c_ts < wm. A purchase can match clicks up to `window` AFTER it
+    * (c_ts ≤ p_ts + window), so its state must outlive the watermark by
+    * the window — purchases null-extend at p_ts < wm − window. Both rules
+    * are deterministic functions of the final watermark (min of the two
+    * sides' max event time − delay, advanced by the trailing no-data
+    * micro-batch under AvailableNow), so the batch oracle replays them. */
+  def clicksWithRecentPurchasesFull(
+      spark: SparkSession,
+      eventsPath: String,
+      workDir: String,
+      window: String = "1 hour"): DataFrame =
+    run(spark, eventsPath, workDir, window, "full_outer")
+
   private def run(
       spark: SparkSession,
       eventsPath: String,
