@@ -86,16 +86,54 @@ final class RankSampleBuffer(val k: Int) {
 
   /** Sort by (u, v) and truncate to the k smallest entries. Idempotent;
     * ties beyond position k drop deterministically in (u, v) order, so
-    * the surviving set is a pure function of the multiset. */
+    * the surviving set is a pure function of the multiset. The sort is a
+    * primitive dual-array quicksort — this runs every ~3k·adds on the
+    * corpus hot path, where a boxed sortBy costs a tuple + two boxes per
+    * entry per compaction. */
   def compact(): Unit = {
     if (sz <= k && isSorted) return
-    val idx = Array.range(0, sz).sortBy(i => (us(i), vs(i)))
-    val nu = new Array[Long](us.length)
-    val nv = new Array[Long](vs.length)
-    val keep = math.min(sz, k)
-    var i = 0
-    while (i < keep) { nu(i) = us(idx(i)); nv(i) = vs(idx(i)); i += 1 }
-    us = nu; vs = nv; sz = keep
+    sortRange(0, sz - 1)
+    sz = math.min(sz, k)
+  }
+
+  private def less(i: Int, j: Int): Boolean =
+    us(i) < us(j) || (us(i) == us(j) && vs(i) < vs(j))
+
+  private def swap(i: Int, j: Int): Unit = {
+    val tu = us(i); us(i) = us(j); us(j) = tu
+    val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+  }
+
+  private def sortRange(lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (lo < hi) {
+      if (hi - lo < 16) { // insertion sort for small runs
+        var i = lo + 1
+        while (i <= hi) {
+          var j = i
+          while (j > lo && less(j, j - 1)) { swap(j, j - 1); j -= 1 }
+          i += 1
+        }
+        return
+      }
+      // median-of-three pivot to the middle
+      val mid = lo + (hi - lo) / 2
+      if (less(mid, lo)) swap(mid, lo)
+      if (less(hi, lo)) swap(hi, lo)
+      if (less(hi, mid)) swap(hi, mid)
+      val pu = us(mid); val pv = vs(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (us(i) < pu || (us(i) == pu && vs(i) < pv)) i += 1
+        while (us(j) > pu || (us(j) == pu && vs(j) > pv)) j -= 1
+        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+      }
+      // recurse into the smaller side, loop on the larger
+      if (j - lo < hi - i) { sortRange(lo, j); lo = i }
+      else { sortRange(i, hi); hi = j }
+    }
   }
 
   private def isSorted: Boolean = {
