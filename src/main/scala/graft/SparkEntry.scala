@@ -1127,6 +1127,41 @@ object SparkEntry {
         .orderBy("user_id", "valid_from", "event_id")
     },
 
+    "cdc_scd2_backfill" -> { (s, dir) =>
+      // Late-arriving out-of-order CDC correction — the production SCD2
+      // pain point cdc_scd2 doesn't cover: a backfill batch whose event
+      // times fall INSIDE already-closed validity intervals must split
+      // them retroactively. The incremental repair is key-scoped: only
+      // keys present in the late batch rework (their history rows
+      // reconstruct to raw changes — SCD2 rows carry the original change
+      // at valid_from — union the late rows, re-derive intervals per
+      // key); untouched keys pass through VERBATIM with no window
+      // recompute, so cost tracks the backfill's key footprint, not the
+      // table. Gate: the oracle recomputes SCD2 from the FULL history, so
+      // the hash match proves incremental repair ≡ full rebuild — the
+      // cdc_incremental_agg convention. Late set = event_id % 7 == 0
+      // (~14%, arbitrary event times → genuinely out-of-order arrivals).
+      val ch = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+        expr("ts_ns div 1000000").as("ts_ms"))
+      val initial = ch.where(col("event_id") % 7 =!= 0)
+      val late = ch.where(col("event_id") % 7 === 0)
+      val hist = Envelope.scd2History(initial,
+        Seq("user_id"), Seq(col("ts_us"), col("event_id")), col("ts_ms"))
+      val touched = late.select("user_id").distinct()
+      val keep = hist.join(touched, Seq("user_id"), "left_anti")
+      val rework = hist.join(touched, Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us"), col("ts_ms"))
+        .unionByName(late)
+      val repaired = Envelope.scd2History(rework,
+        Seq("user_id"), Seq(col("ts_us"), col("event_id")), col("ts_ms"))
+      keep.unionByName(repaired)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
     "stream_dedup" -> { (s, dir) =>
       // replay-safe ingest: the whole snapshot is delivered TWICE (reader's
       // resume-overlap case); stateful dropDuplicates on the PK lands it once
@@ -4027,6 +4062,57 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "text_wordpiece_encode" -> { (s, dir) =>
+      // WordPiece greedy encoding — the third tokenizer family beside
+      // BPE's merge replay (28b/28b2) and the unigram-LM Viterbi
+      // (28b3/28b4): maximal-munch longest-match-first against a
+      // position-restricted vocabulary (start pieces at offset 0,
+      // continuation pieces after — the `##` convention without marker
+      // strings). Vocab derivation is deterministic from the corpus: top
+      // 200 word-prefixes and top 200 non-initial substrings by frequency
+      // (ties by gram, the hash-stable total order) plus every single
+      // character at its position class, so no corpus word can fail.
+      // Vocab is a bounded driver collect (the BpeTrain convention);
+      // encoding runs the native WordPieceCount kernel over the DISTINCT
+      // vocabulary only — the corpus pays one explode + keyed join + agg.
+      // The oracle replays BOTH vocab ranking and the greedy walk (a
+      // recursive CTE advancing by the longest match) bit-for-bit.
+      import graft.expressions.WordPiece
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+      val words = toks.groupBy("word").agg(count(lit(1)).as("freq"))
+      // (gram, freq) frame → ranked vocab list: top 200 by (f desc, g asc)
+      // plus every length-1 gram — the identical total order the oracle's
+      // row_number replays. Driver collect is bounded: ≤ 200 + alphabet.
+      def topGrams(grams: DataFrame): Seq[String] = {
+        val w = Window.orderBy(col("f").desc, col("g"))
+        grams.groupBy("g").agg(sum(col("freq")).as("f"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 200 || length(col("g")) === 1)
+          .select("g").collect().map(_.getString(0)).toSeq
+      }
+      val startV = topGrams(words.select(col("freq"), explode(transform(
+        sequence(lit(1), least(lit(4), length(col("word")))),
+        l => col("word").substr(lit(1), l))).as("g")))
+      // non-initial substrings: positions 2..len × lengths 1..min(4, rest);
+      // sequence() DESCENDS when start > stop, so length-1 words are
+      // guarded to an empty array rather than a bogus [2,1] walk
+      val contV = topGrams(words.select(col("freq"), explode(
+        when(length(col("word")) >= 2, flatten(transform(
+          sequence(lit(2), length(col("word"))),
+          p => transform(
+            sequence(lit(1), least(lit(4), length(col("word")) - p + 1)),
+            l => col("word").substr(p, l)))))
+          .otherwise(array().cast("array<string>"))).as("g")))
+      val enc = words.select(col("word"),
+        WordPiece.count(col("word"), startV, contV, maxPieceLen = 4).as("n_pieces"))
+      toks.join(enc, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
     "graph_triangles" -> { (s, dir) =>
       // Triangle census over the word-adjacency graph (the third graph
       // operator after star CC and weighted PageRank — triangle counts
@@ -4678,6 +4764,40 @@ object SparkEntry {
           y += 1
         }
         (id, MediaCodecs.qoiEncode(w, h, rgb))
+      }
+      MediaCodecs.decodeMedia(payloads).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
+    },
+
+    "multimodal_gif" -> { (s, dir) =>
+      // GIF89a round trip — the last major pre-DCT raster format in the
+      // codec tier (PPM/BMP/QOI/PNG/WAV), and the only one whose
+      // compression is variable-width LZW: clear/EOI codes, growing
+      // dictionary, LSB-first packing, width bumps at powers of two
+      // (where the decoder must bump one code EARLY — its table lags the
+      // encoder's by exactly one entry — a real spec subtlety the
+      // 128×200-noise spec case crosses repeatedly), 4096-cap mid-stream
+      // clear. Pixels are planted with SQL-replayable arithmetic
+      // (even rows constant → LZW runs; odd rows varying), encoded with
+      // the real encoder, decoded in mapPartitions; every doc_id % 89 ==
+      // 0 payload is truncated so the dead-letter lane is non-vacuous.
+      // The oracle never sees GIF bytes — it recomputes dims and
+      // palette-resolved channel means arithmetically.
+      import s.implicits._
+      import graft.operators.MediaCodecs
+      val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val w = (2 + id % 5).toInt
+        val h = (2 + id % 4).toInt
+        val pal = Array.tabulate(4)(j => (((id * 5 + j * 40) % 256).toInt,
+          ((id * 7 + j * 50) % 256).toInt, ((id * 11 + j * 60) % 256).toInt))
+        val idx = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          (if (y % 2 == 0) (id + y) % 4 else (id + x * 3 + y * 5) % 4).toByte
+        }
+        val full = MediaCodecs.gifEncode(w, h, pal, idx)
+        (id, if (id % 89 == 0) full.take(16) else full)
       }
       MediaCodecs.decodeMedia(payloads).toDF()
         .select(col("doc_id"), col("format"), col("width"), col("height"),
@@ -5773,6 +5893,16 @@ object SparkEntry {
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
 
     "cdc_scd2" ->
+      """SELECT user_id, event_id, event_type, epoch_ms(ts) AS valid_from,
+        |  lead(epoch_ms(ts)) OVER w AS valid_to,
+        |  lead(epoch_ms(ts)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // full recompute over ALL events — the hash match proves the
+    // key-scoped incremental backfill equals the rebuild
+    "cdc_scd2_backfill" ->
       """SELECT user_id, event_id, event_type, epoch_ms(ts) AS valid_from,
         |  lead(epoch_ms(ts)) OVER w AS valid_to,
         |  lead(epoch_ms(ts)) OVER w IS NULL AS is_current
@@ -7634,6 +7764,49 @@ object SparkEntry {
         |UNION ALL SELECT CAST(6 AS BIGINT) AS step, string_split(pair, '··')[1] AS lhs, string_split(pair, '··')[2] AS rhs, replace(pair, '··', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t6
         |ORDER BY step""".stripMargin,
 
+    // replays vocab ranking AND the greedy maximal-munch walk (recursive
+    // CTE advancing by the longest matching piece per position)
+    "text_wordpiece_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0),
+        |words AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1),
+        |pref AS (
+        |  SELECT substr(word, 1, l) AS g, SUM(freq) AS f
+        |  FROM words, (SELECT UNNEST([1,2,3,4]) AS l)
+        |  WHERE len(word) >= l GROUP BY 1),
+        |startv AS (
+        |  SELECT g FROM (SELECT g, row_number() OVER (ORDER BY f DESC, g) AS rn FROM pref)
+        |  WHERE rn <= 200 OR len(g) = 1),
+        |cont_raw AS (
+        |  SELECT substr(w.word, CAST(p AS INT), l) AS g, SUM(w.freq) AS f
+        |  FROM (SELECT word, freq, UNNEST(generate_series(2, len(word))) AS p FROM words) w,
+        |       (SELECT UNNEST([1,2,3,4]) AS l)
+        |  WHERE len(w.word) - p + 1 >= l GROUP BY 1),
+        |contv AS (
+        |  SELECT g FROM (SELECT g, row_number() OVER (ORDER BY f DESC, g) AS rn FROM cont_raw)
+        |  WHERE rn <= 200 OR len(g) = 1),
+        |vocab AS (
+        |  SELECT g, true AS is_start FROM startv
+        |  UNION ALL SELECT g, false FROM contv),
+        |walk AS (
+        |  WITH RECURSIVE r(word, pos, cnt) AS (
+        |    SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM words
+        |    UNION ALL
+        |    SELECT w.word, w.pos + m.l, w.cnt + 1
+        |    FROM r w, LATERAL (
+        |      SELECT MAX(len(v.g)) AS l FROM vocab v
+        |      WHERE ((w.pos = 1) = v.is_start)
+        |        AND len(v.g) <= len(w.word) - w.pos + 1
+        |        AND v.g = substr(w.word, CAST(w.pos AS INT), len(v.g))
+        |    ) m
+        |    WHERE w.pos <= len(w.word) AND m.l IS NOT NULL)
+        |  SELECT word, cnt AS n_pieces FROM r WHERE pos = len(word) + 1)
+        |SELECT t.doc_id, COUNT(*) AS n_words, CAST(SUM(e.n_pieces) AS BIGINT) AS n_subwords
+        |FROM toks t JOIN walk e ON t.word = e.word
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_bpe_encode" ->
       """WITH tok AS MATERIALIZED (SELECT doc_id, word FROM (
         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) u
@@ -8112,6 +8285,23 @@ object SparkEntry {
         |  CAST(SUM(r) // (w * h) AS BIGINT) AS mean_r,
         |  CAST(SUM(g) // (w * h) AS BIGINT) AS mean_g,
         |  CAST(SUM(b) // (w * h) AS BIGINT) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // never sees GIF bytes: recomputes the planted palette + index
+    // arithmetic; % 89 truncated payloads dead-letter (absent rows)
+    "multimodal_gif" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+        |           FROM documents WHERE doc_id % 89 <> 0),
+        |xs AS (SELECT doc_id, w, h, UNNEST(range(0, w)) AS x FROM d),
+        |xy AS (SELECT doc_id, w, h, x, UNNEST(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h,
+        |    CASE WHEN y % 2 = 0 THEN (doc_id + y) % 4
+        |         ELSE (doc_id + x * 3 + y * 5) % 4 END AS j
+        |  FROM xy)
+        |SELECT doc_id, 'gif' AS format, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM((doc_id * 5 + j * 40) % 256) // (w * h) AS BIGINT) AS mean_r,
+        |  CAST(SUM((doc_id * 7 + j * 50) % 256) // (w * h) AS BIGINT) AS mean_g,
+        |  CAST(SUM((doc_id * 11 + j * 60) % 256) // (w * h) AS BIGINT) AS mean_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "convert_avro_binary" ->

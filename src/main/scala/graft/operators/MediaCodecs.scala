@@ -315,6 +315,8 @@ object MediaCodecs {
           bytes(2) == 'i' && bytes(3) == 'f') qoiDecode(id, bytes).map(_._1)
         else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
           bytes(2) == 'N' && bytes(3) == 'G') pngDecode(id, bytes).map(_._1)
+        else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8') gifDecode(id, bytes).map(_._1)
         else None
       }
     }
@@ -596,6 +598,241 @@ object MediaCodecs {
     var i = 0
     while (i < n) { sr += rgb(i * 3) & 0xff; sg += rgb(i * 3 + 1) & 0xff; sb += rgb(i * 3 + 2) & 0xff; i += 1 }
     Some((MediaInfo(id, "png", Some(w.toLong), Some(h.toLong),
+      Some(sr / n), Some(sg / n), Some(sb / n), None, None, None), rgb))
+  }
+
+  // ---- GIF (GIF89a, CompuServe 1990 spec): "GIF89a" + logical screen
+  // descriptor (LE16 dims) + global color table + image descriptor +
+  // variable-width LZW image data in 255-byte sub-blocks + 0x3B trailer.
+  // The LZW is the real thing: clear/EOI codes, growing dictionary,
+  // LSB-first bit packing, width bumps at powers of two, 4096-entry cap
+  // with mid-stream clear — the last major pre-DCT raster format the
+  // codec tier was missing. Decode is STRICT (the PNG/QOI contract):
+  // bad magic, truncated sub-blocks, out-of-range codes, raster
+  // over/underflow and trailing bytes all dead-letter to None. ----
+
+  /** Encode an indexed raster as GIF89a. Palette length must be a power
+    * of two in [4, 256] (the GIF minimum LZW code size is 2). */
+  def gifEncode(w: Int, h: Int, palette: Array[(Int, Int, Int)], idx: Array[Byte]): Array[Byte] = {
+    require(idx.length == w * h, "raster size mismatch")
+    val psize = palette.length
+    require(psize >= 4 && psize <= 256 && (psize & (psize - 1)) == 0,
+      "palette must be a power of two in [4, 256]")
+    var bpp = 1
+    while ((1 << bpp) < psize) bpp += 1
+    val out = new java.io.ByteArrayOutputStream(idx.length + 64)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0x80 | ((bpp - 1) << 4) | (bpp - 1)) // global table, 2^bpp entries
+    out.write(0); out.write(0)                     // bg index, aspect
+    palette.foreach { case (r, g, b) => out.write(r); out.write(g); out.write(b) }
+    out.write(0x2c)                                // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0)                                   // no local table, not interlaced
+    val minCode = math.max(2, bpp)
+    out.write(minCode)
+
+    // LZW compress with LSB-first bit packing
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val data = new java.io.ByteArrayOutputStream(idx.length)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = minCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    var dict = new java.util.HashMap[Long, Int]()
+    var next = eoi + 1
+    emit(clear)
+    var cur = idx(0) & 0xff
+    var i = 1
+    while (i < idx.length) {
+      val k = idx(i) & 0xff
+      val key = (cur.toLong << 8) | k // cur < 4096 (12 bits) + k < 256 (8 bits)
+      // getOrDefault, NOT get: a java map parameterized on scala Int
+      // unboxes a missing key's null to 0 — a phantom hit on entry 0
+      val hit = dict.getOrDefault(key, -1)
+      if (hit >= 0) cur = hit
+      else {
+        emit(cur)
+        if (next < 4096) {
+          dict.put(key, next)
+          next += 1
+          // canonical width-bump rule (giflib): the decoder can receive a
+          // code equal to its `next` (the KwKwK case), so width must cover
+          // `next` itself — bump at next == 2^width, NOT one step later
+          if (next >= (1 << width) && width < 12) width += 1
+        } else {
+          emit(clear)
+          dict = new java.util.HashMap[Long, Int]()
+          width = minCode + 1
+          next = eoi + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(eoi)
+    if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+    val lzw = data.toByteArray
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Strict GIF decode → (info, palette-resolved RGB raster). */
+  def gifDecode(id: Long, bytes: Array[Byte]): Option[(MediaInfo, Array[Byte])] = {
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    def le16(at: Int): Int = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+    val sw = le16(6); val sh = le16(8)
+    val flags = bytes(10) & 0xff
+    if ((flags & 0x80) == 0) return None // global color table required here
+    val psize = 1 << ((flags & 0x07) + 1)
+    var p = 13
+    if (p + psize * 3 > bytes.length) return None
+    val pal = Array.tabulate(psize)(j => (bytes(p + j * 3) & 0xff,
+      bytes(p + j * 3 + 1) & 0xff, bytes(p + j * 3 + 2) & 0xff))
+    p += psize * 3
+    if (p >= bytes.length || (bytes(p) & 0xff) != 0x2c) return None
+    if (p + 10 > bytes.length) return None
+    val w = le16(p + 5); val h = le16(p + 7)
+    if (w <= 0 || h <= 0 || w > sw || h > sh || w.toLong * h > (1 << 26)) return None
+    if ((bytes(p + 9) & 0x80) != 0) return None // local tables unsupported
+    p += 10
+    if (p >= bytes.length) return None
+    val minCode = bytes(p) & 0xff
+    if (minCode < 2 || minCode > 8) return None
+    p += 1
+
+    // gather LZW bytes from sub-blocks
+    val data = new java.io.ByteArrayOutputStream(bytes.length)
+    var done = false
+    while (!done) {
+      if (p >= bytes.length) return None
+      val n = bytes(p) & 0xff
+      p += 1
+      if (n == 0) done = true
+      else {
+        if (p + n > bytes.length) return None
+        data.write(bytes, p, n)
+        p += n
+      }
+    }
+    if (p >= bytes.length || (bytes(p) & 0xff) != 0x3b) return None
+    if (p + 1 != bytes.length) return None // trailing bytes are malformation
+    val lzw = data.toByteArray
+
+    // LZW decompress (strict): prefix/suffix tables, KwKwK case, width
+    // bumps mirroring the encoder, hard raster-length check
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val outRaster = new Array[Byte](w * h)
+    var outPos = 0
+    var next = eoi + 1
+    var width = minCode + 1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var bp = 0
+    var prev = -1
+    def readCode(): Int = {
+      while (bitCnt < width && bp < lzw.length) {
+        bitBuf |= (lzw(bp) & 0xffL) << bitCnt
+        bitCnt += 8
+        bp += 1
+      }
+      if (bitCnt < width) return -1
+      val c = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width
+      bitCnt -= width
+      c
+    }
+    def expand(code0: Int, extra: Int): Boolean = {
+      // walk the chain into a small stack, then emit in order
+      var code = code0
+      var depth = 0
+      val stack = new Array[Int](4097)
+      if (extra >= 0) { stack(depth) = extra; depth += 1 }
+      while (code >= clear + 2) {
+        if (depth >= stack.length) return false
+        stack(depth) = suffix(code); depth += 1
+        code = prefix(code)
+      }
+      if (code >= psize) return false // root beyond palette
+      if (depth >= stack.length) return false
+      stack(depth) = code; depth += 1
+      if (outPos + depth > outRaster.length) return false
+      var d = depth - 1
+      while (d >= 0) { outRaster(outPos) = stack(d).toByte; outPos += 1; d -= 1 }
+      true
+    }
+    def firstSym(code0: Int): Int = {
+      var code = code0
+      while (code >= clear + 2) code = prefix(code)
+      code
+    }
+    var finished = false
+    while (!finished) {
+      val c = readCode()
+      if (c < 0) return None
+      if (c == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (c == eoi) {
+        finished = true
+      } else if (prev == -1) {
+        if (c >= clear) return None
+        if (!expand(c, -1)) return None
+        prev = c
+      } else {
+        if (c > next) return None
+        if (c == next) {
+          // KwKwK: emit prev + first(prev)
+          if (!expand(prev, firstSym(prev))) return None
+        } else {
+          if (!expand(c, -1)) return None
+        }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = if (c == next) firstSym(prev) else firstSym(c)
+          next += 1
+          // the decoder adds its entry one code LATER than the encoder
+          // (nothing is added for the first code after a clear), so its
+          // entry count lags the encoder's by exactly one at every stream
+          // position — it must bump width one step early to stay in sync
+          if (next >= (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = c
+      }
+    }
+    if (outPos != outRaster.length) return None
+    val n = w * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val rgb = new Array[Byte](n * 3)
+    var i2 = 0
+    while (i2 < n) {
+      val pi = outRaster(i2) & 0xff
+      if (pi >= psize) return None
+      val (r, g, b) = pal(pi)
+      rgb(i2 * 3) = r.toByte; rgb(i2 * 3 + 1) = g.toByte; rgb(i2 * 3 + 2) = b.toByte
+      sr += r; sg += g; sb += b
+      i2 += 1
+    }
+    Some((MediaInfo(id, "gif", Some(w.toLong), Some(h.toLong),
       Some(sr / n), Some(sg / n), Some(sb / n), None, None, None), rgb))
   }
 }

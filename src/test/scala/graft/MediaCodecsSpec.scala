@@ -218,4 +218,53 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(dec.isDefined)
     assert(dec.get._2.toSeq === Seq[Byte](10, 20, 30, 50, 60, 70))
   }
+
+  test("gif round-trips rasters incl. width bumps and the 4096-entry clear") {
+    val rnd = new scala.util.Random(61)
+    // small structured images: runs (LZW back-references) + noise
+    for (trial <- 1 to 20) {
+      val w = 2 + rnd.nextInt(9)
+      val h = 2 + rnd.nextInt(7)
+      val psize = Seq(4, 8, 16, 256)(rnd.nextInt(4))
+      val pal = Array.tabulate(psize)(j => (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val idx = Array.tabulate(w * h) { i =>
+        (if (i % 5 == 0) (i / w) % psize else rnd.nextInt(psize)).toByte
+      }
+      val enc = MediaCodecs.gifEncode(w, h, pal, idx)
+      val (info, rgb) = MediaCodecs.gifDecode(trial.toLong, enc).get
+      assert((info.width, info.height) === ((Some(w.toLong), Some(h.toLong))), s"trial $trial")
+      val expect = idx.flatMap { b =>
+        val (r, g, bl) = pal(b & 0xff); Array(r.toByte, g.toByte, bl.toByte)
+      }
+      assert(rgb.toSeq === expect.toSeq, s"trial $trial raster")
+    }
+    // LARGE noise image: dictionary crosses every width bump and the
+    // 4096-entry cap (mid-stream clear + re-grow) — the boundary where a
+    // width-rule off-by-one desyncs encoder and decoder
+    val w = 128; val h = 200
+    val pal = Array.tabulate(256)(j => (j, (j * 7) % 256, (j * 13) % 256))
+    val idx = Array.tabulate(w * h)(_ => rnd.nextInt(256).toByte)
+    val enc = MediaCodecs.gifEncode(w, h, pal, idx)
+    val (info, rgb) = MediaCodecs.gifDecode(99L, enc).get
+    assert((info.width, info.height) === ((Some(128L), Some(200L))))
+    assert(rgb.length === w * h * 3)
+    val expect = idx.flatMap { b =>
+      val (r, g, bl) = pal(b & 0xff); Array(r.toByte, g.toByte, bl.toByte)
+    }
+    assert(rgb.toSeq === expect.toSeq)
+  }
+
+  test("gif malformed inputs dead-letter to None") {
+    val pal = Array.tabulate(4)(j => (j * 10, j * 20, j * 30))
+    val good = MediaCodecs.gifEncode(3, 2, pal, Array[Byte](0, 1, 2, 3, 0, 1))
+    assert(MediaCodecs.gifDecode(1L, good).isDefined)
+    assert(MediaCodecs.gifDecode(1L, good.dropRight(1)).isEmpty)      // no trailer
+    assert(MediaCodecs.gifDecode(1L, good :+ 0.toByte).isEmpty)       // trailing bytes
+    assert(MediaCodecs.gifDecode(1L, good.take(10)).isEmpty)          // truncated header
+    val badMagic = good.clone; badMagic(0) = 'X'.toByte
+    assert(MediaCodecs.gifDecode(1L, badMagic).isEmpty)
+    val truncBlock = good.take(good.length - 8)                       // inside sub-block
+    assert(MediaCodecs.gifDecode(1L, truncBlock).isEmpty)
+    assert(MediaCodecs.gifDecode(1L, Array.emptyByteArray).isEmpty)
+  }
 }
