@@ -4002,6 +4002,30 @@ object SparkEntry {
         .orderBy("step")
     },
 
+    "text_wordpiece_train" -> { (s, dir) =>
+      // WordPiece likelihood-scored merge training (Schuster & Nakajima
+      // 2012) — the scoring that separates WordPiece from BPE: each round
+      // merges argmax of freq(ab)/(freq(a)·freq(b)) (the unigram-LM
+      // likelihood gain), not raw pair count, so rare-but-associated
+      // pairs beat frequent incidental ones. Same distributed loop as
+      // text_bpe_train plus one symbol-count agg per round; the argmax is
+      // cross-engine exact (BIGINT freq product < 2^53 casts to double
+      // exactly; IEEE division identically rounded; ties by pair lex).
+      // Output is all-integer (n_pair, f_lhs, f_rhs) so the driver hash
+      // compares the argmax evidence, not a float. The oracle replays
+      // all five rounds including the scored top-1.
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeTrain.trainLikelihood(words, "word", "freq", numMerges = 5)
+        .toDF()
+        .select(col("step"), col("lhs"), col("rhs"), col("merged"),
+          col("nPair").as("n_pair"), col("fLhs").as("f_lhs"), col("fRhs").as("f_rhs"))
+        .orderBy("step")
+    },
+
     "text_unigram_train" -> { (s, dir) =>
       // Unigram-LM tokenizer trainer (operators/UnigramTrain.scala) — the
       // SentencePiece-style EM half beside BPE: substring-seeded candidate
@@ -7707,6 +7731,38 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         |FROM t LEFT JOIN vocab v ON t.word = v.word
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // five likelihood-scored rounds, generated programmatically (same
+    // round shape as text_bpe_train's unrolled oracle plus a per-round
+    // symbol-count CTE and the scored ORDER BY — double division is
+    // identically rounded in both engines, products < 2^53)
+    "text_wordpiece_train" -> {
+      val rounds = 5
+      val cte = (1 to rounds).map { i =>
+        s"""tk$i AS MATERIALIZED (SELECT seq, freq, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+           |  FROM (SELECT seq, freq, string_split(trim(seq, '·'), '··') AS toks FROM s${i - 1}) q$i),
+           |sym$i AS MATERIALIZED (SELECT tok, SUM(freq) AS f FROM tk$i GROUP BY tok),
+           |c$i AS (SELECT a.tok AS lhs, b.tok AS rhs, SUM(a.freq) AS c
+           |  FROM tk$i a JOIN tk$i b ON a.seq = b.seq AND b.pos = a.pos + 1 GROUP BY 1, 2),
+           |t$i AS MATERIALIZED (SELECT c$i.lhs, c$i.rhs, c, sa.f AS fa, sb.f AS fb
+           |  FROM c$i JOIN sym$i sa ON c$i.lhs = sa.tok JOIN sym$i sb ON c$i.rhs = sb.tok
+           |  ORDER BY CAST(c AS DOUBLE) / CAST(sa.f * sb.f AS DOUBLE) DESC, c$i.lhs || '··' || c$i.rhs LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT replace(seq, '·' || (SELECT lhs || '··' || rhs FROM t$i) || '·',
+           |  '·' || (SELECT lhs || rhs FROM t$i) || '·') AS seq, freq FROM s${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to rounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, lhs, rhs, lhs || rhs AS merged, " +
+          s"CAST(c AS BIGINT) AS n_pair, CAST(fa AS BIGINT) AS f_lhs, CAST(fb AS BIGINT) AS f_rhs FROM t$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) u
+         |  WHERE len(word) > 0 GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT '·' || array_to_string(list_append(string_split(word, ''), '</w>'), '··') || '·' AS seq, freq FROM w),
+         |$cte
+         |$sel
+         |ORDER BY step""".stripMargin
+    },
 
     "text_bpe_train" ->
       """WITH w AS MATERIALIZED (

@@ -68,6 +68,79 @@ object BpeTrain {
         .cast("long").as("n_subwords"))
   }
 
+  final case class ScoredMerge(step: Long, lhs: String, rhs: String,
+      merged: String, nPair: Long, fLhs: Long, fRhs: Long)
+
+  /** WordPiece-style LIKELIHOOD-scored merge training (Schuster &
+    * Nakajima 2012; the scoring that distinguishes WordPiece from BPE):
+    * each round merges the pair maximizing freq(ab)/(freq(a)·freq(b)) —
+    * the unigram-LM likelihood GAIN of the merge — instead of raw pair
+    * count, so rare-but-strongly-associated pairs merge before frequent
+    * incidental ones. Same distributed shape as [[train]] (pair counts +
+    * one extra symbol-count agg per round, deterministic global top-1,
+    * map-only replace), and the score comparison is CROSS-ENGINE EXACT:
+    * freq products stay below 2^53 so the BIGINT product casts to double
+    * exactly, and IEEE division is identically rounded in Spark and
+    * DuckDB — the oracle replays every round's argmax including
+    * tie-breaks (score desc, pair lex asc). */
+  def trainLikelihood(
+      words: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      numMerges: Int,
+      endMarker: String = "</w>"): Seq[ScoredMerge] = {
+    var seqs = words
+      .select(
+        concat(lit(Sep),
+          array_join(concat(split(col(wordCol), ""), array(lit(endMarker))),
+            Sep + Sep),
+          lit(Sep)).as("seq"),
+        col(freqCol).cast("long").as("freq"))
+      .localCheckpoint(true)
+
+    val merges = ArrayBuffer.empty[ScoredMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val toks = seqs.select(col("freq"),
+        split(regexp_replace(col("seq"), s"^$Sep|$Sep$$", ""), Sep + Sep)
+          .as("toks"))
+      val sym = toks
+        .select(col("freq"), explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(sum("freq").as("f"))
+      val pairs = toks
+        .select(col("freq"), explode(expr(
+          s"transform(slice(toks, 1, size(toks) - 1), " +
+            s"(x, j) -> struct(x AS lhs, element_at(toks, j + 2) AS rhs))"))
+          .as("p"))
+        .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .groupBy("lhs", "rhs").agg(sum("freq").as("c"))
+      val top = pairs
+        .join(sym.select(col("tok").as("lhs"), col("f").as("fa")), Seq("lhs"))
+        .join(sym.select(col("tok").as("rhs"), col("f").as("fb")), Seq("rhs"))
+        .orderBy(
+          (col("c").cast("double") / (col("fa") * col("fb")).cast("double")).desc,
+          concat(col("lhs"), lit(Sep + Sep), col("rhs")).asc)
+        .select("lhs", "rhs", "c", "fa", "fb")
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (lhs, rhs) = (top(0).getString(0), top(0).getString(1))
+        require(!(lhs + rhs).contains("'"), s"unexpected quote in pair $lhs$rhs")
+        merges += ScoredMerge(step.toLong, lhs, rhs, lhs + rhs,
+          top(0).getLong(2), top(0).getLong(3), top(0).getLong(4))
+        seqs = seqs
+          .select(expr(
+            s"replace(seq, '$Sep$lhs$Sep$Sep$rhs$Sep', '$Sep${lhs + rhs}$Sep')")
+            .as("seq"), col("freq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Learned merge rules, in order. `words` must be a (word, freq) table
     * with distinct words. */
   def train(
