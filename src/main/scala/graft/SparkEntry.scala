@@ -1744,6 +1744,30 @@ object SparkEntry {
         .orderBy("c_id", "p_id")
     },
 
+    "stream_fanout" -> { (s, dir) =>
+      // one stream → TWO sinks (raw archive + per-batch serving
+      // aggregate) with exactly-once batch semantics: foreachBatch's
+      // stable batchId fences both sinks via overwrite of batch=<id>
+      // directories, so a retried batch lands idempotently everywhere —
+      // reader's one-feed-many-destinations shape without sink
+      // transactions. The query re-aggregates BOTH sinks and asserts
+      // they describe the same stream (counts and exact decimal sums
+      // equal per type — decimal batch-sum roll-up ≡ direct sum), then
+      // emits the per-type rollup the oracle computes directly.
+      val (raw, agg) = graft.streaming.StreamFanout.run(
+        s, s"$dir/events.parquet", workDir("fanout", dir))
+      val a = raw.groupBy("event_type")
+        .agg(count(lit(1)).as("n_raw"), sum(dec2(col("value"))).as("sum_raw"))
+      val b = agg.groupBy("event_type")
+        .agg(sum(col("n")).as("n_agg"), sum(col("sum_dec")).as("sum_agg"))
+      a.join(b, Seq("event_type"))
+        .select(col("event_type"), col("n_raw").as("n"),
+          col("sum_raw").cast("double").as("sum_value"),
+          (col("n_raw") === col("n_agg") && col("sum_raw") === col("sum_agg"))
+            .as("ok_sinks_consistent"))
+        .orderBy("event_type")
+    },
+
     "stream_full_outer_join" -> { (s, dir) =>
       // stream-stream FULL OUTER interval join — the remaining
       // completeness-semantics member after 19b3 (inner) and 19b7 (left
@@ -4000,6 +4024,31 @@ object SparkEntry {
         .toDF()
         .select(col("step"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
         .orderBy("step")
+    },
+
+    "index_inverted" -> { (s, dir) =>
+      // Inverted-index lifecycle — the search-side sibling of the layout
+      // tier: the index at rest is a plain (word, doc_id) posting TABLE
+      // (bucketed by word in a deployment, so a term lookup reads only
+      // its buckets — no arrays, no giant rows, stop-word skew handled by
+      // the same bucketing), and a conjunctive query is term-filter →
+      // keyed agg counting matched terms == k — it touches only the
+      // queried terms' postings, never the corpus. The oracle answers the
+      // SAME query by brute-force corpus scan (list_contains over every
+      // document), so the hash match is an index ≡ scan equivalence
+      // proof. Output rows carry each hit's distinct-word count so the
+      // gate compares data, not bare ids.
+      val post = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(filter(split(lower(col("text")), " "),
+            w => length(w) > lit(0)))).as("word"))
+      val terms = Seq("scan", "merge", "filter")
+      val hits = post.where(col("word").isin(terms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+        .where(col("n_terms") === terms.length)
+      post.groupBy("doc_id").agg(count(lit(1)).as("n_uniq_words"))
+        .join(hits.select("doc_id"), Seq("doc_id"), "left_semi")
+        .orderBy("doc_id")
     },
 
     "text_wordpiece_train" -> { (s, dir) =>
@@ -6299,6 +6348,12 @@ object SparkEntry {
         |SELECT * FROM matched UNION ALL SELECT * FROM evicted
         |ORDER BY c_id, p_id""".stripMargin,
 
+    "stream_fanout" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  true AS ok_sinks_consistent
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_full_outer_join" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
@@ -7731,6 +7786,20 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         |FROM t LEFT JOIN vocab v ON t.word = v.word
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // brute-force corpus scan answering the same conjunctive query —
+    // the hash match proves index lookup ≡ scan
+    "index_inverted" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |      w -> len(w) > 0)) AS ws
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_uniq_words
+        |FROM t
+        |WHERE list_contains(ws, 'scan') AND list_contains(ws, 'merge')
+        |  AND list_contains(ws, 'filter')
+        |ORDER BY doc_id""".stripMargin,
 
     // five likelihood-scored rounds, generated programmatically (same
     // round shape as text_bpe_train's unrolled oracle plus a per-round
