@@ -2635,6 +2635,33 @@ object SparkEntry {
         .orderBy("flag")
     },
 
+    "audit_pseudonymize" -> { (s, dir) =>
+      // Deterministic pseudonymization with REFERENTIAL INTEGRITY — the
+      // privacy tier's fourth member (k-anonymity audit, erasure audit,
+      // PII redaction, and now keyed tokenization): customer keys are
+      // replaced by a salted md5-derived token consistently in BOTH the
+      // customer and orders tables, so cross-table joins still work on
+      // tokens alone while the clear key never leaves the trust
+      // boundary. The gate: per-nation aggregates computed over the
+      // TOKEN join are hash-compared against the oracle's CLEAR-key
+      // join — identical results prove the tokenization is injective on
+      // this keyspace and consistently applied (a token collision or a
+      // salt mismatch between tables breaks the hash). Map-only token
+      // derivation; one keyed join on the token, same shuffle as the
+      // clear join — pseudonymization costs nothing at 100 TB.
+      val tok = (k: Column) => Tf.hash60(concat(lit("pseud-"), k.cast("string")))
+      val cust = Tables.customer(s, dir)
+        .select(tok(col("c_custkey")).as("c_token"), col("c_nationkey"))
+      val ords = Tables.orders(s, dir)
+        .select(tok(col("o_custkey")).as("o_token"), dec2(col("o_totalprice")).as("price"))
+      cust.join(ords, col("c_token") === col("o_token"))
+        .groupBy("c_nationkey")
+        .agg(countDistinct(col("c_token")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sumd(col("price")).as("total_price"))
+        .orderBy("c_nationkey")
+    },
+
     "audit_kanonymity" -> { (s, dir) =>
       // k-anonymity audit — the privacy sibling of audit_constraints /
       // audit_erasure: report every quasi-identifier equivalence class
@@ -7009,6 +7036,16 @@ object SparkEntry {
         |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM st ORDER BY flag""".stripMargin,
+
+    // the CLEAR-key join — identical aggregates prove the tokenization
+    // is injective and consistently applied across tables
+    "audit_pseudonymize" ->
+      """SELECT c_nationkey,
+        |  COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "audit_kanonymity" ->
       """SELECT c_nationkey, c_mktsegment,
