@@ -82,7 +82,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "join_spatial_grid", "join_spatial_knn",
       // join_bloom_prefilter broadcasts the ONE-ROW serialized Bloom
       // filter onto the fact scan — the runtime-filter pushdown itself
-      "join_bloom_prefilter")
+      "join_bloom_prefilter",
+      // ann_ivf_pq's in-query brute-force REFERENCE (annVerification's
+      // exact side) is the ann_topk broadcast-queries nested loop; the
+      // IVF-PQ pipeline itself is keyed joins on list_id/nid/qid
+      "ann_ivf_pq")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
