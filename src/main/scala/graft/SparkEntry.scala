@@ -512,6 +512,54 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name"))
     },
 
+    "q4_order_priority" -> { (s, dir) =>
+      // TPC-H Q4 shape — correlated EXISTS whose subquery predicate
+      // compares a SUBQUERY column against an OUTER column (a line of the
+      // order shipped after the order date; classic Q4 uses
+      // commitdate < receiptdate, absent in this schema). Decorrelated to
+      // ONE LEFT SEMI join carrying both the key equality and the
+      // non-equi comparison in the join condition — the fact table is
+      // scanned once and rows drop at the join, no per-row rescan /
+      // nested loop. The three-month window is pushed into the orders
+      // scan (partition-prunable at 100 TB). The oracle runs the ORIGINAL
+      // correlated EXISTS, so the hash match proves the rewrite.
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp_ntz"))
+      ord.join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q18_large_orders" -> { (s, dir) =>
+      // TPC-H Q18 shape — IN-subquery with HAVING over the SAME fact
+      // table the outer query aggregates: the naive plan scans lineitem
+      // twice (once to build the IN set, once for the outer sum).
+      // Decorrelated: ONE per-order quantity aggregate serves as both
+      // the qualifying filter (sum_qty > 300, ~0.5% of orders — scale-
+      // stable selectivity) and the output column — a single fact scan,
+      // then keyed joins whose left side is already filtered to the
+      // qualifying sliver, so the orders/customer joins move almost
+      // nothing. Top-100 by (totalprice desc, orderkey) plans as
+      // TakeOrderedAndProject — no global sort materialization. The
+      // oracle runs the ORIGINAL IN + HAVING + double-scan form.
+      val perOrder = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
+        .where(col("qty_dec") > lit(300).cast("decimal(12,2)"))
+        .select(col("l_orderkey"), col("qty_dec").cast("double").as("sum_qty"))
+      perOrder
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     "join_broadcast" -> { (s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -4078,6 +4126,37 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "graph_scc" -> { (s, dir) =>
+      // Strongly connected components — the DIRECTED member of the graph
+      // tier (undirected CC, incremental CC, triangles, TextRank), via
+      // distributed Forward-Backward-Trim coloring (operators/Scc.scala;
+      // Tarjan's stack is inherently sequential, FW-BW is the standard
+      // Pregel/MapReduce recipe). The instance is a hash-derived directed
+      // graph over customer keys (out-degree ≤ 2 via the md5 hash60
+      // convention, density-normalized by the one-row count broadcast;
+      // every key % 7 == 0 is a dead end so the trim phase has real work
+      // — giant-SCC-plus-tail, the shape hash/link graphs take in
+      // practice). Output is the (scc_id = min member, size) census; the
+      // oracle recomputes ground truth from the SAME edges by transitive
+      // closure (recursive CTE) + mutual-reachability min — a completely
+      // different algorithm, so the hash match is an
+      // algorithm-vs-definition proof. SccSpec pins the operator against
+      // a driver-side Tarjan on five graph shapes.
+      import graft.operators.Scc
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+      Scc.components(cust, edges)
+        .groupBy("scc_id").agg(count(lit(1)).as("n_members"))
+        .orderBy("scc_id")
+    },
+
     "text_wordpiece_train" -> { (s, dir) =>
       // WordPiece likelihood-scored merge training (Schuster & Nakajima
       // 2012) — the scoring that separates WordPiece from BPE: each round
@@ -5500,6 +5579,31 @@ object SparkEntry {
         |                    AND l3.l_returnflag = 'R')
         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // the ORIGINAL correlated EXISTS with the cross-table comparison
+    // inside the subquery; Spark runs the semi-join decorrelation
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the ORIGINAL IN + HAVING form that scans lineitem twice; Spark runs
+    // the single-scan shared-aggregate rewrite
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
@@ -7837,6 +7941,35 @@ object SparkEntry {
         |WHERE list_contains(ws, 'scan') AND list_contains(ws, 'merge')
         |  AND list_contains(ws, 'filter')
         |ORDER BY doc_id""".stripMargin,
+
+    // ground truth by definition: transitive closure (recursive CTE) +
+    // mutual-reachability min over the SAME hash-derived edges — a
+    // different algorithm entirely from the FW-BW-Trim operator
+    "graph_scc" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT u AS src, dst FROM (
+        |    SELECT u, ('0x' || substr(md5('scc-a-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0
+        |    UNION ALL
+        |    SELECT u, ('0x' || substr(md5('scc-b-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0)
+        |  WHERE u <> dst),
+        |reach AS MATERIALIZED (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT src, dst FROM edges
+        |    UNION
+        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        |  SELECT src, dst FROM r),
+        |mutual AS (
+        |  SELECT r1.src AS u, r1.dst AS v FROM reach r1 JOIN reach r2
+        |    ON r1.src = r2.dst AND r1.dst = r2.src),
+        |scc AS (
+        |  SELECT b.u AS node, LEAST(b.u, COALESCE(MIN(m.v), b.u)) AS scc_id
+        |  FROM base b LEFT JOIN mutual m ON m.u = b.u GROUP BY b.u)
+        |SELECT scc_id, COUNT(*) AS n_members FROM scc
+        |GROUP BY scc_id ORDER BY scc_id""".stripMargin,
 
     // five likelihood-scored rounds, generated programmatically (same
     // round shape as text_bpe_train's unrolled oracle plus a per-round
