@@ -1067,6 +1067,52 @@ object SparkEntry {
         .limit(20)
     },
 
+    "skyline_pareto" -> { (s, dir) =>
+      // 2-D skyline / Pareto frontier (Börzsönyi et al. 2001): orders that
+      // are not dominated on (minimize price, maximize recency) — the
+      // preference-query operator class. The textbook sort-based algorithm
+      // needs ONE GLOBAL sort with a running min — a single-partition
+      // window, wrong at 100 TB. Instead, three shuffle-bounded stages:
+      //  1. bucket on price ranges (fixed width, ~96 buckets over the TPC-H
+      //     price domain), ONE keyed agg for per-bucket min(y);
+      //  2. prefix-min over the O(buckets) frame (metadata-scale window),
+      //     broadcast back: a point survives iff y < min(y of ALL earlier
+      //     buckets) — sound because an earlier-bucket point always has
+      //     strictly smaller price, so y >= pmin would be dominated;
+      //  3. exact dominance test among survivors only, PER-BUCKET windows
+      //     (parallel, no global sort): every dominator of a survivor has
+      //     equal price-bucket (earlier-bucket dominators would contradict
+      //     y < pmin) and is itself a survivor, so the in-bucket check over
+      //     survivors is complete.
+      // Equal-price ties and exact duplicate points follow the strict
+      // dominance definition (a duplicate does not dominate its twin), so
+      // the NOT-EXISTS oracle replays the result exactly. y = -day makes
+      // both axes "minimize"; all arithmetic is BIGINT-exact.
+      val pts = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("price_cents"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("order_day"))
+        .withColumn("y", -col("order_day"))
+      val bucketW = 524288L // 2^19 cents => ~96 buckets over [0, 50M cents]
+      val withB = pts.withColumn("b", expr(s"price_cents div $bucketW"))
+      val pre = withB.groupBy("b").agg(min("y").as("bmin"))
+        .withColumn("pmin", min("bmin").over(
+          Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
+      val surv = withB
+        .join(broadcast(pre.select("b", "pmin")), Seq("b"))
+        .where(col("pmin").isNull || col("y") < col("pmin"))
+      val wPrevX = Window.partitionBy("b").orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      surv
+        .withColumn("minPrevY", min("y").over(wPrevX))
+        .withColumn("gminY", min("y").over(Window.partitionBy("b", "price_cents")))
+        .where((col("minPrevY").isNull || col("y") < col("minPrevY")) &&
+          col("y") === col("gminY"))
+        .select("o_orderkey", "price_cents", "order_day")
+        .orderBy("price_cents", "o_orderkey")
+    },
+
     "cube_agg" -> { (s, dir) =>
       // CUBE aggregation (all 2^k grouping sets in one pass — the BI
       // cross-tab rollup_agg's hierarchy cannot give): Spark expands the
@@ -4157,6 +4203,33 @@ object SparkEntry {
         .orderBy("scc_id")
     },
 
+    "graph_bfs" -> { (s, dir) =>
+      // Single-source BFS hop distances (operators/Bfs.scala) — the
+      // reachability member of the graph tier, over the SAME hash-derived
+      // digraph instance as graph_scc (one shared graph convention, so the
+      // directed-graph lanes compose). Frontier-form double-stepped BSP:
+      // per-round cost tracks the frontier's edges, not the visited set.
+      // Output is the distance histogram from node 1 over reachable REAL
+      // nodes (phantom hash targets dropped by the node-set semi-join on
+      // both sides). Oracle recomputes by definition: recursive-CTE level
+      // enumeration + MIN(d) per node — a different algorithm, so the hash
+      // match proves the frontier labels, including the two-hop-delta
+      // correctness argument in the scaladoc.
+      import graft.operators.Bfs
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+      Bfs.distances(cust, edges, source = 1L)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+
     "text_wordpiece_train" -> { (s, dir) =>
       // WordPiece likelihood-scored merge training (Schuster & Nakajima
       // 2012) — the scoring that separates WordPiece from BPE: each round
@@ -5981,6 +6054,23 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // ground truth by definition: NOT EXISTS strict-dominance — a
+    // completely different formulation from the bucketed prefilter +
+    // per-bucket window plan
+    "skyline_pareto" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+        |    DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day
+        |  FROM orders)
+        |SELECT p.o_orderkey, p.price_cents, p.order_day
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.price_cents <= p.price_cents AND q.order_day >= p.order_day
+        |    AND (q.price_cents < p.price_cents OR q.order_day > p.order_day))
+        |ORDER BY price_cents, o_orderkey""".stripMargin,
 
     "sort_limit" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
@@ -7970,6 +8060,32 @@ object SparkEntry {
         |  FROM base b LEFT JOIN mutual m ON m.u = b.u GROUP BY b.u)
         |SELECT scc_id, COUNT(*) AS n_members FROM scc
         |GROUP BY scc_id ORDER BY scc_id""".stripMargin,
+
+    // ground truth by definition: recursive-CTE level enumeration from the
+    // source + MIN(d) per node over the SAME hash-derived edges, restricted
+    // to the real node set — a different algorithm from the frontier BSP
+    "graph_bfs" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT u AS src, dst FROM (
+        |    SELECT u, ('0x' || substr(md5('scc-a-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0
+        |    UNION ALL
+        |    SELECT u, ('0x' || substr(md5('scc-b-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0)
+        |  WHERE u <> dst),
+        |walk AS MATERIALIZED (
+        |  WITH RECURSIVE w(node, d) AS (
+        |    SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |    UNION
+        |    SELECT e.dst, w.d + 1 FROM w JOIN edges e ON e.src = w.node
+        |    WHERE w.d < 60)
+        |  SELECT node, MIN(d) AS dist FROM w GROUP BY node),
+        |reach AS (
+        |  SELECT walk.node, walk.dist FROM walk JOIN base ON walk.node = base.u)
+        |SELECT dist, COUNT(*) AS n_nodes FROM reach
+        |GROUP BY dist ORDER BY dist""".stripMargin,
 
     // five likelihood-scored rounds, generated programmatically (same
     // round shape as text_bpe_train's unrolled oracle plus a per-round

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-source BFS hop distances over a directed edge table — the
+  * reachability/shortest-hop member of the graph tier (undirected CC,
+  * incremental CC, triangles, TextRank, SCC). Frontier-form BSP: each
+  * round expands only from the nodes discovered LAST round, anti-joined
+  * against the accumulated visited set (a narrow union of checkpointed
+  * deltas, never re-shuffled) — per-round work tracks the frontier's
+  * edges, not the visited set, the same discipline as Scc's backward
+  * pass.
+  *
+  * DOUBLE-STEPPED like both Scc fixpoints (measured finding there: on
+  * diameter-many metadata-scale shuffles the per-round fixed overhead —
+  * materialization, count job, scheduling — dominates, so two hops per
+  * checkpoint nearly halves wall time). Correctness of the two-hop
+  * labels: every node at true distance d+2 has a predecessor at exactly
+  * d+1, which is in this round's hop-1 delta (new nodes only — expanding
+  * hop 2 from already-visited hop-1 hits would mislabel, so hop 1 is
+  * anti-joined BEFORE the second expansion).
+  */
+object Bfs {
+
+  /** @param nodes (node: long) — vertex set; discovered ids outside it are
+    *   dropped (hash-derived edge tables may point at phantom ids)
+    * @param edges (src, dst: long) — directed edges
+    * @param source BFS root
+    * @return (node, dist: long) for REACHABLE nodes only, dist = hop count */
+  def distances(
+      nodes: DataFrame,
+      edges: DataFrame,
+      source: Long,
+      maxIters: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var visited = spark.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var d = 0L
+    var frontierCount = 1L
+    var iter = 0
+    // one hop: distinct successors of f (labels applied by the caller)
+    def hop(f: DataFrame): DataFrame =
+      es.join(f.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+    while (frontierCount > 0) {
+      val h1 = hop(frontier)
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val h2 = hop(h1)
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(h1, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val grown = h1.withColumn("dist", lit(d + 1L))
+        .union(h2.withColumn("dist", lit(d + 2L)))
+      visited = visited.union(grown)
+      frontier = h2
+      frontierCount = h2.count()
+      d += 2
+      iter += 1
+      require(iter < maxIters, s"BFS did not converge in $maxIters rounds")
+    }
+    visited.join(nodes.select("node"), Seq("node"), "left_semi")
+  }
+}
