@@ -1067,6 +1067,79 @@ object SparkEntry {
         .limit(20)
     },
 
+    "ml_kmeans" -> { (s, dir) =>
+      // Distributed Lloyd k-means (k=4, 3 iterations) — the clustering
+      // member of the ML tier (OLS, naive Bayes, bootstrap, PCA). The
+      // Spark shape is the production one: centroids live in a
+      // METADATA-SCALE frame carried as a one-row broadcast array, each
+      // iteration costs the corpus ONE map (assignment arithmetic against
+      // the broadcast, fully codegen — no HOF, no UDF) + ONE keyed agg
+      // whose partial aggregation collapses to k cells per task before the
+      // exchange; no corpus shuffle ever. LATTICE-ROUNDED for cross-engine
+      // exactness: centroid updates are floor-divided integer means
+      // (positive domain, so Spark `div` ≡ DuckDB `//`), which keeps every
+      // distance comparison in exact BIGINT — perturbs each mean by <1
+      // lattice unit in a 65536-wide space, and makes the hash match exact
+      // where IEEE mean-of-doubles would be summation-order-divergent.
+      // The instance has REAL cluster structure (4 latent centers by
+      // key%4, hash offsets ±4096) and deliberately-bad diagonal inits, so
+      // the iterations move: assignments start 187/566/560/187 at sf0.01
+      // and converge to the 4 true clusters (375 each) by iteration 3 —
+      // the oracle replays all three unrolled rounds, ties broken to the
+      // lowest centroid id on both sides. Empty clusters keep their old
+      // centroid (COALESCE left join on both sides).
+      import s.implicits._
+      val pts = Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("g", col("k") % 4)
+        .select(col("k"),
+          (lit(16384L) + lit(32768L) * (col("g") % 2) +
+            pmod(Tf.hash60(concat(lit("kmx-"), col("k").cast("string"))), lit(8193L)) -
+            lit(4096L)).as("px"),
+          (lit(16384L) + lit(32768L) * expr("g div 2") +
+            pmod(Tf.hash60(concat(lit("kmy-"), col("k").cast("string"))), lit(8193L)) -
+            lit(4096L)).as("py"))
+      def assign(cents: DataFrame): DataFrame = {
+        val packed = cents.agg(
+          sort_array(collect_list(struct(col("j"), col("cx"), col("cy")))).as("cs"))
+        def d(j: Int): Column = {
+          val e = element_at(col("cs"), j)
+          val dx = col("px") - e.getField("cx")
+          val dy = col("py") - e.getField("cy")
+          dx * dx + dy * dy
+        }
+        pts.crossJoin(broadcast(packed))
+          .withColumn("d1", d(1)).withColumn("d2", d(2))
+          .withColumn("d3", d(3)).withColumn("d4", d(4))
+          .withColumn("cluster",
+            when(col("d1") <= col("d2") && col("d1") <= col("d3") && col("d1") <= col("d4"), 1L)
+              .when(col("d2") <= col("d3") && col("d2") <= col("d4"), 2L)
+              .when(col("d3") <= col("d4"), 3L).otherwise(4L))
+          .withColumn("dmin", least(col("d1"), col("d2"), col("d3"), col("d4")))
+      }
+      def update(cents: DataFrame): DataFrame = {
+        val upd = assign(cents).groupBy("cluster")
+          .agg(sum("px").as("sx"), sum("py").as("sy"), count(lit(1)).as("n"))
+          .select(col("cluster").as("j"),
+            expr("sx div n").as("ncx"), expr("sy div n").as("ncy"))
+        // 4-row frame: localCheckpoint keeps the iteration lineage shallow
+        cents.join(upd, Seq("j"), "left")
+          .select(col("j"), coalesce(col("ncx"), col("cx")).as("cx"),
+            coalesce(col("ncy"), col("cy")).as("cy"))
+          .localCheckpoint(true)
+      }
+      val c0 = Seq((1L, 8192L, 8192L), (2L, 24576L, 24576L),
+        (3L, 40960L, 40960L), (4L, 57344L, 57344L)).toDF("j", "cx", "cy")
+      val c2 = update(update(c0))
+      assign(c2).groupBy("cluster")
+        .agg(count(lit(1)).as("n_points"), sum("px").as("sx"), sum("py").as("sy"),
+          sum("dmin").as("inertia"))
+        .select(col("cluster"), col("n_points"),
+          expr("sx div n_points").as("cx"), expr("sy div n_points").as("cy"),
+          col("inertia"))
+        .orderBy("cluster")
+    },
+
     "skyline_pareto" -> { (s, dir) =>
       // 2-D skyline / Pareto frontier (Börzsönyi et al. 2001): orders that
       // are not dominated on (minimize price, maximize recency) — the
@@ -1096,9 +1169,15 @@ object SparkEntry {
         .withColumn("y", -col("order_day"))
       val bucketW = 524288L // 2^19 cents => ~96 buckets over [0, 50M cents]
       val withB = pts.withColumn("b", expr(s"price_cents div $bucketW"))
-      val pre = withB.groupBy("b").agg(min("y").as("bmin"))
-        .withColumn("pmin", min("bmin").over(
-          Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
+      // prefix-min over the O(buckets) frame via a triangular self-join
+      // (~96x96 rows, broadcast) — NOT an unpartitioned window, which
+      // would plan a single-partition sort node indistinguishable from
+      // the corpus-scale defect the plan-hygiene gate bans
+      val bmins = withB.groupBy("b").agg(min("y").as("bmin"))
+      val pre = bmins
+        .join(broadcast(bmins.select(col("b").as("b2"), col("bmin").as("bmin2"))),
+          col("b2") < col("b"), "left")
+        .groupBy("b").agg(min("bmin2").as("pmin"))
       val surv = withB
         .join(broadcast(pre.select("b", "pmin")), Seq("b"))
         .where(col("pmin").isNull || col("y") < col("pmin"))
@@ -6054,6 +6133,49 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // three unrolled Lloyd rounds: assignment = cross join + row_number
+    // argmin (ties to lowest j, matching the when-chain), update =
+    // floor-divided integer means with COALESCE empty-cluster guard —
+    // every comparison exact BIGINT on both engines
+    "ml_kmeans" ->
+      """WITH pts AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    16384 + 32768*((CAST(c_custkey AS BIGINT) % 4) % 2)
+        |      + (('0x' || substr(md5('kmx-' || c_custkey), 1, 15))::BIGINT % 8193 - 4096) AS px,
+        |    16384 + 32768*((CAST(c_custkey AS BIGINT) % 4) // 2)
+        |      + (('0x' || substr(md5('kmy-' || c_custkey), 1, 15))::BIGINT % 8193 - 4096) AS py
+        |  FROM customer),
+        |c0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy
+        |  FROM (VALUES (1, 8192, 8192), (2, 24576, 24576),
+        |               (3, 40960, 40960), (4, 57344, 57344)) t(j, cx, cy)),
+        |a1 AS (SELECT k, px, py, j AS cluster FROM (
+        |  SELECT p.k, p.px, p.py, c.j, ROW_NUMBER() OVER (PARTITION BY p.k
+        |    ORDER BY (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy), c.j) AS rn
+        |  FROM pts p CROSS JOIN c0 c) x WHERE rn = 1),
+        |u1 AS (SELECT cluster AS j, SUM(px) // COUNT(*) AS cx, SUM(py) // COUNT(*) AS cy
+        |  FROM a1 GROUP BY cluster),
+        |c1 AS (SELECT c0.j, COALESCE(u1.cx, c0.cx) AS cx, COALESCE(u1.cy, c0.cy) AS cy
+        |  FROM c0 LEFT JOIN u1 ON c0.j = u1.j),
+        |a2 AS (SELECT k, px, py, j AS cluster FROM (
+        |  SELECT p.k, p.px, p.py, c.j, ROW_NUMBER() OVER (PARTITION BY p.k
+        |    ORDER BY (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy), c.j) AS rn
+        |  FROM pts p CROSS JOIN c1 c) x WHERE rn = 1),
+        |u2 AS (SELECT cluster AS j, SUM(px) // COUNT(*) AS cx, SUM(py) // COUNT(*) AS cy
+        |  FROM a2 GROUP BY cluster),
+        |c2 AS (SELECT c1.j, COALESCE(u2.cx, c1.cx) AS cx, COALESCE(u2.cy, c1.cy) AS cy
+        |  FROM c1 LEFT JOIN u2 ON c1.j = u2.j),
+        |a3 AS (SELECT k, px, py, j AS cluster, dd FROM (
+        |  SELECT p.k, p.px, p.py, c.j,
+        |    (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS dd,
+        |    ROW_NUMBER() OVER (PARTITION BY p.k
+        |    ORDER BY (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy), c.j) AS rn
+        |  FROM pts p CROSS JOIN c2 c) x WHERE rn = 1)
+        |SELECT cluster, COUNT(*) AS n_points,
+        |  CAST(SUM(px) AS BIGINT) // COUNT(*) AS cx,
+        |  CAST(SUM(py) AS BIGINT) // COUNT(*) AS cy,
+        |  CAST(SUM(dd) AS BIGINT) AS inertia
+        |FROM a3 GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // ground truth by definition: NOT EXISTS strict-dominance — a
     // completely different formulation from the bucketed prefilter +

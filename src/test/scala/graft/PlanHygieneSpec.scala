@@ -86,7 +86,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       // ann_ivf_pq's in-query brute-force REFERENCE (annVerification's
       // exact side) is the ann_topk broadcast-queries nested loop; the
       // IVF-PQ pipeline itself is keyed joins on list_id/nid/qid
-      "ann_ivf_pq")
+      "ann_ivf_pq",
+      // ml_kmeans broadcasts the ONE-ROW packed centroid array (k=4
+      // structs) onto the point scan each Lloyd iteration — the
+      // production broadcast-centroids shape; assignment is map-side
+      // arithmetic, the corpus never shuffles
+      "ml_kmeans",
+      // skyline_pareto's bucket prefix-min is a triangular self-join of
+      // the O(buckets) minima frame (~96 rows each side, broadcast) —
+      // metadata-scale by construction; the corpus side joins on the
+      // equi bucket key only
+      "skyline_pareto")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
