@@ -560,6 +560,81 @@ object SparkEntry {
         .limit(100)
     },
 
+    "q13_order_distribution" -> { (s, dir) =>
+      // TPC-H Q13 shape — distribution of orders-per-customer INCLUDING
+      // zero-order customers: the class that needs a LEFT OUTER join
+      // before aggregation (an inner join silently drops the zero bucket,
+      // the most common single mistake in this query family). Two-level
+      // aggregate: per-customer count (counts only matched rows — COUNT
+      // of the nullable join column, not COUNT(*)), then the histogram.
+      // Both aggs are keyed shuffles whose map-side partials collapse;
+      // the orders filter is pushed below the join so the outer side
+      // carries only the relevant sliver.
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey")
+      Tables.customer(s, dir).select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    "q15_top_supplier" -> { (s, dir) =>
+      // TPC-H Q15 shape — argmax over an aggregate (the top-revenue
+      // supplier(s), ties included): the correlated form computes the
+      // revenue view twice (once per supplier, once inside the scalar MAX
+      // subquery). Decorrelated: ONE revenue aggregate reused for both
+      // sides, the MAX as a one-row frame joined back by EXACT DECIMAL
+      // equality (order-independent sums, so the equality is
+      // deterministic — the same shape in IEEE doubles would be
+      // summation-order-flaky). The quarter filter is pushed into the
+      // lineitem scan; the supplier join runs on the argmax sliver only.
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .as("rev_dec"))
+      val mx = rev.agg(max("rev_dec").as("mx"))
+      rev.join(broadcast(mx), col("rev_dec") === col("mx"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    "q7_volume_shipping" -> { (s, dir) =>
+      // TPC-H Q7 shape — bilateral trade volume between two nations with a
+      // DISJUNCTIVE nation-pair predicate. Naively the OR forces a
+      // post-join filter over the full 6-table join; instead both nation
+      // dims are pre-filtered to the two relevant nations and broadcast,
+      // so the supplier/customer joins drop non-participating rows
+      // immediately and only the cheap pair check (tiny dim columns)
+      // remains disjunctive. Exact decimal volume, grouped by the pair and
+      // ship year.
+      val nations = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(Tables.nation(s, dir).where(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, dir).where(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("ck"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     "join_broadcast" -> { (s, dir) =>
       Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -5756,6 +5831,52 @@ object SparkEntry {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // the ORIGINAL left-outer + two-level aggregate form; the zero-order
+    // bucket is the correctness tell
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // the ORIGINAL correlated form: the revenue view evaluated per
+    // supplier AND inside the scalar MAX subquery; Spark reuses ONE
+    // aggregate with an exact-decimal equality join
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // the ORIGINAL disjunctive nation-pair form over the 6-table join
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(volume) AS DOUBLE) AS volume FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
