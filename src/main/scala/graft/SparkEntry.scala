@@ -2145,6 +2145,46 @@ object SparkEntry {
         .orderBy("stage")
     },
 
+    "events_attribution" -> { (s, dir) =>
+      // Multi-touch conversion attribution (first-touch + last-touch) —
+      // the marketing-analytics member of the events tier. Journeys are
+      // segmented by a RUNNING purchase count per user (one window over
+      // (user, time) — O(n), where the naive per-conversion lookback is a
+      // user-keyed range join with quadratic per-user cost): a touch
+      // belongs to journey j = #purchases before it, a purchase closes
+      // journey (#purchases through it) - 1, so the purchase↔touches
+      // match is a plain keyed equi-join on (user, journey). First/last
+      // touch per journey via per-(user,journey) row_number windows —
+      // fully parallel partitions; conversions with an empty journey
+      // (back-to-back purchases) attribute to 'direct' through the LEFT
+      // join + COALESCE. Counts are integers; ordering (ts_ns, event_id)
+      // is total, so both engines pick identical touches.
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+        .withColumn("cum",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), (col("cum") - 1).as("j"))
+      val touch = ev.where(col("event_type") =!= "purchase")
+        .withColumnRenamed("cum", "j")
+      val wf = Window.partitionBy("user_id", "j").orderBy(col("ts_ns"), col("event_id"))
+      val wl = Window.partitionBy("user_id", "j")
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      val ft = touch.withColumn("rn", row_number().over(wf)).where(col("rn") === 1)
+        .select(col("user_id"), col("j"), col("event_type").as("first_touch"))
+      val lt = touch.withColumn("rn", row_number().over(wl)).where(col("rn") === 1)
+        .select(col("user_id"), col("j"), col("event_type").as("last_touch"))
+      purch
+        .join(ft, Seq("user_id", "j"), "left")
+        .join(lt, Seq("user_id", "j"), "left")
+        .groupBy(coalesce(col("first_touch"), lit("direct")).as("first_touch"),
+          coalesce(col("last_touch"), lit("direct")).as("last_touch"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("first_touch", "last_touch")
+    },
+
     "events_retention" -> { (s, dir) =>
       // Weekly cohort retention: cohort = the user's first-activity week,
       // cell (cohort, offset) counts users active `offset` weeks later.
@@ -6878,6 +6918,33 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
         |ORDER BY stage""".stripMargin,
+
+    // same journey segmentation by definition: running purchase count,
+    // keyed (user, journey) match, row_number first/last per journey
+    "events_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM events),
+        |purch AS (SELECT user_id, event_id, cum - 1 AS j FROM ev
+        |  WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_type, ts, event_id, cum AS j FROM ev
+        |  WHERE event_type <> 'purchase'),
+        |ft AS (SELECT user_id, j, event_type AS first_touch FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, j
+        |    ORDER BY ts, event_id) AS rn FROM touch) x WHERE rn = 1),
+        |lt AS (SELECT user_id, j, event_type AS last_touch FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, j
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM touch) x WHERE rn = 1)
+        |SELECT COALESCE(ft.first_touch, 'direct') AS first_touch,
+        |  COALESCE(lt.last_touch, 'direct') AS last_touch,
+        |  COUNT(*) AS n_purchases
+        |FROM purch
+        |LEFT JOIN ft ON purch.user_id = ft.user_id AND purch.j = ft.j
+        |LEFT JOIN lt ON purch.user_id = lt.user_id AND purch.j = lt.j
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
 
     "events_retention" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk
