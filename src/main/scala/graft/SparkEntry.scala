@@ -2407,6 +2407,55 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "events_holtwinters" -> { (s, dir) =>
+      // Holt-Winters ADDITIVE seasonal smoothing (Winters 1960), period
+      // m = 7 days, α = β = γ = 1/8 — completes the smoothing tier
+      // (EWMA → Holt → seasonal). The seasonal state needs s_{i-m}, which
+      // a linear recurrence cannot reach — so the integer state carries
+      // the last SEVEN seasonal values and shifts them each step; the
+      // warm-up needs no special casing because phantom zeros shift
+      // through the vector for the first m rows (s_used = 0 exactly when
+      // i ≤ m). Same integer-exact division discipline as events_holt
+      // (both engines truncate toward zero for any sign — measured
+      // there). Same metadata-scale shape: ONE corpus-sized keyed agg,
+      // then an aggregate HOF over each type's O(days) series.
+      //   l_i = ((x_i − s_{i−m}) + 7(l+t)) div 8, l_1 = x_1
+      //   t_i = ((l_i − l) + 7t) div 8,           t_1 = 0
+      //   s_i = ((x_i − l_i) + 7·s_{i−m}) div 8
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("xs"))
+        .withColumn("out", expr(
+          """aggregate(xs,
+            |  cast(array() as array<struct<day:bigint,cnt:bigint,level:bigint,trend:bigint,season:bigint>>),
+            |  (acc, x) -> array_append(acc,
+            |    CASE WHEN size(acc) = 0
+            |      THEN named_struct('day', x.day, 'cnt', x.cnt,
+            |             'level', x.cnt, 'trend', cast(0 as bigint),
+            |             'season', cast(0 as bigint))
+            |      ELSE named_struct('day', x.day, 'cnt', x.cnt,
+            |        'level',
+            |          ((x.cnt - CASE WHEN size(acc) >= 7 THEN element_at(acc, -7).season ELSE cast(0 as bigint) END)
+            |            + 7 * (element_at(acc, -1).level + element_at(acc, -1).trend)) div 8,
+            |        'trend',
+            |          ((((x.cnt - CASE WHEN size(acc) >= 7 THEN element_at(acc, -7).season ELSE cast(0 as bigint) END)
+            |            + 7 * (element_at(acc, -1).level + element_at(acc, -1).trend)) div 8
+            |            - element_at(acc, -1).level) + 7 * element_at(acc, -1).trend) div 8,
+            |        'season',
+            |          ((x.cnt
+            |            - ((x.cnt - CASE WHEN size(acc) >= 7 THEN element_at(acc, -7).season ELSE cast(0 as bigint) END)
+            |               + 7 * (element_at(acc, -1).level + element_at(acc, -1).trend)) div 8)
+            |           + 7 * CASE WHEN size(acc) >= 7 THEN element_at(acc, -7).season ELSE cast(0 as bigint) END) div 8)
+            |    END))""".stripMargin))
+        .select(col("event_type"), explode(col("out")).as("o"))
+        .select(col("event_type"), col("o.day").as("day"), col("o.cnt").as("cnt"),
+          col("o.level").as("level"), col("o.trend").as("trend"),
+          col("o.season").as("season"))
+        .orderBy("event_type", "day")
+    },
+
     "events_rank_stats" -> { (s, dir) =>
       // Statistical ranking windows over the daily series: row_number,
       // quartile (ntile 4) and percent_rank — the last emitted as an
@@ -4424,6 +4473,51 @@ object SparkEntry {
         .orderBy("dist")
     },
 
+    "graph_condensation" -> { (s, dir) =>
+      // Condensation DAG — the composition of the directed-graph tier:
+      // contract every SCC (operators/Scc.scala) to one node, build the
+      // condensed edge list (distinct cross-component pairs, one keyed
+      // join + distinct), then rank the DAG by critical-path depth
+      // (operators/DagLevels.scala, Bellman-Ford max-relaxation — exact
+      // on DAGs, and the condensation is acyclic BY THEOREM, so the
+      // fixpoint's cycle guard doubles as a structural self-check of the
+      // SCC output). This is the crawl/dependency-analysis shape:
+      // "which strongly-coupled clusters exist and how deep is the
+      // pipeline between them". Quarter-subset instance (custkeys ≡ 0
+      // mod 4, relabeled dense) with its own hash prefix, so the lane
+      // prices the composition, not a rerun of graph_scc's instance.
+      // Oracle recomputes everything by definition: closure + mutual-min
+      // SCC, condensed pairs, longest path by recursive enumeration.
+      import graft.operators.{Scc, DagLevels}
+      val nodes = Tables.customer(s, dir)
+        .where(col("c_custkey") % 4 === 0)
+        .select(expr("cast(c_custkey as bigint) div 4").as("node"))
+      val stats = nodes.agg(count(lit(1)).as("m"))
+      val edges = nodes.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("cond-a-"), col("node").cast("string"))), col("m")),
+          pmod(Tf.hash60(concat(lit("cond-b-"), col("node").cast("string"))), col("m"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+      val scc = Scc.components(nodes, edges).localCheckpoint(true)
+      val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("n_members"))
+      val cedges = edges
+        .join(scc.select(col("node").as("src"), col("scc_id").as("cs")), Seq("src"))
+        .join(scc.select(col("node").as("dst"), col("scc_id").as("cd")), Seq("dst"))
+        .where(col("cs") =!= col("cd"))
+        .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+      val outDeg = cedges.groupBy(col("src").as("scc_id"))
+        .agg(count(lit(1)).as("out_degree"))
+      val lvls = DagLevels.levels(sizes.select(col("scc_id").as("node")), cedges)
+      sizes
+        .join(outDeg, Seq("scc_id"), "left")
+        .join(lvls.select(col("node").as("scc_id"), col("level")), Seq("scc_id"))
+        .select(col("scc_id"), col("n_members"),
+          coalesce(col("out_degree"), lit(0L)).as("out_degree"), col("level"))
+        .orderBy("scc_id")
+    },
+
     "text_wordpiece_train" -> { (s, dir) =>
       // WordPiece likelihood-scored merge training (Schuster & Nakajima
       // 2012) — the scoring that separates WordPiece from BPE: each round
@@ -6109,6 +6203,39 @@ object SparkEntry {
         |    (((x.cnt + 7 * (e.level + e.trend)) // 8 - e.level) + 7 * e.trend) // 8 AS trend
         |  FROM h e JOIN ranked x ON x.event_type = e.event_type AND x.r = e.r + 1)
         |SELECT event_type, day, cnt, CAST(level AS BIGINT) AS level, CAST(trend AS BIGINT) AS trend
+        |FROM h ORDER BY event_type, day""".stripMargin,
+
+    // replays the integer Holt-Winters recurrence with a recursive CTE
+    // carrying the shifting 7-slot seasonal vector (phantom zeros cover
+    // the warm-up rows exactly like the Spark HOF's size(acc) guard)
+    "events_holtwinters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, day, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM daily),
+        |h AS (
+        |  SELECT event_type, day, cnt, r, cnt AS level,
+        |    CAST(0 AS BIGINT) AS trend,
+        |    CAST(0 AS BIGINT) AS sa, CAST(0 AS BIGINT) AS sb,
+        |    CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS sd,
+        |    CAST(0 AS BIGINT) AS se, CAST(0 AS BIGINT) AS sf,
+        |    CAST(0 AS BIGINT) AS sg
+        |  FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.cnt, x.r,
+        |    ((x.cnt - e.sa) + 7 * (e.level + e.trend)) // 8 AS level,
+        |    ((((x.cnt - e.sa) + 7 * (e.level + e.trend)) // 8 - e.level)
+        |      + 7 * e.trend) // 8 AS trend,
+        |    e.sb AS sa, e.sc AS sb, e.sd AS sc, e.se AS sd,
+        |    e.sf AS se, e.sg AS sf,
+        |    ((x.cnt - ((x.cnt - e.sa) + 7 * (e.level + e.trend)) // 8)
+        |      + 7 * e.sa) // 8 AS sg
+        |  FROM h e JOIN ranked x ON x.event_type = e.event_type AND x.r = e.r + 1)
+        |SELECT event_type, day, cnt, CAST(level AS BIGINT) AS level,
+        |  CAST(trend AS BIGINT) AS trend, CAST(sg AS BIGINT) AS season
         |FROM h ORDER BY event_type, day""".stripMargin,
 
     "events_rank_stats" ->
@@ -8370,6 +8497,53 @@ object SparkEntry {
         |  FROM base b LEFT JOIN mutual m ON m.u = b.u GROUP BY b.u)
         |SELECT scc_id, COUNT(*) AS n_members FROM scc
         |GROUP BY scc_id ORDER BY scc_id""".stripMargin,
+
+    // everything by definition: closure + mutual-min SCC over the subset
+    // instance, distinct condensed pairs, longest path by recursive
+    // source-rooted enumeration + MAX(len)
+    "graph_condensation" ->
+      """WITH nn AS (SELECT COUNT(*) AS m FROM customer WHERE c_custkey % 4 = 0),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) // 4 AS u FROM customer
+        |  WHERE c_custkey % 4 = 0),
+        |edges AS MATERIALIZED (
+        |  SELECT u AS src, dst FROM (
+        |    SELECT u, ('0x' || substr(md5('cond-a-' || u), 1, 15))::BIGINT % nn.m AS dst
+        |    FROM base, nn WHERE u % 7 <> 0
+        |    UNION ALL
+        |    SELECT u, ('0x' || substr(md5('cond-b-' || u), 1, 15))::BIGINT % nn.m AS dst
+        |    FROM base, nn WHERE u % 7 <> 0)
+        |  WHERE u <> dst),
+        |reach AS MATERIALIZED (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT src, dst FROM edges
+        |    UNION
+        |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        |  SELECT src, dst FROM r),
+        |mutual AS (
+        |  SELECT r1.src AS u, r1.dst AS v FROM reach r1 JOIN reach r2
+        |    ON r1.src = r2.dst AND r1.dst = r2.src),
+        |scc AS MATERIALIZED (
+        |  SELECT b.u AS node, LEAST(b.u, COALESCE(MIN(m.v), b.u)) AS scc_id
+        |  FROM base b LEFT JOIN mutual m ON m.u = b.u GROUP BY b.u),
+        |sizes AS (SELECT scc_id, COUNT(*) AS n_members FROM scc GROUP BY scc_id),
+        |cedges AS MATERIALIZED (
+        |  SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+        |  FROM edges e JOIN scc s1 ON e.src = s1.node JOIN scc s2 ON e.dst = s2.node
+        |  WHERE s1.scc_id <> s2.scc_id),
+        |odeg AS (SELECT src AS scc_id, COUNT(*) AS out_degree FROM cedges GROUP BY src),
+        |paths AS MATERIALIZED (
+        |  WITH RECURSIVE p(node, len) AS (
+        |    SELECT scc_id, CAST(0 AS BIGINT) FROM sizes
+        |    WHERE scc_id NOT IN (SELECT dst FROM cedges)
+        |    UNION
+        |    SELECT ce.dst, p.len + 1 FROM p JOIN cedges ce ON ce.src = p.node)
+        |  SELECT node, MAX(len) AS level FROM p GROUP BY node)
+        |SELECT sizes.scc_id, sizes.n_members,
+        |  COALESCE(odeg.out_degree, 0) AS out_degree, paths.level
+        |FROM sizes
+        |LEFT JOIN odeg ON sizes.scc_id = odeg.scc_id
+        |JOIN paths ON sizes.scc_id = paths.node
+        |ORDER BY sizes.scc_id""".stripMargin,
 
     // ground truth by definition: recursive-CTE level enumeration from the
     // source + MIN(d) per node over the SAME hash-derived edges, restricted

@@ -96,7 +96,14 @@ class PlanHygieneSpec extends AnyFunSuite {
       // the O(buckets) minima frame (~96 rows each side, broadcast) —
       // metadata-scale by construction; the corpus side joins on the
       // equi bucket key only
-      "skyline_pareto")
+      "skyline_pareto",
+      // graph_condensation's edge derivation broadcasts the ONE-ROW node
+      // count (the graph_scc/join_spatial_grid density-normalizing
+      // shape); graph_scc itself doesn't surface here because its edges
+      // frame is consumed through Scc's eager checkpoints, while the
+      // condensation reuses the raw edge frame in its trailing
+      // condensed-edge join
+      "graph_condensation")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
