@@ -2456,6 +2456,69 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "events_twap" -> { (s, dir) =>
+      // Time-weighted average over IRREGULARLY-sampled values (the
+      // financial TWAP / sensor-mean shape — a plain AVG over-weights
+      // burst periods): each sample holds its value until the next sample
+      // of the same series, so the weight is the forward gap from ONE
+      // keyed lead() window; the last sample carries no duration and
+      // drops. Exactness: weights in MICROseconds (ns div 1000) keep
+      // Σ(value·dt) under 2^53 at gate scale so the final decimal→double
+      // conversion is exact on both engines; the weighted sum is a
+      // scale-pinned decimal (order-independent), division happens ONCE
+      // in IEEE double at the end.
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts_ns"), col("event_id"), col("value"))
+        .withColumn("dt_us",
+          expr("(lead(ts_ns) over (partition by event_type order by ts_ns, event_id) - ts_ns) div 1000"))
+        .where(col("dt_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_weighted"),
+          sum(col("dt_us")).as("span_us"),
+          // numerator in plain BIGINT cents·µs (span-bound ~4e16, fits
+          // int64 at any SF): int64→double is the HARDWARE correctly-
+          // rounded conversion on both engines, where a wide-decimal →
+          // double cast double-rounds in DuckDB's hugeint path (measured:
+          // 1-ulp twap drift before this form)
+          (sum(expr("cast(cast(value as decimal(12,2)) * 100 as bigint)") *
+            col("dt_us")).cast("double") /
+            sum(col("dt_us")).cast("double") / lit(100.0)).as("twap"))
+        .orderBy("event_type")
+    },
+
+    "events_moments" -> { (s, dir) =>
+      // Higher-moment statistics (variance, skewness, excess kurtosis)
+      // from EXACT integer power sums — the sufficient-statistics
+      // discipline of ml_linreg extended to 4th order: per-row cents
+      // powers stay in BIGINT (49002⁴ < 2⁶³), the four sums are
+      // scale-pinned decimals (order-independent, hash-stable where
+      // float power sums would diverge by partial-agg order), and the
+      // moment formulas finish in fixed-order IEEE double — sqrt(v)·v
+      // instead of pow(v, 1.5) because sqrt is correctly rounded on both
+      // engines while pow is not guaranteed to be.
+      val c = expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
+      val agg = Tables.events(s, dir)
+        .select(col("event_type"), c.as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("s1"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"),
+          sum((col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s3"),
+          sum((col("x") * col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s4"))
+      val nD = col("n").cast("double")
+      val m = col("s1").cast("double") / nD
+      val v = col("s2").cast("double") / nD - m * m
+      val sk = (col("s3").cast("double") / nD - lit(3.0) * m * v - m * m * m) /
+        (sqrt(v) * v)
+      val ku = (col("s4").cast("double") / nD - lit(4.0) * m * (col("s3").cast("double") / nD) +
+        lit(6.0) * m * m * (col("s2").cast("double") / nD) - lit(3.0) * m * m * m * m) /
+        (v * v) - lit(3.0)
+      agg.select(col("event_type"), col("n"),
+          (m / lit(100.0)).as("mean"), (v / lit(10000.0)).as("variance"),
+          sk.as("skewness"), ku.as("kurtosis"))
+        .orderBy("event_type")
+    },
+
     "events_rank_stats" -> { (s, dir) =>
       // Statistical ranking windows over the daily series: row_number,
       // quartile (ntile 4) and percent_rank — the last emitted as an
@@ -6204,6 +6267,49 @@ object SparkEntry {
         |  FROM h e JOIN ranked x ON x.event_type = e.event_type AND x.r = e.r + 1)
         |SELECT event_type, day, cnt, CAST(level AS BIGINT) AS level, CAST(trend AS BIGINT) AS trend
         |FROM h ORDER BY event_type, day""".stripMargin,
+
+    // same forward-gap weighting by definition via LEAD; exact decimal
+    // weighted sum, one trailing IEEE division
+    "events_twap" ->
+      """WITH g AS (
+        |  SELECT event_type, value,
+        |    (LEAD(epoch_ns(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      - epoch_ns(ts)) // 1000 AS dt_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_weighted,
+        |  CAST(SUM(dt_us) AS BIGINT) AS span_us,
+        |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * dt_us) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(dt_us) AS BIGINT) AS DOUBLE) / 100.0 AS twap
+        |FROM g WHERE dt_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical moment formulas over the same exact integer power sums;
+    // m and v factored through CTEs so the IEEE expression trees match
+    // the Column definitions operation-for-operation. Wide sums convert
+    // to double via VARCHAR parse (fast_float, correctly rounded) because
+    // DuckDB's direct hugeint->double cast double-rounds above 2^53,
+    // while Spark's BigDecimal path rounds correctly (measured: 1-ulp
+    // kurtosis drift with the direct cast)
+    "events_moments" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(x*x) AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(x*x*x) AS DECIMAL(38,0)) AS s3,
+        |    CAST(SUM(x*x*x*x) AS DECIMAL(38,0)) AS s4
+        |  FROM b GROUP BY event_type),
+        |d AS (SELECT *, CAST(CAST(s1 AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE) AS m FROM a),
+        |e AS (SELECT *, CAST(CAST(s2 AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE) - m*m AS v FROM d)
+        |SELECT event_type, n, m/100.0 AS mean, v/10000.0 AS variance,
+        |  (CAST(CAST(s3 AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE) - 3.0*m*v - m*m*m)/(sqrt(v)*v) AS skewness,
+        |  (CAST(CAST(s4 AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - 4.0*m*(CAST(CAST(s3 AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE))
+        |    + 6.0*m*m*(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE))
+        |    - 3.0*m*m*m*m)/(v*v) - 3.0 AS kurtosis
+        |FROM e ORDER BY event_type""".stripMargin,
 
     // replays the integer Holt-Winters recurrence with a recursive CTE
     // carrying the shifting 7-slot seasonal vector (phantom zeros cover
