@@ -2519,6 +2519,59 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "events_drawdown" -> { (s, dir) =>
+      // Running-peak / maximum-drawdown analysis (the risk metric of
+      // financial P&L curves) — a COMPOSITION of running aggregates that
+      // plain groupBy cannot express: cumulative signed sum, running max
+      // of that cumsum, pointwise gap, max of the gap. All four ride ONE
+      // keyed window per series (partitionBy type — parallel, no global
+      // sort), all integer-exact in cents: the per-event signed delta is
+      // cents(value) − 2500, so series wander both ways and the peak/
+      // drawdown states are non-trivial.
+      val w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts_ns"), col("event_id"),
+          (expr("cast(cast(value as decimal(12,2)) * 100 as bigint)") - 2500L).as("delta"))
+        .withColumn("cum", sum("delta").over(w))
+        .withColumn("peak", max("cum").over(w))
+        .groupBy("event_type")
+        // final_pnl = Σdelta and max_peak = max(cum) are order-free
+        // aggregates (a groupBy last()/the last peak would be
+        // row-order-dependent); only max_drawdown genuinely needs the
+        // running peak
+        .agg(count(lit(1)).as("n"), sum("delta").as("final_pnl"),
+          max("cum").as("max_peak"),
+          max(col("peak") - col("cum")).as("max_drawdown"))
+        .orderBy("event_type")
+    },
+
+    "orders_backlog" -> { (s, dir) =>
+      // Interval-stabbing time series WITHOUT per-day explosion — the
+      // sweep-line / delta-encoding pattern: each order is "open" for a
+      // hash-derived duration, and the open-order count per day is the
+      // running sum of (+1 at start, −1 at end) deltas. Naive form
+      // explodes every interval into its covered days (Σ durations rows —
+      // 28× the corpus here, unbounded in general); the sweep line emits
+      // exactly TWO delta rows per interval, collapses them with one
+      // keyed agg, and integrates with one keyed cumulative window per
+      // priority. Output days are exactly the change points.
+      val dur = (pmod(Tf.hash60(concat(lit("bk-"), col("o_orderkey").cast("string"))),
+        lit(28L)) + 1L)
+      val base = Tables.orders(s, dir).select(col("o_orderpriority").as("priority"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("start_day"), dur.as("dur"))
+      val deltas = base.select(col("priority"), col("start_day").as("day"), lit(1L).as("d"))
+        .union(base.select(col("priority"), (col("start_day") + col("dur")).as("day"),
+          lit(-1L).as("d")))
+      val wc = Window.partitionBy("priority").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.groupBy("priority", "day").agg(sum("d").as("net"))
+        .withColumn("backlog", sum("net").over(wc))
+        .select("priority", "day", "net", "backlog")
+        .orderBy("priority", "day")
+    },
+
     "events_rank_stats" -> { (s, dir) =>
       // Statistical ranking windows over the daily series: row_number,
       // quartile (ntile 4) and percent_rank — the last emitted as an
@@ -6267,6 +6320,46 @@ object SparkEntry {
         |  FROM h e JOIN ranked x ON x.event_type = e.event_type AND x.r = e.r + 1)
         |SELECT event_type, day, cnt, CAST(level AS BIGINT) AS level, CAST(trend AS BIGINT) AS trend
         |FROM h ORDER BY event_type, day""".stripMargin,
+
+    // same running-window composition; integer-exact cents
+    "events_drawdown" ->
+      """WITH t AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) - 2500 AS delta,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) - 2500)
+        |      OVER w AS cum
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT event_type, delta, cum,
+        |    MAX(cum) OVER w2 AS peak
+        |  FROM t
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(delta) AS BIGINT) AS final_pnl,
+        |  CAST(MAX(cum) AS BIGINT) AS max_peak,
+        |  CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // sweep-line by definition: two delta rows per interval, keyed
+    // collapse, keyed cumulative integration
+    "orders_backlog" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS priority,
+        |    DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS start_day,
+        |    ('0x' || substr(md5('bk-' || o_orderkey), 1, 15))::BIGINT % 28 + 1 AS dur
+        |  FROM orders),
+        |deltas AS (
+        |  SELECT priority, start_day AS day, CAST(1 AS BIGINT) AS d FROM base
+        |  UNION ALL
+        |  SELECT priority, start_day + dur AS day, CAST(-1 AS BIGINT) AS d FROM base)
+        |SELECT priority, day, CAST(SUM(d) AS BIGINT) AS net,
+        |  CAST(SUM(SUM(d)) OVER (PARTITION BY priority ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM deltas GROUP BY priority, day
+        |ORDER BY priority, day""".stripMargin,
 
     // same forward-gap weighting by definition via LEAD; exact decimal
     // weighted sum, one trailing IEEE division
