@@ -114,8 +114,12 @@ object Bench {
     // values. SPARK_GRAFT_BENCH_OUT overrides the path; set it to "" to
     // disable (e.g. read-only checkouts).
     val sfName = new java.io.File(sfDir).getName
+    // A FILTERed dev-loop run must never clobber the committed full-battery
+    // artifact (it did once — 3-query files shipped in place of the 194-query
+    // battery): filtered runs write nothing unless OUT is set explicitly.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"bench_local/latest_$sfName.json") // cwd-relative: sbt runs from the repo root
+      if (filter.isDefined) ""
+      else s"bench_local/latest_$sfName.json") // cwd-relative: sbt runs from the repo root
     if (outPath.nonEmpty) try {
       val f = new java.io.File(outPath)
       Option(f.getParentFile).foreach(_.mkdirs())

@@ -560,6 +560,251 @@ object SparkEntry {
         .limit(100)
     },
 
+    "q6_forecast_revenue" -> { (s, dir) =>
+      // TPC-H Q6 shape — the canonical filter-pushdown probe: a
+      // single-table scan whose three range predicates must ALL reach the
+      // parquet reader (PushedFilters carries shipdate bounds and the
+      // quantity cap; the plan is scan → partial agg → single-row final —
+      // no shuffle wider than one row). Revenue = Σ extendedprice·discount
+      // as an EXACT decimal sum; the discount band compares in
+      // DECIMAL(4,2) on both engines (double literals 0.05/0.07 would be
+      // engine-promotion-dependent).
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          rate(col("l_discount")).between(lit(0.05).cast("decimal(4,2)"),
+            lit(0.07).cast("decimal(4,2)")) &&
+          col("l_quantity") < 24)
+        .agg(sumd(dec2(col("l_extendedprice")) * rate(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    "q10_returned_items" -> { (s, dir) =>
+      // TPC-H Q10 shape — revenue lost to returns, top-20 customers: one
+      // quarter of orders inner-joined to returned lines
+      // (l_returnflag = 'R'), revenue aggregated per customer with the
+      // customer/nation attributes riding the GROUP BY (they are
+      // functionally dependent on c_custkey — grouping by them costs
+      // nothing and saves a post-agg join back). Nation broadcasts;
+      // orders carries its date filter below the join; top-20 plans as
+      // TakeOrderedAndProject (revenue desc, custkey ties).
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-10-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sumd(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    "q12_late_lines" -> { (s, dir) =>
+      // TPC-H Q12 shape adapted to this schema (no l_shipmode /
+      // commitdate / receiptdate): the conditional two-way priority
+      // histogram over a join — lines that shipped LATE (> 90 days after
+      // the order date, timestamp arithmetic on both engines) in one
+      // shipping year, bucketed by linestatus, counting critical
+      // (1-URGENT / 2-HIGH) vs other order priorities as CASE-inside-SUM.
+      // One fact-fact join on orderkey, one keyed agg; the date-window
+      // filter prunes lineitem at the scan.
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    "q14_promo_revenue" -> { (s, dir) =>
+      // TPC-H Q14 shape — promo share of revenue: CASE-inside-SUM against
+      // a dimension attribute (p_type = 'PROMO' here — the schema's type
+      // column is single-token), both numerator and denominator EXACT
+      // decimal sums over ONE joined frame, the 100·ratio divided once at
+      // the end as IEEE double. Part broadcasts (dimension ≪ fact);
+      // lineitem's month window prunes at the scan.
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .withColumn("vol", dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", col("vol"))
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(col("vol")).cast("double")).as("promo_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      // TPC-H Q2 shape adapted to this schema (no partsupp — lineitem IS
+      // the part×supplier relationship, unit cost = the cheapest line
+      // shipped): argmin-PER-KEY decorrelation, the keyed sibling of
+      // q15's global argmax. The correlated form re-runs the min-cost
+      // subquery per part; here ONE (part, supplier) agg feeds BOTH the
+      // per-part min and the argmin rows, matched back by exact-decimal
+      // equality (IEEE-double equality would be flaky; ties — two
+      // suppliers at the same cost — must all surface, per spec). Region
+      // and part filters push below everything; dims broadcast; the only
+      // corpus shuffle is the (part, supplier) agg.
+      val eurSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val parts = Tables.part(s, dir)
+        .where(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select("p_partkey", "p_name")
+      val cost = Tables.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(min(dec2(col("l_extendedprice"))).as("cost"))
+      val minCost = cost.groupBy(col("p_partkey").as("mc_part"))
+        .agg(min(col("cost")).as("min_cost"))
+      cost.join(minCost, col("p_partkey") === col("mc_part") &&
+          col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost").cast("double").as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    "q9_product_profit" -> { (s, dir) =>
+      // TPC-H Q9 shape adapted (no ps_supplycost — cost = retailprice ×
+      // quantity): profit by supplier nation and order year for parts
+      // matching a name substring, the classic LIKE-filtered 5-table
+      // join + two-attribute rollup. The name filter prunes part BEFORE
+      // its broadcast; profit stays an EXACT decimal difference
+      // (decimal×decimal products, no float until the final cast); the
+      // fact pipeline shuffles once per join key then once for the
+      // (nation, year) agg.
+      val redParts = Tables.part(s, dir).where(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      Tables.lineitem(s, dir)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("amount",
+          dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))) -
+            dec2(col("p_retailprice")) * col("l_quantity").cast("decimal(4,0)"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sumd(col("amount")).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    "q11_important_parts" -> { (s, dir) =>
+      // TPC-H Q11 shape adapted (no partsupp — inventory value = shipped
+      // extendedprice×quantity from one nation's suppliers): the
+      // group-HAVING-against-a-global-scalar class. The global total
+      // rides a ONE-ROW broadcast joined onto the per-part aggregate;
+      // the threshold compare is EXACT — value·1000 > total cross-
+      // multiplied in decimal, never a float fraction (a 0.001·total
+      // double would make borderline parts engine-dependent). One corpus
+      // agg feeds BOTH sides (no second scan for the total: it re-sums
+      // the per-part frame, which is metadata-scale).
+      val natLines = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("val",
+          dec2(col("l_extendedprice")) * col("l_quantity").cast("decimal(4,0)"))
+      val perPart = natLines.groupBy("l_partkey")
+        .agg(sum(col("val")).as("value_dec"))
+      val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("value_dec") * lit(1000) > col("total_dec"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    },
+
+    "q16_parts_supplier_relationship" -> { (s, dir) =>
+      // TPC-H Q16 shape adapted (lineitem is the part-supplier
+      // relationship; the complaints exclusion is the negative-balance
+      // suppliers): distinct-supplier census per (brand, type, size)
+      // bucket with a NOT-IN exclusion — the anti-join + COUNT(DISTINCT)
+      // class. The exclusion list is tiny (broadcast anti-join at the
+      // scan edge, before the distinct machinery); the distinct agg is
+      // the only corpus shuffle. Part-side predicates (<> and IN) prune
+      // the broadcast dim first.
+      val excluded = Tables.supplier(s, dir).where(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      val parts = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      Tables.lineitem(s, dir)
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    "q19_discounted_revenue" -> { (s, dir) =>
+      // TPC-H Q19 shape — disjunction of conjunctive bundles across the
+      // join: the classic OR-pushdown test. The part-only half of each
+      // bundle (brand, size band) pushes into the dimension BEFORE its
+      // broadcast — the scan reads 3 brands' slivers, not all parts —
+      // while the cross-table (brand, quantity) residual stays as ONE
+      // disjunctive post-join filter. A naive plan joins ALL parts then
+      // filters; this plan's broadcast side is ~1% of the dimension.
+      val pCond1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+      val pCond2 = col("p_brand") === "Brand#14" && col("p_size").between(1, 10)
+      val pCond3 = col("p_brand") === "Brand#21" && col("p_size").between(1, 15)
+      val parts = Tables.part(s, dir).where(pCond1 || pCond2 || pCond3)
+        .select("p_partkey", "p_brand")
+      Tables.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .where((col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#14" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#21" && col("l_quantity").between(20, 30)))
+        .agg(sumd(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    "q20_promotion_suppliers" -> { (s, dir) =>
+      // TPC-H Q20 shape adapted (no partsupp availqty — the stock
+      // threshold becomes a shipped-share threshold): suppliers who moved
+      // MORE than half of a part family's all-time volume inside one
+      // year. The original nests IN(IN(correlated-agg)); decorrelated to
+      // one (supplier, part) agg computing BOTH the year slice and the
+      // all-time sum as CASE-inside-SUM over a single pass, the half
+      // threshold cross-multiplied in BIGINT (2·q_year > q_all — exact,
+      // no 0.5 float), then a distinct-supplier collapse semi-joined to
+      // the region's suppliers. One corpus shuffle (the pair agg);
+      // everything downstream is metadata-scale.
+      val smallParts = Tables.part(s, dir).where(col("p_name").like("small%"))
+        .select("p_partkey")
+      val eurSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+      val qualifying = Tables.lineitem(s, dir)
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(when(year(col("l_shipdate")) === 1997,
+            col("l_quantity").cast("long")).otherwise(0L)).as("q_year"),
+          sum(col("l_quantity").cast("long")).as("q_all"))
+        .where(lit(2L) * col("q_year") > col("q_all"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_qualifying"))
+      eurSupp.join(qualifying, col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_qualifying")
+        .orderBy("s_suppkey")
+    },
+
     "q13_order_distribution" -> { (s, dir) =>
       // TPC-H Q13 shape — distribution of orders-per-customer INCLUDING
       // zero-order customers: the class that needs a LEFT OUTER join
@@ -967,7 +1212,13 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       topu.join(merged, Seq("event_type")).join(direct, Seq("event_type"))
         .withColumn("est", CountMin.estimate(col("sk_m"), col("uid")))
+        // `est` itself is in the compared output — the oracle replays the
+        // Kirsch-Mitzenmacher cell walk in SQL (the sketch_heavy_hitters
+        // convention), so the estimate hash-compares EXACTLY cross-engine
+        // and a probabilistic ok_bound trip is diagnosable from any
+        // artifact (observed est vs exact) without a rerun.
         .select(col("event_type"), col("uid").as("top_user"), col("n_exact"),
+          col("est"),
           (md5(col("sk_m")) === md5(col("sk_d"))).as("ok_merge_lossless"),
           (col("est") >= col("n_exact")).as("ok_onesided"),
           (col("est") <= col("n_exact") + greatest(lit(1L),
@@ -2496,15 +2747,21 @@ object SparkEntry {
       // moment formulas finish in fixed-order IEEE double — sqrt(v)·v
       // instead of pow(v, 1.5) because sqrt is correctly rounded on both
       // engines while pow is not guaranteed to be.
+      // x⁴ leaves int64 at cents ≥ 55109 (56021⁴ ≈ 9.9e18 > 2⁶³−1 —
+      // the sf0.1 corpus reaches 56021 where sf0.01 stops at 49002, so
+      // this overflowed only beyond the gate decade): square once in
+      // BIGINT (x² ≤ 3.2e9), then square THAT in decimal. x³ peaks at
+      // 1.8e14 — safe.
       val c = expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
       val agg = Tables.events(s, dir)
-        .select(col("event_type"), c.as("x"))
+        .select(col("event_type"), c.as("x"),
+          (c * c).cast("decimal(19,0)").as("x2d"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(38,0)")).as("s1"),
           sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"),
           sum((col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s3"),
-          sum((col("x") * col("x") * col("x") * col("x")).cast("decimal(38,0)")).as("s4"))
+          sum((col("x2d") * col("x2d")).cast("decimal(38,0)")).as("s4"))
       val nD = col("n").cast("double")
       val m = col("s1").cast("double") / nD
       val v = col("s2").cast("double") / nD - m * m
@@ -4634,6 +4891,36 @@ object SparkEntry {
         .orderBy("scc_id")
     },
 
+    "text_collocations" -> { (s, dir) =>
+      // Lift-ranked bigram collocations (the corpus-linguistics
+      // association measure: lift = P(xy)/(P(x)P(y)) over adjacent token
+      // pairs) — PMI's monotone argument without the cross-engine log.
+      // Bigrams come from ONE keyed lead() window over positioned tokens
+      // (codegen'd — a per-row HOF zip would be interpreted µs/element
+      // and a pos+1 self-join a second corpus shuffle); marginals are
+      // exact integer left/right counts, the corpus total rides a
+      // ONE-ROW broadcast, and lift is a single IEEE division of two
+      // int64 products (< 2^53 at gate scale) so the ranking replays
+      // bit-identically. Min-support 5 kills the hapax tail before the
+      // top-k; global top-20 plans as TakeOrderedAndProject.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val wl = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = toks.withColumn("y", lead("w", 1).over(wl))
+        .where(col("y").isNotNull && col("w") =!= "" && col("y") =!= "")
+        .select(col("w").as("x"), col("y"))
+      val nxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      val nx = pairs.groupBy("x").agg(count(lit(1)).as("n_x"))
+      val ny = pairs.groupBy("y").agg(count(lit(1)).as("n_y"))
+      val tot = pairs.agg(count(lit(1)).as("n_tot"))
+      nxy.join(nx, "x").join(ny, "y").crossJoin(broadcast(tot))
+        .where(col("n_xy") >= 5)
+        .withColumn("lift", (col("n_xy") * col("n_tot")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double"))
+        .orderBy(col("lift").desc, col("x"), col("y")).limit(20)
+        .select("x", "y", "n_xy", "n_x", "n_y", "lift")
+    },
+
     "text_wordpiece_train" -> { (s, dir) =>
       // WordPiece likelihood-scored merge training (Schuster & Nakajima
       // 2012) — the scoring that separates WordPiece from BPE: each round
@@ -6084,6 +6371,145 @@ object SparkEntry {
 
     // the ORIGINAL left-outer + two-level aggregate form; the zero-order
     // bucket is the correctness tell
+    // the ORIGINAL correlated form: per-part min-cost scalar subquery
+    // re-evaluated per candidate row; Spark reuses ONE (part, supplier)
+    // aggregate for both sides with an exact-decimal equality join
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       CAST(cost AS DOUBLE) AS cost
+        |FROM cost c
+        |WHERE cost = (SELECT MIN(cost) FROM cost c2
+        |              WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // the ORIGINAL group-HAVING-against-a-global-scalar form; both sides
+    // exact decimal, the threshold cross-multiplied (never a float 0.001)
+    "q11_important_parts" ->
+      """WITH natl AS (
+        |  SELECT l_partkey,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0)) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')
+        |SELECT l_partkey AS p_partkey, CAST(SUM(val) AS DOUBLE) AS value
+        |FROM natl GROUP BY 1
+        |HAVING SUM(val) * 1000 > (SELECT SUM(val) FROM natl)
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    // the ORIGINAL NOT-IN form for the exclusion list
+    "q16_parts_supplier_relationship" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // the ORIGINAL un-factored disjunction across the join — checks the
+    // part-side predicate factoring is equivalence-preserving
+    "q19_discounted_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // the ORIGINAL nested-IN + correlated-threshold form
+    "q20_promotion_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal, n_qualifying FROM (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_qualifying FROM (
+        |    SELECT l_suppkey, l_partkey
+        |    FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    GROUP BY 1, 2
+        |    HAVING 2 * SUM(CASE WHEN year(l_shipdate) = 1997
+        |                   THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+        |         > SUM(CAST(l_quantity AS BIGINT))) q
+        |  GROUP BY 1) qq
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
     "q13_order_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_custkey) AS c_count
@@ -6392,7 +6818,7 @@ object SparkEntry {
         |    CAST(SUM(x) AS DECIMAL(38,0)) AS s1,
         |    CAST(SUM(x*x) AS DECIMAL(38,0)) AS s2,
         |    CAST(SUM(x*x*x) AS DECIMAL(38,0)) AS s3,
-        |    CAST(SUM(x*x*x*x) AS DECIMAL(38,0)) AS s4
+        |    CAST(SUM(CAST(x*x AS HUGEINT) * (x*x)) AS DECIMAL(38,0)) AS s4
         |  FROM b GROUP BY event_type),
         |d AS (SELECT *, CAST(CAST(s1 AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE) AS m FROM a),
         |e AS (SELECT *, CAST(CAST(s2 AS VARCHAR) AS DOUBLE)/CAST(n AS DOUBLE) - m*m AS v FROM d)
@@ -6504,14 +6930,35 @@ object SparkEntry {
         |FROM cmp JOIN est ON cmp.event_type = est.event_type
         |ORDER BY cmp.event_type""".stripMargin,
 
+    // the estimate is replayed exactly: same md5 Kirsch-Mitzenmacher pair,
+    // same (h1 + j*h2) % 1024 cells, MIN over depth-4 row sums — so `est`
+    // hash-compares as a VALUE, not a claim
     "sketch_cms_reaggregate" ->
       """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
         |c AS (SELECT event_type, uid, COUNT(*) AS n_exact FROM ev GROUP BY 1, 2),
+        |h AS (SELECT DISTINCT uid,
+        |        ('0x' || substr(md5(uid), 1, 15))::BIGINT AS h1,
+        |        ('0x' || substr(md5(uid), 17, 15))::BIGINT * 2 + 1 AS h2
+        |      FROM ev),
+        |cells AS (
+        |  SELECT c.event_type, u.j, (h.h1 + u.j * h.h2) % 1024 AS i,
+        |         SUM(c.n_exact) AS cnt
+        |  FROM c JOIN h USING (uid) CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(j)
+        |  GROUP BY 1, 2, 3),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-        |                                   ORDER BY n_exact DESC, uid) AS rn FROM c)
-        |SELECT event_type, uid AS top_user, n_exact,
+        |                                   ORDER BY n_exact DESC, uid) AS rn FROM c),
+        |top AS (SELECT event_type, uid, n_exact FROM r WHERE rn = 1),
+        |est AS (
+        |  SELECT t.event_type, CAST(MIN(cl.cnt) AS BIGINT) AS est
+        |  FROM top t JOIN h USING (uid)
+        |  CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(j)
+        |  JOIN cells cl ON cl.event_type = t.event_type AND cl.j = u.j
+        |               AND cl.i = (h.h1 + u.j * h.h2) % 1024
+        |  GROUP BY 1)
+        |SELECT t.event_type, t.uid AS top_user, t.n_exact, e.est,
         |  true AS ok_merge_lossless, true AS ok_onesided, true AS ok_bound
-        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+        |FROM top t JOIN est e ON t.event_type = e.event_type
+        |ORDER BY t.event_type""".stripMargin,
 
     // The oracle REPLAYS the whole rank sample: same md5-derived u, same
     // bottom-k-by-(u,v) selection, same integer-exact rank pick — so the
@@ -8696,6 +9143,25 @@ object SparkEntry {
         |  FROM base b LEFT JOIN mutual m ON m.u = b.u GROUP BY b.u)
         |SELECT scc_id, COUNT(*) AS n_members FROM scc
         |GROUP BY scc_id ORDER BY scc_id""".stripMargin,
+
+    // bigrams by definition via list indexing (a different construction
+    // from the lead() window); same exact marginals and single division
+    "text_collocations" ->
+      """WITH big AS (
+        |  SELECT UNNEST(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> {'x': ws[i], 'y': ws[i + 1]})) AS b
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents) t),
+        |pairs AS (SELECT b.x AS x, b.y AS y FROM big
+        |  WHERE b.x <> '' AND b.y <> ''),
+        |nxy AS (SELECT x, y, COUNT(*) AS n_xy FROM pairs GROUP BY x, y),
+        |nx AS (SELECT x, COUNT(*) AS n_x FROM pairs GROUP BY x),
+        |ny AS (SELECT y, COUNT(*) AS n_y FROM pairs GROUP BY y),
+        |tot AS (SELECT COUNT(*) AS n_tot FROM pairs)
+        |SELECT nxy.x, nxy.y, n_xy, n_x, n_y,
+        |  CAST(n_xy * n_tot AS DOUBLE) / CAST(n_x * n_y AS DOUBLE) AS lift
+        |FROM nxy JOIN nx ON nxy.x = nx.x JOIN ny ON nxy.y = ny.y, tot
+        |WHERE n_xy >= 5
+        |ORDER BY lift DESC, nxy.x, nxy.y LIMIT 20""".stripMargin,
 
     // everything by definition: closure + mutual-min SCC over the subset
     // instance, distinct condensed pairs, longest path by recursive

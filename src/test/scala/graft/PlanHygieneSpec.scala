@@ -103,7 +103,14 @@ class PlanHygieneSpec extends AnyFunSuite {
       // frame is consumed through Scc's eager checkpoints, while the
       // condensation reuses the raw edge frame in its trailing
       // condensed-edge join
-      "graph_condensation")
+      "graph_condensation",
+      // q11_important_parts broadcasts the ONE-ROW global inventory total
+      // onto the metadata-scale per-part aggregate — the q22 decorrelated
+      // uncorrelated-scalar shape
+      "q11_important_parts",
+      // text_collocations broadcasts the ONE-ROW corpus bigram total onto
+      // the per-pair frame for the lift denominator — the same shape
+      "text_collocations")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
