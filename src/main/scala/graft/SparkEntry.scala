@@ -2589,6 +2589,106 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "events_autocorr" -> { (s, dir) =>
+      // Lag-k autocorrelation (k = 1..7) of each type's daily-count
+      // series — the stationarity/seasonality diagnostic beside the
+      // smoothing tier. ACF needs the MEAN inside every term; naive
+      // (x−x̄) products are float-poisoned, so both engines evaluate the
+      // cross-multiplied integer form: N_k = n²·Σx_t·x_{t+k}
+      // − n·S·(H_k+T_k) + (n−k)·S² and D = n²·Σx² − n·S² (exact BIGINT —
+      // ≈1e14 at sf10, well inside 2⁵³ so the final N/D division is one
+      // correctly-rounded IEEE op on exactly-converted operands, bit-
+      // identical cross-engine). Shape: corpus → ONE keyed daily agg;
+      // lags ride 7 lead() columns over the O(types×days) metadata frame
+      // (window cost bounded by days, never corpus); the k-unpivot is a
+      // stack over that same tiny frame. Lags index the OBSERVED sample
+      // sequence (day-ordered rows), not the calendar.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"x$k", lead("x", k).over(w))
+      }
+      val totals = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("sxx"))
+      val pairs = lagged.selectExpr("event_type", "x",
+          "stack(7, 1L, x1, 2L, x2, 3L, x3, 4L, x4, 5L, x5, 6L, x6, 7L, x7) as (lag, xk)")
+        .where(col("xk").isNotNull)
+        .groupBy("event_type", "lag")
+        .agg(sum(col("x") * col("xk")).as("sxy"),
+          sum("x").as("hx"), sum("xk").as("tx"), count(lit(1)).as("m"))
+      pairs.join(totals, "event_type")
+        .withColumn("num", col("n") * col("n") * col("sxy") -
+          col("n") * col("s") * (col("hx") + col("tx")) +
+          col("m") * col("s") * col("s"))
+        .withColumn("den", col("n") * col("n") * col("sxx") -
+          col("n") * col("s") * col("s"))
+        .select(col("event_type"), col("lag"), col("m").as("n_pairs"),
+          (col("num").cast("double") / col("den").cast("double")).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+
+    "ml_split_gini" -> { (s, dir) =>
+      // Exact-Gini decision-stump split finding — the per-node primitive
+      // of distributed tree ensembles (GBDT/random forests): for every
+      // (feature, threshold-bucket) candidate, the weighted Gini impurity
+      // of the induced left/right partition, label = purchase events.
+      // The 100 TB shape: the corpus collapses in ONE keyed agg over
+      // (feature, bucket) — 3 stacked compact keys per row, map-side
+      // combine to ≤ (buckets)×features cells — then candidate stats are
+      // PREFIX SUMS over that metadata frame (a per-feature window), the
+      // per-feature totals ride the same frame's last row. Never a
+      // per-candidate corpus pass (the naive form scans once per
+      // threshold). All counts are exact BIGINT; gini finishes in
+      // fixed-order IEEE from int64-exact operands (squares ≤ 1e14 at
+      // sf10 — inside 2⁵³), so the impurity VALUES hash-compare and the
+      // argmin flag is deterministic (gini, feature, bucket order).
+      // Features: value cents (5000-wide buckets), hour-of-day,
+      // day-of-week — all pure integer arithmetic from ts_ns on both
+      // engines (no engine date functions). Semantics: bucket ≤ t left.
+      val ev = Tables.events(s, dir).select(
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val cells = ev.selectExpr(
+          "stack(3, 'cents', cents_b, 'hour', hour, 'dow', dow) as (feature, bucket)",
+          "label")
+        .groupBy("feature", "bucket")
+        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
+      val wf = Window.partitionBy("feature").orderBy("bucket")
+      val wt = Window.partitionBy("feature")
+      val stats = cells
+        .withColumn("nl", sum("cn").over(wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("al", sum("cp").over(wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("cn").over(wt))
+        .withColumn("a", sum("cp").over(wt))
+        .where(col("nl") < col("n")) // right side must be non-empty
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("ar", col("a") - col("al"))
+      val gini = stats.withColumn("g",
+        (col("nl").cast("double") -
+          (col("al") * col("al") + (col("nl") - col("al")) * (col("nl") - col("al"))).cast("double") / col("nl").cast("double") +
+          col("nr").cast("double") -
+          (col("ar") * col("ar") + (col("nr") - col("ar")) * (col("nr") - col("ar"))).cast("double") / col("nr").cast("double")) /
+          col("n").cast("double"))
+      // the argmin flag rides a keyed equi-join against the top-1 row
+      // (TakeOrderedAndProject on the metadata frame) — a global
+      // row_number would plan the banned unpartitioned Window
+      val best = gini.orderBy(col("g"), col("feature"), col("bucket")).limit(1)
+        .select(col("feature").as("bf"), col("bucket").as("bb"))
+      gini.join(broadcast(best),
+          col("feature") === col("bf") && col("bucket") === col("bb"), "left")
+        .withColumn("is_best", col("bf").isNotNull)
+        .select(col("feature"), col("bucket").as("threshold_bucket"),
+          col("nl").as("n_left"), col("al").as("n_pos_left"),
+          col("nr").as("n_right"), col("ar").as("n_pos_right"),
+          col("g").as("gini"), col("is_best"))
+        .orderBy("feature", "threshold_bucket")
+    },
+
     "events_ewma" -> { (s, dir) =>
       // Integer-exact EWMA smoothing (α = 1/8) per event type — the
       // recursive half of the forecasting family (anomaly/forecast/
@@ -6700,6 +6800,75 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // a DIFFERENT lag construction (rank self-join instead of lead()
+    // windows); the cross-multiplied integer ACF form replays exactly,
+    // the one IEEE division runs on int64-exact operands
+    "events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type, CAST(l.k AS BIGINT) AS lag, a.x AS x, b.x AS xk
+        |  FROM ranked a
+        |  JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) l(k) ON TRUE
+        |  JOIN ranked b ON b.event_type = a.event_type AND b.r = a.r + l.k),
+        |agg AS (
+        |  SELECT event_type, lag, SUM(x*xk) AS sxy, SUM(x) AS hx,
+        |    SUM(xk) AS tx, COUNT(*) AS m
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT a.event_type, a.lag, CAST(a.m AS BIGINT) AS n_pairs,
+        |  CAST(n*n*sxy - n*s*(hx+tx) + m*s*s AS DOUBLE)
+        |    / CAST(n*n*sxx - n*s*s AS DOUBLE) AS acf
+        |FROM agg a JOIN tot t USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // mirrors the fixed IEEE operation order of the Spark expression
+    // term-for-term; the argmin flag replays via the same
+    // (gini, feature, bucket) top-1
+    "ml_split_gini" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS cents_b,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |cells AS (
+        |  SELECT feature, bucket, COUNT(*) AS cn, SUM(label) AS cp FROM (
+        |    SELECT 'cents' AS feature, cents_b AS bucket, label FROM ev
+        |    UNION ALL SELECT 'hour', hour, label FROM ev
+        |    UNION ALL SELECT 'dow', dow, label FROM ev) u
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT feature, bucket,
+        |    SUM(cn) OVER (PARTITION BY feature ORDER BY bucket) AS nl,
+        |    SUM(cp) OVER (PARTITION BY feature ORDER BY bucket) AS al,
+        |    SUM(cn) OVER (PARTITION BY feature) AS n,
+        |    SUM(cp) OVER (PARTITION BY feature) AS a
+        |  FROM cells),
+        |g AS (
+        |  SELECT feature, bucket, nl, al, n, n - nl AS nr, a - al AS ar,
+        |    (CAST(nl AS DOUBLE)
+        |      - CAST(al*al + (nl-al)*(nl-al) AS DOUBLE) / CAST(nl AS DOUBLE)
+        |      + CAST(n - nl AS DOUBLE)
+        |      - CAST((a-al)*(a-al) + ((n-nl)-(a-al))*((n-nl)-(a-al)) AS DOUBLE)
+        |        / CAST(n - nl AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS gini
+        |  FROM stats WHERE nl < n),
+        |best AS (SELECT feature, bucket FROM g ORDER BY gini, feature, bucket LIMIT 1)
+        |SELECT g.feature, CAST(g.bucket AS BIGINT) AS threshold_bucket,
+        |  CAST(nl AS BIGINT) AS n_left, CAST(al AS BIGINT) AS n_pos_left,
+        |  CAST(nr AS BIGINT) AS n_right, CAST(ar AS BIGINT) AS n_pos_right,
+        |  gini, (b.feature IS NOT NULL) AS is_best
+        |FROM g LEFT JOIN best b ON g.feature = b.feature AND g.bucket = b.bucket
+        |ORDER BY g.feature, threshold_bucket""".stripMargin,
 
     // replays the CUSUM excursion recurrence with a recursive CTE; the
     // integer mean and the 5μ/4 alarm threshold use the same truncating
