@@ -4919,6 +4919,74 @@ object SparkEntry {
         .orderBy("scc_id")
     },
 
+    "graph_labelprop" -> { (s, dir) =>
+      // Synchronous label-propagation community detection (Raghavan 2007,
+      // made DETERMINISTIC: each node adopts the majority label of its
+      // neighbors, ties by count desc then MIN label — the published
+      // algorithm's random tie-break replaced with a total order so the
+      // fixpoint replays cross-engine). Three synchronous rounds over the
+      // UNDIRECTED hash graph (the shared digraph convention,
+      // symmetrized + deduped; own 'lpa-' prefix so the lane prices its
+      // own instance). Per round: one keyed join (labels onto edges), one
+      // keyed (node, label) count agg, one per-node window argmax —
+      // everything partitioned by node, localCheckpoint keeps the
+      // iterated plan flat (the textrank/scc convention). Differs from
+      // connected components (min-label propagation) exactly where it
+      // should: majority voting SPLITS dense regions that happen to touch,
+      // where CC merges anything connected. Oracle unrolls all three
+      // rounds with the same argmax total order.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val raw = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("lpa-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("lpa-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val edges = raw.select(col("src").as("u"), col("dst").as("v"))
+        .union(raw.select(col("dst").as("u"), col("src").as("v")))
+        .distinct().localCheckpoint()
+      var labels = cust.select(col("node"), col("node").as("label"))
+      val w = Window.partitionBy("u").orderBy(col("cnt").desc, col("label"))
+      for (_ <- 1 to 3) {
+        val newl = edges
+          .join(labels.select(col("node").as("v"), col("label")), "v")
+          .groupBy("u", "label").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("u").as("node"), col("label").as("nl"))
+        labels = labels.join(newl, Seq("node"), "left")
+          .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    },
+
+    "set_reconcile" -> { (s, dir) =>
+      // Relational set operators as first-class citizens — INTERSECT /
+      // EXCEPT with SQL's distinct-set semantics (the audience-reconcile
+      // shape: retained / churned / acquired customers between two
+      // years). Spark plans these as aggregate + left-semi/anti joins —
+      // this lane pins that the set-op API members of the inventory
+      // exist and plan shuffles on the join key, not distinct-then-
+      // collect. Output is the three segment cardinalities via a
+      // map-side-cheap union of one-row aggregates.
+      def active(y: Int) = Tables.orders(s, dir)
+        .where(year(col("o_orderdate")) === y).select("o_custkey")
+      val y96 = active(1996)
+      val y97 = active(1997)
+      val segs = Seq(
+        ("retained", y96.intersect(y97)),
+        ("churned", y96.except(y97)),
+        ("acquired", y97.except(y96)))
+      segs.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_customers")).select(lit(name).as("segment"), col("n_customers"))
+      }.reduce(_ union _).orderBy("segment")
+    },
+
     "graph_bfs" -> { (s, dir) =>
       // Single-source BFS hop distances (operators/Bfs.scala) — the
       // reachability member of the graph tier, over the SAME hash-derived
@@ -9382,6 +9450,60 @@ object SparkEntry {
     // ground truth by definition: recursive-CTE level enumeration from the
     // source + MIN(d) per node over the SAME hash-derived edges, restricted
     // to the real node set — a different algorithm from the frontier BSP
+    // all three synchronous rounds unrolled with the same deterministic
+    // (count desc, min label) argmax total order
+    "graph_labelprop" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |raw AS (
+        |  SELECT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('lpa-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node,
+        |      ('0x' || substr(md5('lpa-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base)),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM raw
+        |    UNION ALL SELECT dst, src FROM raw)),
+        |l0 AS (SELECT node, node AS label FROM base),
+        |n1 AS (SELECT u, label FROM (
+        |  SELECT e.u, l.label, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY e.u ORDER BY COUNT(*) DESC, l.label) AS rn
+        |  FROM edges e JOIN l0 l ON l.node = e.v GROUP BY e.u, l.label) WHERE rn = 1),
+        |l1 AS (SELECT l0.node, COALESCE(n1.label, l0.label) AS label
+        |       FROM l0 LEFT JOIN n1 ON n1.u = l0.node),
+        |n2 AS (SELECT u, label FROM (
+        |  SELECT e.u, l.label, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY e.u ORDER BY COUNT(*) DESC, l.label) AS rn
+        |  FROM edges e JOIN l1 l ON l.node = e.v GROUP BY e.u, l.label) WHERE rn = 1),
+        |l2 AS (SELECT l1.node, COALESCE(n2.label, l1.label) AS label
+        |       FROM l1 LEFT JOIN n2 ON n2.u = l1.node),
+        |n3 AS (SELECT u, label FROM (
+        |  SELECT e.u, l.label, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY e.u ORDER BY COUNT(*) DESC, l.label) AS rn
+        |  FROM edges e JOIN l2 l ON l.node = e.v GROUP BY e.u, l.label) WHERE rn = 1),
+        |l3 AS (SELECT l2.node, COALESCE(n3.label, l2.label) AS label
+        |       FROM l2 LEFT JOIN n3 ON n3.u = l2.node)
+        |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "set_reconcile" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT 'acquired' AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT 'churned', CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT 'retained', CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |ORDER BY segment""".stripMargin,
+
     "graph_bfs" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
         |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
