@@ -2589,6 +2589,77 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "reshape_quantile_norm" -> { (s, dir) =>
+      // Quantile normalization (the cross-sample feature-prep operator
+      // from bioinformatics/ML: force every group onto a common
+      // distribution by replacing each value with the mean of its rank
+      // across groups). Shape: one keyed window rank per group (total
+      // order (cnt, day) so ties are deterministic), one rank-keyed agg
+      // for the cross-group rank means, one join back on rank — two keyed
+      // shuffles + a window, everything partitioned. Ranks present in
+      // ALL groups only (the equal-length-or-drop rule, enforced by a
+      // HAVING count = n_groups against a one-row broadcast); the rank
+      // mean divides ONCE in IEEE from an exact BIGINT sum.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("cnt", "day")
+      val ranked = daily.withColumn("rank", row_number().over(w))
+      val nGroups = daily.select("event_type").distinct()
+        .agg(count(lit(1)).as("n_groups"))
+      val rankMeans = ranked.groupBy("rank")
+        .agg(sum("cnt").as("rank_sum"), count(lit(1)).as("rank_n"))
+        .crossJoin(broadcast(nGroups))
+        .where(col("rank_n") === col("n_groups"))
+        .select(col("rank"),
+          (col("rank_sum").cast("double") / col("rank_n").cast("double")).as("norm"))
+      ranked.join(rankMeans, "rank")
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("rank").cast("long").as("rank"), col("norm"))
+        .orderBy("event_type", "day")
+    },
+
+    "events_diversity" -> { (s, dir) =>
+      // Concentration / diversity indices per event type — Herfindahl-
+      // Hirschman (Σ share²) and its complement the Simpson diversity
+      // index (Simpson 1949), the log-free diversity measures (Shannon
+      // entropy needs libm and can never hash-compare): per-user counts
+      // n_i stay BIGINT, HHI = Σn_i² / n² evaluates as ONE IEEE division
+      // of int64-exact operands (n ≤ 1e7 at sf10 → n² = 1e14 < 2⁵³).
+      // Shape: two stacked keyed aggs — (type, user) then type — both
+      // map-side partial; nothing else.
+      val byUser = Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("ni"))
+      byUser.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"), sum("ni").as("n"),
+          sum(col("ni") * col("ni")).as("s2"))
+        .select(col("event_type"), col("n_users"), col("n"),
+          (col("s2").cast("double") / (col("n") * col("n")).cast("double")).as("hhi"),
+          (lit(1.0) - col("s2").cast("double") / (col("n") * col("n")).cast("double")).as("simpson"))
+        .orderBy("event_type")
+    },
+
+    "ml_feature_hash" -> { (s, dir) =>
+      // Feature hashing (the Weinberger 2009 hashing trick — fastText /
+      // Vowpal Wabbit's encode): cross-features (event_type × user
+      // cohort) hash into a FIXED 64-bucket space, the encode that keeps
+      // feature dimensionality constant no matter how many raw
+      // combinations exist. Map-only codegen'd md5 bucket derivation
+      // (the hash60 convention, SQL-replayable) + ONE keyed agg over the
+      // bounded bucket space: per bucket the row count, positive-label
+      // count, and number of DISTINCT raw features mapped there —
+      // the collision census that tells you whether 64 buckets is
+      // enough. At 100 TB the agg state is 64 cells regardless of input.
+      val ev = Tables.events(s, dir).select(
+        concat(col("event_type"), lit("-"), (col("user_id") % 100).cast("string")).as("raw"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      ev.withColumn("bucket", pmod(Tf.hash60(concat(lit("fh-"), col("raw"))), lit(64L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("label").as("n_pos"),
+          countDistinct(col("raw")).as("n_features"))
+        .orderBy("bucket")
+    },
+
     "events_autocorr" -> { (s, dir) =>
       // Lag-k autocorrelation (k = 1..7) of each type's daily-count
       // series — the stationarity/seasonality diagnostic beside the
@@ -6868,6 +6939,40 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS ok_merge_lossless, true AS ok_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "reshape_quantile_norm" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rank
+        |  FROM daily),
+        |ng AS (SELECT COUNT(DISTINCT event_type) AS n_groups FROM daily),
+        |rm AS (SELECT rank, SUM(cnt) AS rank_sum, COUNT(*) AS rank_n FROM ranked GROUP BY 1),
+        |rm2 AS (SELECT rank, CAST(rank_sum AS DOUBLE) / CAST(rank_n AS DOUBLE) AS norm
+        |        FROM rm, ng WHERE rank_n = n_groups)
+        |SELECT event_type, day, cnt, CAST(rank AS BIGINT) AS rank, norm
+        |FROM ranked JOIN rm2 USING (rank)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "events_diversity" ->
+      """WITH bu AS (
+        |  SELECT event_type, user_id, COUNT(*) AS ni FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(ni) AS BIGINT) AS n,
+        |  CAST(SUM(ni*ni) AS DOUBLE) / CAST(SUM(ni) * SUM(ni) AS DOUBLE) AS hhi,
+        |  1.0 - CAST(SUM(ni*ni) AS DOUBLE) / CAST(SUM(ni) * SUM(ni) AS DOUBLE) AS simpson
+        |FROM bu GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ml_feature_hash" ->
+      """WITH ev AS (
+        |  SELECT event_type || '-' || CAST(user_id % 100 AS VARCHAR) AS raw,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events)
+        |SELECT ('0x' || substr(md5('fh-' || raw), 1, 15))::BIGINT % 64 AS bucket,
+        |  COUNT(*) AS n_rows, CAST(SUM(label) AS BIGINT) AS n_pos,
+        |  CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_features
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // a DIFFERENT lag construction (rank self-join instead of lead()
     // windows); the cross-multiplied integer ACF form replays exactly,
