@@ -4990,6 +4990,89 @@ object SparkEntry {
         .orderBy("scc_id")
     },
 
+    "events_abtest" -> { (s, dir) =>
+      // Two-proportion A/B test per experiment (event type), decided by
+      // Pearson chi-square on the 2×2 contingency table — the analytics
+      // operator every experimentation platform runs. The normal-CDF
+      // p-value needs libm and can never hash-compare; instead the
+      // SIGNIFICANCE DECISION is exact: χ² = N·(x1·y2−x2·y1)² /
+      // (n_a·n_b·(x1+y1)·(x2+y2)) compared to the 3.841459 critical value
+      // (α=0.05, df=1) by cross-multiplication in DECIMAL(38,0) —
+      // num·10⁶ > den·3841459, all integer, no float threshold. Numerator
+      // peaks ~3e31 at sf10 (inside 38 digits; the form overflows past
+      // ~sf300 — bound noted). χ² itself ships as the one IEEE division;
+      // the oracle converts the wide integers via VARCHAR parse because
+      // DuckDB's hugeint→double cast double-rounds above 2⁵³. ONE keyed
+      // agg over the corpus; everything after is per-type scalar math.
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") % 2 === 0).as("va"),
+        (expr("cast(cast(value as decimal(12,2)) * 100 as bigint)") >= 2500L)
+          .cast("long").as("conv"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val agg = ev.groupBy("event_type").agg(
+        sum(when(col("va"), col("conv")).otherwise(0L)).as("x1"),
+        sum(when(col("va"), lit(1L) - col("conv")).otherwise(0L)).as("x2"),
+        sum(when(!col("va"), col("conv")).otherwise(0L)).as("y1"),
+        sum(when(!col("va"), lit(1L) - col("conv")).otherwise(0L)).as("y2"))
+      agg
+        .withColumn("num", d38(col("x1") + col("x2") + col("y1") + col("y2")) *
+          (d38(col("x1")) * d38(col("y2")) - d38(col("x2")) * d38(col("y1"))) *
+          (d38(col("x1")) * d38(col("y2")) - d38(col("x2")) * d38(col("y1"))))
+        .withColumn("den", (d38(col("x1")) + d38(col("x2"))) *
+          (d38(col("y1")) + d38(col("y2"))) *
+          (d38(col("x1")) + d38(col("y1"))) * (d38(col("x2")) + d38(col("y2"))))
+        .select(col("event_type"),
+          (col("x1") + col("x2")).as("n_a"), col("x1").as("conv_a"),
+          (col("y1") + col("y2")).as("n_b"), col("y1").as("conv_b"),
+          (col("num").cast("double") / col("den").cast("double")).as("chi2"),
+          (col("num") * lit(1000000L) > col("den") * lit(3841459L)).as("significant"))
+        .orderBy("event_type")
+    },
+
+    "graph_linkpred" -> { (s, dir) =>
+      // Common-neighbor link prediction / node similarity (the
+      // Liben-Nowell & Kleinberg 2003 baseline): for every node pair
+      // sharing ≥1 neighbor, Jaccard = |N(u)∩N(v)| / |N(u)∪N(v)| over
+      // the SAME shared hash digraph as scc/bfs, symmetrized. Candidates
+      // come from the wedge self-join (adjacency joined to itself on the
+      // shared endpoint, u < v) — Σdeg(w)² pairs, bounded because the
+      // hash graph's degrees are ~uniform (no hubs; the triangle lane's
+      // degree-ordering trick is unnecessary here and the wedge join
+      // stays a plain keyed shuffle). Degrees join back keyed; Jaccard
+      // is ONE IEEE division of small exact ints; is_edge flags pairs
+      // already connected (left join against the edge set). Top-20 by
+      // (jaccard desc, u, v) plans as TakeOrderedAndProject.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val raw = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val adj = raw.select(col("src").as("a"), col("dst").as("b"))
+        .union(raw.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+      val common = adj.select(col("a").as("u"), col("b").as("w"))
+        .join(adj.select(col("a").as("v"), col("b").as("w")), "w")
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val edgeSet = adj.where(col("a") < col("b"))
+        .select(col("a").as("eu"), col("b").as("ev"))
+      common
+        .join(deg.select(col("a").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("a").as("v"), col("d").as("dv")), "v")
+        .join(edgeSet, col("u") === col("eu") && col("v") === col("ev"), "left")
+        .select(col("u"), col("v"), col("c"), col("du"), col("dv"),
+          (col("c").cast("double") / (col("du") + col("dv") - col("c")).cast("double")).as("jaccard"),
+          col("eu").isNotNull.as("is_edge"))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(20)
+    },
+
     "graph_labelprop" -> { (s, dir) =>
       // Synchronous label-propagation community detection (Raghavan 2007,
       // made DETERMINISTIC: each node adopts the majority label of its
@@ -9555,6 +9638,69 @@ object SparkEntry {
     // ground truth by definition: recursive-CTE level enumeration from the
     // source + MIN(d) per node over the SAME hash-derived edges, restricted
     // to the real node set — a different algorithm from the frontier BSP
+    // the decision replays by HUGEINT cross-multiplication; the wide
+    // chi-square operands convert via VARCHAR parse (DuckDB's direct
+    // hugeint→double cast double-rounds above 2^53)
+    "events_abtest" ->
+      """WITH ev AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS va,
+        |    CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) >= 2500
+        |         THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN va THEN conv ELSE 0 END) AS HUGEINT) AS x1,
+        |    CAST(SUM(CASE WHEN va THEN 1 - conv ELSE 0 END) AS HUGEINT) AS x2,
+        |    CAST(SUM(CASE WHEN NOT va THEN conv ELSE 0 END) AS HUGEINT) AS y1,
+        |    CAST(SUM(CASE WHEN NOT va THEN 1 - conv ELSE 0 END) AS HUGEINT) AS y2
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, x1, x2, y1, y2,
+        |    (x1+x2+y1+y2) * (x1*y2 - x2*y1) * (x1*y2 - x2*y1) AS num,
+        |    (x1+x2) * (y1+y2) * (x1+y1) * (x2+y2) AS den
+        |  FROM agg)
+        |SELECT event_type,
+        |  CAST(x1+x2 AS BIGINT) AS n_a, CAST(x1 AS BIGINT) AS conv_a,
+        |  CAST(y1+y2 AS BIGINT) AS n_b, CAST(y1 AS BIGINT) AS conv_b,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS chi2,
+        |  num * 1000000 > den * 3841459 AS significant
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    // same wedge construction over the md5 edge set; top-20 replays on
+    // the exact (jaccard desc, u, v) order
+    "graph_linkpred" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |raw AS (
+        |  SELECT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('scc-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node,
+        |      ('0x' || substr(md5('scc-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base)),
+        |adj AS MATERIALIZED (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src AS a, dst AS b FROM raw
+        |    UNION ALL SELECT dst, src FROM raw)),
+        |common AS (
+        |  SELECT w1.a AS u, w2.a AS v, COUNT(*) AS c
+        |  FROM adj w1 JOIN adj w2 ON w1.b = w2.b AND w1.a < w2.a
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT a, COUNT(*) AS d FROM adj GROUP BY 1),
+        |es AS (SELECT a AS eu, b AS ev FROM adj WHERE a < b)
+        |SELECT u, v, c, du.d AS du, dv.d AS dv,
+        |  CAST(c AS DOUBLE) / CAST(du.d + dv.d - c AS DOUBLE) AS jaccard,
+        |  (es.eu IS NOT NULL) AS is_edge
+        |FROM common
+        |JOIN deg du ON du.a = u
+        |JOIN deg dv ON dv.a = v
+        |LEFT JOIN es ON es.eu = u AND es.ev = v
+        |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+
     // all three synchronous rounds unrolled with the same deterministic
     // (count desc, min label) argmax total order
     "graph_labelprop" ->

@@ -110,7 +110,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q11_important_parts",
       // text_collocations broadcasts the ONE-ROW corpus bigram total onto
       // the per-pair frame for the lift denominator — the same shape
-      "text_collocations")
+      "text_collocations",
+      // graph_linkpred derives its edge set with the graph-lane ONE-ROW
+      // node-count broadcast (the graph_condensation shape; bfs/scc hide
+      // the same construction behind their eager checkpoints)
+      "graph_linkpred")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
