@@ -5102,19 +5102,8 @@ object SparkEntry {
       val edges = raw.select(col("src").as("u"), col("dst").as("v"))
         .union(raw.select(col("dst").as("u"), col("src").as("v")))
         .distinct().localCheckpoint()
-      var labels = cust.select(col("node"), col("node").as("label"))
-      val w = Window.partitionBy("u").orderBy(col("cnt").desc, col("label"))
-      for (_ <- 1 to 3) {
-        val newl = edges
-          .join(labels.select(col("node").as("v"), col("label")), "v")
-          .groupBy("u", "label").agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-          .select(col("u").as("node"), col("label").as("nl"))
-        labels = labels.join(newl, Seq("node"), "left")
-          .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-          .localCheckpoint()
-      }
-      labels.groupBy(col("label").as("community"))
+      graft.operators.LabelProp.communities(cust, edges, rounds = 3)
+        .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy("community")
     },
