@@ -4990,6 +4990,44 @@ object SparkEntry {
         .orderBy("scc_id")
     },
 
+    "events_winsorize" -> { (s, dir) =>
+      // Winsorized robust aggregation (clip at exact p5/p95 before the
+      // mean — the outlier-hardening every metrics pipeline applies).
+      // The exact order statistic does NOT need a corpus sort: values are
+      // bounded-cardinality cents, so the corpus collapses to a per-type
+      // VALUE HISTOGRAM (one keyed agg, ≤56k distinct cents at any SF),
+      // the percentile is a cumulative walk over that metadata frame
+      // (window partitioned by type), and the clip bounds broadcast back
+      // for a map-side clamp + ONE more keyed agg. Rank = ceil(p·n/100)
+      // computed as (p·n + 99) div 100 — integer, no float percentile.
+      // Sums stay int64-exact (Σcents ≤ 5.6e11 at sf10, inside 2⁵³) so
+      // both means are single IEEE divisions.
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("cents"))
+      val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+      val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val j = cum.join(tot, "event_type")
+        .withColumn("r5", expr("(5 * n + 99) div 100"))
+        .withColumn("r95", expr("(95 * n + 99) div 100"))
+      val p5 = j.where(col("cum") >= col("r5"))
+        .groupBy("event_type").agg(min("cents").as("p5"))
+      val p95 = j.where(col("cum") >= col("r95"))
+        .groupBy("event_type").agg(min("cents").as("p95"))
+      val bounds = p5.join(p95, "event_type")
+      ev.join(broadcast(bounds), "event_type")
+        .withColumn("w", greatest(col("p5"), least(col("cents"), col("p95"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), first("p5").as("p5"), first("p95").as("p95"),
+          sum(when(col("cents") < col("p5"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_clip_high"),
+          (sum("cents").cast("double") / count(lit(1)).cast("double")).as("mean_raw"),
+          (sum("w").cast("double") / count(lit(1)).cast("double")).as("mean_winsor"))
+        .orderBy("event_type")
+    },
+
     "events_abtest" -> { (s, dir) =>
       // Two-proportion A/B test per experiment (event type), decided by
       // Pearson chi-square on the 2×2 contingency table — the analytics
@@ -9627,6 +9665,32 @@ object SparkEntry {
     // ground truth by definition: recursive-CTE level enumeration from the
     // source + MIN(d) per node over the SAME hash-derived edges, restricted
     // to the real node set — a different algorithm from the frontier BSP
+    // same integer ceil-rank percentile over the value histogram
+    "events_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |hist AS (SELECT event_type, cents, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, cents, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+        |  FROM hist),
+        |tot AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+        |j AS (
+        |  SELECT cum.*, t.n, (5 * t.n + 99) // 100 AS r5, (95 * t.n + 99) // 100 AS r95
+        |  FROM cum JOIN tot t USING (event_type)),
+        |p5 AS (SELECT event_type, MIN(cents) AS p5 FROM j WHERE cum >= r5 GROUP BY 1),
+        |p95 AS (SELECT event_type, MIN(cents) AS p95 FROM j WHERE cum >= r95 GROUP BY 1),
+        |b AS (SELECT * FROM p5 JOIN p95 USING (event_type))
+        |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n, b.p5, b.p95,
+        |  CAST(SUM(CASE WHEN cents < b.p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+        |  CAST(SUM(CASE WHEN cents > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+        |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+        |  CAST(SUM(GREATEST(b.p5, LEAST(cents, b.p95))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_winsor
+        |FROM ev JOIN b USING (event_type)
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+
     // the decision replays by HUGEINT cross-multiplication; the wide
     // chi-square operands convert via VARCHAR parse (DuckDB's direct
     // hugeint→double cast double-rounds above 2^53)
