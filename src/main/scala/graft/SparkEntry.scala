@@ -4990,6 +4990,39 @@ object SparkEntry {
         .orderBy("scc_id")
     },
 
+    "events_mannwhitney" -> { (s, dir) =>
+      // Mann-Whitney U (Wilcoxon rank-sum) per experiment — the
+      // NONPARAMETRIC companion to events_abtest's chi-square: compares
+      // the full value distributions of the two variants, not just a
+      // conversion proportion. Ranks need no corpus sort (the
+      // events_winsorize insight): bounded-cardinality cents collapse to
+      // a per-(type, value) histogram carrying BOTH variants' counts;
+      // midranks come from the cumulative walk over that metadata frame,
+      // DOUBLED to stay integer under ties (midrank2 = 2·cum_before +
+      // c + 1); U then assembles from exact BIGINT sums —
+      // U2 = Σ_A ca(v)·midrank2(v) − n_a(n_a+1) — and the directional
+      // decision U > n_a·n_b/2 is exactly U2 > n_a·n_b, integer on both
+      // engines with no float anywhere. U ships as one exact halving.
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("cents"),
+        (col("user_id") % 2 === 0).as("va"))
+      val hist = ev.groupBy("event_type", "cents")
+        .agg(sum(when(col("va"), 1L).otherwise(0L)).as("ca"),
+          count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+        .withColumn("midrank2", lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+      cum.groupBy("event_type")
+        .agg(sum(col("ca") * col("midrank2")).as("r2a"),
+          sum("ca").as("n_a"), (sum("c") - sum("ca")).as("n_b"))
+        .withColumn("u2", col("r2a") - col("n_a") * (col("n_a") + lit(1L)))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (col("u2").cast("double") / lit(2.0)).as("u"),
+          (col("u2") > col("n_a") * col("n_b")).as("a_shifted_high"))
+        .orderBy("event_type")
+    },
+
     "events_winsorize" -> { (s, dir) =>
       // Winsorized robust aggregation (clip at exact p5/p95 before the
       // mean — the outlier-hardening every metrics pipeline applies).
@@ -9665,6 +9698,33 @@ object SparkEntry {
     // ground truth by definition: recursive-CTE level enumeration from the
     // source + MIN(d) per node over the SAME hash-derived edges, restricted
     // to the real node set — a different algorithm from the frontier BSP
+    // same doubled-midrank construction over the shared-value histogram;
+    // the U decision is pure integer
+    "events_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    (user_id % 2 = 0) AS va
+        |  FROM events),
+        |hist AS (
+        |  SELECT event_type, cents,
+        |    CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    COUNT(*) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, ca, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cumc
+        |  FROM hist),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ca * (2 * (cumc - c) + c + 1)) AS BIGINT) AS r2a,
+        |    CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(c) - SUM(ca) AS BIGINT) AS n_b
+        |  FROM cum GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u,
+        |  (r2a - n_a * (n_a + 1)) > n_a * n_b AS a_shifted_high
+        |FROM agg ORDER BY event_type""".stripMargin,
+
     // same integer ceil-rank percentile over the value histogram
     "events_winsorize" ->
       """WITH ev AS (
