@@ -2701,6 +2701,49 @@ object SparkEntry {
         .orderBy("event_type", "lag")
     },
 
+    "events_trend" -> { (s, dir) =>
+      // Mann-Kendall trend test + Theil-Sen slope per event type — the
+      // nonparametric trend member beside the smoothing/forecast tier
+      // (Mann 1945, Kendall 1948; Theil 1950, Sen 1968). Both statistics
+      // are PAIRWISE over the daily series, which at any SF is an
+      // O(types × days²) metadata frame (30 days here → 435 pairs per
+      // type): the corpus pays ONE keyed daily agg and never appears in
+      // the pairwise join. S = Σ sign(y_j − y_i) is pure integer, as is
+      // the direction decision S > 0; Kendall tau-a = S / (n(n−1)/2)
+      // is one IEEE division of exact operands. The Theil-Sen MEDIAN of
+      // pairwise slopes needs a total order over rationals — both engines
+      // order by the IEEE double (y_j−y_i)/(d_j−d_i) (identical
+      // bit-for-bit: exact int→double conversions, one correctly-rounded
+      // division) with (d_i, d_j) tie-break, then pick ceil-median
+      // rn = (m+1) div 2 — deterministic cross-engine even when distinct
+      // rationals collide in double.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day")
+        .agg(sum(expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("d1"), col("y").as("y1"))
+      val b = daily.select(col("event_type"), col("day").as("d2"), col("y").as("y2"))
+      val pairs = a.join(b, Seq("event_type")).where(col("d1") < col("d2"))
+        .withColumn("sgn", when(col("y2") > col("y1"), 1L)
+          .when(col("y2") < col("y1"), -1L).otherwise(0L))
+        .withColumn("slope",
+          (col("y2") - col("y1")).cast("double") / (col("d2") - col("d1")).cast("double"))
+      val wm = Window.partitionBy("event_type")
+        .orderBy(col("slope"), col("d1"), col("d2"))
+      val ranked = pairs.withColumn("rn", row_number().over(wm))
+      val stats = pairs.groupBy("event_type")
+        .agg(sum("sgn").as("s"), count(lit(1)).as("m"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val med = ranked.join(stats.select(col("event_type"), col("m")), "event_type")
+        .where(col("rn") === expr("(m + 1) div 2"))
+        .select(col("event_type"), col("slope").as("theil_sen_slope"))
+      stats.join(nd, "event_type").join(med, "event_type")
+        .select(col("event_type"), col("n_days"), col("s"),
+          (col("s").cast("double") / col("m").cast("double")).as("tau"),
+          col("theil_sen_slope"), (col("s") > 0L).as("trending_up"))
+        .orderBy("event_type")
+    },
+
     "ml_split_gini" -> { (s, dir) =>
       // Exact-Gini decision-stump split finding — the per-node primitive
       // of distributed tree ensembles (GBDT/random forests): for every
@@ -5179,6 +5222,36 @@ object SparkEntry {
         .orderBy("community")
     },
 
+    "graph_pagerank" -> { (s, dir) =>
+      // PageRank centrality (operators/PageRank.scala) — the missing
+      // centrality member of the graph tier, made EXACT: three power-
+      // iteration rounds in scaled-integer arithmetic (mass scale 1e9,
+      // damping (pr·17) div (20·deg) with α = 17/20, teleport constant
+      // 150,000,000), truncating division identical on both engines for
+      // non-negative operands, so the scores hash-compare — no float
+      // fixpoint tolerance anywhere. Its own 'pr-' hash digraph instance
+      // (the labelprop convention: directed, deduped, dst semi-joined to
+      // the node set, %7 dead ends so dangling mass is real). Per round:
+      // one keyed join + one keyed agg + one left join, all partitioned
+      // by node id; plan kept flat by localCheckpoint. Output = top-20
+      // hubs by (pr desc, node) — deterministic total order. Oracle
+      // unrolls the same three rounds in SQL.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("pr-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("pr-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .distinct()
+      graft.operators.PageRank.ranks(cust, edges, rounds = 3)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+    },
+
     "set_reconcile" -> { (s, dir) =>
       // Relational set operators as first-class citizens — INTERSECT /
       // EXCEPT with SQL's distinct-set semantics (the audience-reconcile
@@ -7145,6 +7218,39 @@ object SparkEntry {
         |    / CAST(n*n*sxx - n*s*s AS DOUBLE) AS acf
         |FROM agg a JOIN tot t USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
+
+    // same pairwise frame; the Theil-Sen median replays via the identical
+    // IEEE-double slope ordering with (d1, d2) tie-break and ceil-median
+    "events_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope,
+        |    a.day AS d1, b.day AS d2
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.day < b.day),
+        |ranked AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY slope, d1, d2) AS rn
+        |  FROM pairs),
+        |stats AS (
+        |  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s, COUNT(*) AS m
+        |  FROM pairs GROUP BY 1),
+        |nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1),
+        |med AS (
+        |  SELECT r.event_type, r.slope AS theil_sen_slope
+        |  FROM ranked r JOIN stats t USING (event_type)
+        |  WHERE r.rn = (t.m + 1) // 2)
+        |SELECT event_type, n_days, s,
+        |  CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS tau,
+        |  theil_sen_slope, s > 0 AS trending_up
+        |FROM stats JOIN nd USING (event_type) JOIN med USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // mirrors the fixed IEEE operation order of the Spark expression
     // term-for-term; the argmin flag replays via the same
@@ -9854,6 +9960,40 @@ object SparkEntry {
         |       FROM l2 LEFT JOIN n3 ON n3.u = l2.node)
         |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same three scaled-integer rounds unrolled; truncating // matches
+    // Spark's div exactly because every operand is non-negative
+    "graph_pagerank" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('pr-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node,
+        |      ('0x' || substr(md5('pr-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base)),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |p0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM base),
+        |c1 AS (SELECT e.dst, CAST(SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS c
+        |  FROM edges e JOIN p0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |p1 AS (SELECT b.node, CAST(150000000 + COALESCE(c.c, 0) AS BIGINT) AS pr
+        |  FROM base b LEFT JOIN c1 c ON c.dst = b.node),
+        |c2 AS (SELECT e.dst, CAST(SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS c
+        |  FROM edges e JOIN p1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |p2 AS (SELECT b.node, CAST(150000000 + COALESCE(c.c, 0) AS BIGINT) AS pr
+        |  FROM base b LEFT JOIN c2 c ON c.dst = b.node),
+        |c3 AS (SELECT e.dst, CAST(SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS c
+        |  FROM edges e JOIN p2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |p3 AS (SELECT b.node, CAST(150000000 + COALESCE(c.c, 0) AS BIGINT) AS pr
+        |  FROM base b LEFT JOIN c3 c ON c.dst = b.node)
+        |SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
 
     "set_reconcile" ->
       """WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
