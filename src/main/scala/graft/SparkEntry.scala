@@ -2744,6 +2744,99 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "survival_km" -> { (s, dir) =>
+      // Kaplan-Meier survival curves per market segment (Kaplan & Meier
+      // 1958) — the churn/retention operator: subject = customer,
+      // duration = days between first and last order, death = churned
+      // (last order before 2001-01-01), otherwise right-censored. The
+      // corpus collapses in ONE keyed per-customer agg; everything after
+      // lives on the O(segments × distinct-durations) metadata frame
+      // (day-domain-bounded, ≤ ~2400 cells/segment at ANY scale): at-risk
+      // counts n_t = N − Σ_{t'<t} exits via a cumulative window, and the
+      // KM product Π(1 − d/n) folds over the sorted death times with an
+      // aggregate HOF. The product is IEEE but DETERMINISTIC: both
+      // engines evaluate s · (double(n−d) / double(n)) in the same
+      // sorted order — one division + one multiplication per step, each
+      // correctly rounded — so the curve hash-compares (the events_holt
+      // recurrence-replay discipline, with doubles in a fixed operation
+      // order instead of integers). Oracle walks the same recurrence via
+      // recursive CTE.
+      val cutoff = "2001-01-01"
+      val life = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("n_orders"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment")),
+          "o_custkey")
+        .select(col("segment"), datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+          when(col("last_d") < lit(cutoff).cast("date"), 1L).otherwise(0L).as("e"))
+      val cells = life.groupBy("segment", "t")
+        .agg(sum("e").as("d"), count(lit(1)).as("tot"))
+      val wseg = Window.partitionBy("segment").orderBy("t")
+      val atRisk = cells
+        .withColumn("nseg", sum("tot").over(Window.partitionBy("segment")))
+        .withColumn("cumb", coalesce(sum("tot").over(
+          wseg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", col("nseg") - col("cumb"))
+        .where(col("d") > 0L)
+        .select("segment", "t", "d", "n")
+      atRisk.groupBy("segment")
+        .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n")))).as("xs"))
+        .select(col("segment"), explode(expr(
+          """aggregate(xs,
+            |  struct(cast(1.0 as double) as s,
+            |    cast(array() as array<struct<t:bigint,d:bigint,n:bigint,surv:double>>) as out),
+            |  (acc, x) -> struct(
+            |    acc.s * (cast(x.n - x.d as double) / cast(x.n as double)) as s,
+            |    concat(acc.out, array(struct(x.t as t, x.d as d, x.n as n,
+            |      acc.s * (cast(x.n - x.d as double) / cast(x.n as double)) as surv))) as out),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("segment"), col("r.t").as("t_days"), col("r.d").as("n_deaths"),
+          col("r.n").as("n_at_risk"), col("r.surv").as("survival"))
+        .orderBy("segment", "t_days")
+    },
+
+    "customer_rfm" -> { (s, dir) =>
+      // RFM segmentation census — the classic marketing scoring: each
+      // customer's Recency (days from last order to the 2001-08-01 data
+      // horizon), Frequency (order count), Monetary (lifetime cents)
+      // quintiled WITHIN its market segment via ntile(5) over a total
+      // order (metric, custkey) — deterministic cross-engine because
+      // SQL's ntile bucket-sizing rule (ceil for the first n mod b
+      // buckets) is standard, and the tie-break makes the input order
+      // total. Output is the 125-cell (r,f,m) census per segment with
+      // exact BIGINT monetary sums — bounded output at any scale. The
+      // windows partition by segment (not unpartitioned — the
+      // PlanHygieneSpec rule); at extreme scale per-segment quintile
+      // BOUNDARIES via the histogram walk (events_winsorize) would
+      // replace the full-sort ntile, noted here as the 100 TB escalation
+      // path.
+      val per = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")).as("cents"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment")),
+          "o_custkey")
+        .withColumn("recency", datediff(lit("2001-08-01").cast("date"), col("last_d")).cast("long"))
+      val scored = per
+        .withColumn("r_q", ntile(5).over(Window.partitionBy("segment")
+          .orderBy(col("recency"), col("o_custkey"))))
+        .withColumn("f_q", ntile(5).over(Window.partitionBy("segment")
+          .orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m_q", ntile(5).over(Window.partitionBy("segment")
+          .orderBy(col("cents").desc, col("o_custkey"))))
+        .select(col("segment"), col("r_q").cast("long").as("r_q"),
+          col("f_q").cast("long").as("f_q"), col("m_q").cast("long").as("m_q"),
+          col("cents"))
+      scored.groupBy("segment", "r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("sum_monetary_cents"))
+        .orderBy("segment", "r_q", "f_q", "m_q")
+    },
+
     "ml_split_gini" -> { (s, dir) =>
       // Exact-Gini decision-stump split finding — the per-node primitive
       // of distributed tree ensembles (GBDT/random forests): for every
@@ -7251,6 +7344,60 @@ object SparkEntry {
         |  theil_sen_slope, s > 0 AS trending_up
         |FROM stats JOIN nd USING (event_type) JOIN med USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // same sorted KM fold replayed step-by-step: one division + one
+    // multiplication per death time, identical IEEE operation order
+    "survival_km" ->
+      """WITH RECURSIVE life AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST(CAST(MAX(o.o_orderdate) AS DATE) - CAST(MIN(o.o_orderdate) AS DATE) AS BIGINT) AS t,
+        |    CASE WHEN CAST(MAX(o.o_orderdate) AS DATE) < DATE '2001-01-01'
+        |         THEN 1 ELSE 0 END AS e
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey),
+        |cells AS (
+        |  SELECT segment, t, CAST(SUM(e) AS BIGINT) AS d, COUNT(*) AS tot
+        |  FROM life GROUP BY 1, 2),
+        |atrisk AS (
+        |  SELECT segment, t, d,
+        |    CAST(SUM(tot) OVER (PARTITION BY segment)
+        |      - COALESCE(SUM(tot) OVER (PARTITION BY segment ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n
+        |  FROM cells),
+        |ranked AS (
+        |  SELECT segment, t, d, n,
+        |    row_number() OVER (PARTITION BY segment ORDER BY t) AS r
+        |  FROM atrisk WHERE d > 0),
+        |km AS (
+        |  SELECT segment, t, d, n, r,
+        |    CAST(1.0 AS DOUBLE) * (CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+        |  FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.segment, x.t, x.d, x.n, x.r,
+        |    e.s * (CAST(x.n - x.d AS DOUBLE) / CAST(x.n AS DOUBLE))
+        |  FROM km e JOIN ranked x ON x.segment = e.segment AND x.r = e.r + 1)
+        |SELECT segment, t AS t_days, d AS n_deaths, n AS n_at_risk, s AS survival
+        |FROM km ORDER BY segment, t_days""".stripMargin,
+
+    // same ntile total orders; the census is pure integer
+    "customer_rfm" ->
+      """WITH per AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_custkey,
+        |    CAST(DATE '2001-08-01' - CAST(MAX(o.o_orderdate) AS DATE) AS BIGINT) AS recency,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT segment, cents,
+        |    CAST(ntile(5) OVER (PARTITION BY segment ORDER BY recency, o_custkey) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (PARTITION BY segment ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (PARTITION BY segment ORDER BY cents DESC, o_custkey) AS BIGINT) AS m_q
+        |  FROM per)
+        |SELECT segment, r_q, f_q, m_q, COUNT(*) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_monetary_cents
+        |FROM scored GROUP BY 1, 2, 3, 4
+        |ORDER BY segment, r_q, f_q, m_q""".stripMargin,
 
     // mirrors the fixed IEEE operation order of the Spark expression
     // term-for-term; the argmin flag replays via the same
