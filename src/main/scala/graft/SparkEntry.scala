@@ -2837,6 +2837,72 @@ object SparkEntry {
         .orderBy("segment", "r_q", "f_q", "m_q")
     },
 
+    "profile_benford" -> { (s, dir) =>
+      // Benford first-digit law audit (Benford 1938; Newcomb 1881) over
+      // order totals — the fraud/data-quality screen beside
+      // profile_table/profile_drift. Expected proportions log10(1+1/d)
+      // are irrational, so the SPEC fixes them as scaled-integer ppb
+      // constants (the defined approximation makes every comparison
+      // exact arithmetic on published numbers). Per-digit chi-square
+      // terms (O·1e9 − N·E_d)² / (1e9·N·E_d) carry exact DECIMAL(38,0)
+      // numerators (peak ~4e33 at sf10, inside 38 digits; DuckDB replays
+      // via HUGEINT + VARCHAR-parse conversion — the events_abtest
+      // lesson) and finish as ONE IEEE division each; the χ² total is a
+      // fixed-order fold over the 9-digit frame (the survival_km
+      // discipline: identical operation order ⟹ identical rounding ⟹
+      // hash-equal doubles), compared to the df=8 α=0.05 critical value
+      // 15.507313 as a defined constant. Corpus cost: ONE map + keyed
+      // count into 9 cells; everything else is digit-frame scalar math.
+      import s.implicits._
+      val exp = Seq((1L, 301029996L), (2L, 176091259L), (3L, 124938737L),
+        (4L, 96910013L), (5L, 79181246L), (6L, 66946790L),
+        (7L, 57991947L), (8L, 51152522L), (9L, 45757491L))
+        .toDF("digit", "e_ppb")
+      val obs = Tables.orders(s, dir)
+        .select(substring(expr(
+          "cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) as string)"),
+          1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum("n_obs").as("n")).withColumn("k", lit(1))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val terms = obs.withColumn("k", lit(1)).join(tot, "k").join(exp, "digit")
+        .withColumn("diff", d38(col("n_obs") * lit(1000000000L)) -
+          d38(col("n") * col("e_ppb")))
+        .withColumn("den", d38(lit(1000000000L)) * d38(col("n")) * d38(col("e_ppb")))
+        .withColumn("term", (col("diff") * col("diff")).cast("double") /
+          col("den").cast("double"))
+      val chi2 = terms.groupBy("k")
+        .agg(sort_array(collect_list(struct(col("digit"), col("term")))).as("xs"))
+        .select(col("k"), expr(
+          "aggregate(xs, cast(0.0 as double), (acc, x) -> acc + x.term)").as("chi2"))
+      terms.join(chi2, "k")
+        .select(col("digit"), col("n_obs"),
+          (col("n") * col("e_ppb")).as("expected_x1e9"), col("term"),
+          col("chi2"), (!(col("chi2") > lit(15.507313d))).as("conforms"))
+        .orderBy("digit")
+    },
+
+    "orders_cohort_ltv" -> { (s, dir) =>
+      // Cohort lifetime-value triangle — the classic LTV report: revenue
+      // and active-customer counts by (acquisition month × months since
+      // acquisition). Cohort = MIN order month per customer (one keyed
+      // agg), joined back on the customer key (keyed, broadcastable at
+      // dimension scale), then ONE (cohort, age) keyed agg with exact
+      // BIGINT cents and exact distinct actives. Output is bounded by
+      // months² (~80×80 here) at ANY corpus scale — the triangle is a
+      // metadata frame. Months index as year·12 + month, so age is a
+      // plain integer difference.
+      val om = Tables.orders(s, dir).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("cents"))
+      val cohort = om.groupBy("o_custkey").agg(min("m").as("m0"))
+      om.join(cohort, "o_custkey")
+        .groupBy(col("m0").as("cohort_month"), (col("m") - col("m0")).as("age_months"))
+        .agg(countDistinct("o_custkey").as("n_active"),
+          sum("cents").as("revenue_cents"), count(lit(1)).as("n_orders"))
+        .orderBy("cohort_month", "age_months")
+    },
+
     "ml_split_gini" -> { (s, dir) =>
       // Exact-Gini decision-stump split finding — the per-node primitive
       // of distributed tree ensembles (GBDT/random forests): for every
@@ -7398,6 +7464,51 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS sum_monetary_cents
         |FROM scored GROUP BY 1, 2, 3, 4
         |ORDER BY segment, r_q, f_q, m_q""".stripMargin,
+
+    // same scaled-ppb constants; HUGEINT numerators convert via VARCHAR
+    // parse (the events_abtest lesson); χ² folds in digit order
+    "profile_benford" ->
+      """WITH RECURSIVE obs AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    COUNT(*) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |e(digit, e_ppb) AS (VALUES (1, 301029996), (2, 176091259), (3, 124938737),
+        |  (4, 96910013), (5, 79181246), (6, 66946790), (7, 57991947),
+        |  (8, 51152522), (9, 45757491)),
+        |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+        |terms AS (
+        |  SELECT o.digit, o.n_obs, CAST(t.n * e.e_ppb AS BIGINT) AS expected_x1e9,
+        |    CAST(CAST((CAST(o.n_obs AS HUGEINT) * 1000000000 - CAST(t.n AS HUGEINT) * e.e_ppb)
+        |        * (CAST(o.n_obs AS HUGEINT) * 1000000000 - CAST(t.n AS HUGEINT) * e.e_ppb)
+        |      AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(1000000000 AS HUGEINT) * t.n * e.e_ppb AS VARCHAR) AS DOUBLE)
+        |      AS term
+        |  FROM obs o JOIN e ON e.digit = o.digit, tot t),
+        |ranked AS (
+        |  SELECT digit, term, row_number() OVER (ORDER BY digit) AS r FROM terms),
+        |acc AS (
+        |  SELECT r, CAST(0.0 AS DOUBLE) + term AS s FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.r, a.s + x.term FROM acc a JOIN ranked x ON x.r = a.r + 1),
+        |chi AS (SELECT s AS chi2 FROM acc ORDER BY r DESC LIMIT 1)
+        |SELECT digit, n_obs, expected_x1e9, term, chi2,
+        |  NOT (chi2 > 15.507313) AS conforms
+        |FROM terms, chi ORDER BY digit""".stripMargin,
+
+    // same triangle: MIN-month cohort join + one (cohort, age) keyed agg
+    "orders_cohort_ltv" ->
+      """WITH om AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY 1)
+        |SELECT m0 AS cohort_month, CAST(m - m0 AS BIGINT) AS age_months,
+        |  CAST(COUNT(DISTINCT om.o_custkey) AS BIGINT) AS n_active,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents, COUNT(*) AS n_orders
+        |FROM om JOIN c USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // mirrors the fixed IEEE operation order of the Spark expression
     // term-for-term; the argmin flag replays via the same
