@@ -2903,6 +2903,96 @@ object SparkEntry {
         .orderBy("cohort_month", "age_months")
     },
 
+    "ml_logreg" -> { (s, dir) =>
+      // One-step Newton logistic regression via sufficient statistics —
+      // the GLM member of the suffstat-ML tier (OLS, k-means, naive
+      // Bayes, Gini stumps): at β=0 the logistic gradient is
+      // ½·Σx(2y−1) and the Hessian is ¼·X'X, so the first Newton step
+      // β₁ = 2·(X'X)⁻¹·Σx(2y−1) needs ONE keyed corpus agg (nine
+      // integer sums) and a 3×3 solve. The solve is EXACT: integer
+      // Cramer determinants in DECIMAL(38,0) (entries ≤ ~1e9 at sf10 →
+      // det terms ~1e23, inside 38 digits), each β one IEEE division of
+      // exactly-converted operands — no iterative float fixpoint, no
+      // libm. Per event type: label = high-value (≥ $25), features
+      // [1, hour, dow]. DuckDB replays the same determinants in HUGEINT
+      // with VARCHAR-parse conversion (the abtest lesson).
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("(ts_ns div 3600000000000) % 24").as("h"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("d"),
+        when(expr("cast(cast(value as decimal(12,2)) * 100 as bigint)") >= 2500L,
+          1L).otherwise(-1L).as("t"))
+      val agg = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("h").as("sh"), sum("d").as("sd"),
+        sum(col("h") * col("h")).as("shh"), sum(col("h") * col("d")).as("shd"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum("t").as("b1"), sum(col("h") * col("t")).as("b2"),
+        sum(col("d") * col("t")).as("b3"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      def det3(a11: Column, a12: Column, a13: Column,
+               a21: Column, a22: Column, a23: Column,
+               a31: Column, a32: Column, a33: Column) =
+        d38(a11) * (d38(a22) * d38(a33) - d38(a23) * d38(a32)) -
+          d38(a12) * (d38(a21) * d38(a33) - d38(a23) * d38(a31)) +
+          d38(a13) * (d38(a21) * d38(a32) - d38(a22) * d38(a31))
+      val c = agg
+        .withColumn("det_a", det3(col("n"), col("sh"), col("sd"),
+          col("sh"), col("shh"), col("shd"), col("sd"), col("shd"), col("sdd")))
+        .withColumn("det_0", det3(col("b1"), col("sh"), col("sd"),
+          col("b2"), col("shh"), col("shd"), col("b3"), col("shd"), col("sdd")))
+        .withColumn("det_1", det3(col("n"), col("b1"), col("sd"),
+          col("sh"), col("b2"), col("shd"), col("sd"), col("b3"), col("sdd")))
+        .withColumn("det_2", det3(col("n"), col("sh"), col("b1"),
+          col("sh"), col("shh"), col("b2"), col("sd"), col("shd"), col("b3")))
+      c.select(col("event_type"), col("n"),
+          ((d38(lit(2L)) * col("det_0")).cast("double") /
+            col("det_a").cast("double")).as("beta0"),
+          ((d38(lit(2L)) * col("det_1")).cast("double") /
+            col("det_a").cast("double")).as("beta_hour"),
+          ((d38(lit(2L)) * col("det_2")).cast("double") /
+            col("det_a").cast("double")).as("beta_dow"))
+        .orderBy("event_type")
+    },
+
+    "graph_sssp" -> { (s, dir) =>
+      // Bounded-horizon weighted shortest paths — 8 rounds of
+      // Bellman-Ford over the shared 'scc-' hash digraph with
+      // deterministic integer edge weights w = 1 + hash % 9: exactly
+      // "min cost over paths of ≤ 8 edges from node 1", the
+      // time-bounded-routing semantics, and the WEIGHTED companion to
+      // graph_bfs's hop distances. Pure integer min-plus relaxation —
+      // no float anywhere — so the distances hash-compare. Per round:
+      // one keyed join (frontier onto edges by src) + union + one keyed
+      // MIN agg, localCheckpoint keeping the iterated plan flat; the
+      // sparse distance frame only ever holds reached nodes. Oracle
+      // enumerates the SAME semantics by a (node, cost, hops≤8) walk
+      // CTE + MIN — algorithm-vs-definition, the graph_scc convention.
+      // Output is the cost-census (distance, node count).
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .withColumn("w", pmod(Tf.hash60(concat(lit("w-"), col("src").cast("string"),
+          lit("-"), col("dst").cast("string"))), lit(9L)) + lit(1L))
+        .localCheckpoint()
+      var dist = cust.where(col("node") === 1L)
+        .select(col("node"), lit(0L).as("d"))
+      for (_ <- 1 to 8) {
+        val relax = edges.join(dist.select(col("node").as("src"), col("d")), "src")
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.union(relax)
+          .groupBy("node").agg(min("d").as("d"))
+          .localCheckpoint()
+      }
+      dist.join(cust, "node")
+        .groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+
     "ml_split_gini" -> { (s, dir) =>
       // Exact-Gini decision-stump split finding — the per-node primitive
       // of distributed tree ensembles (GBDT/random forests): for every
@@ -7509,6 +7599,71 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS revenue_cents, COUNT(*) AS n_orders
         |FROM om JOIN c USING (o_custkey)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same nine integer sums; the Cramer determinants are exact integers
+    // (HUGEINT here, DECIMAL(38,0) in Spark) so any exact evaluation
+    // agrees, and the betas convert via VARCHAR parse
+    "ml_logreg" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS h,
+        |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS d,
+        |    CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) >= 2500
+        |         THEN 1 ELSE -1 END AS t
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(d) AS BIGINT) AS sd,
+        |    CAST(SUM(h*h) AS BIGINT) AS shh, CAST(SUM(h*d) AS BIGINT) AS shd,
+        |    CAST(SUM(d*d) AS BIGINT) AS sdd,
+        |    CAST(SUM(t) AS BIGINT) AS b1, CAST(SUM(h*t) AS BIGINT) AS b2,
+        |    CAST(SUM(d*t) AS BIGINT) AS b3
+        |  FROM ev GROUP BY 1),
+        |dets AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS HUGEINT)*(CAST(shh AS HUGEINT)*sdd - CAST(shd AS HUGEINT)*shd)
+        |      - CAST(sh AS HUGEINT)*(CAST(sh AS HUGEINT)*sdd - CAST(shd AS HUGEINT)*sd)
+        |      + CAST(sd AS HUGEINT)*(CAST(sh AS HUGEINT)*shd - CAST(shh AS HUGEINT)*sd) AS det_a,
+        |    CAST(b1 AS HUGEINT)*(CAST(shh AS HUGEINT)*sdd - CAST(shd AS HUGEINT)*shd)
+        |      - CAST(sh AS HUGEINT)*(CAST(b2 AS HUGEINT)*sdd - CAST(shd AS HUGEINT)*b3)
+        |      + CAST(sd AS HUGEINT)*(CAST(b2 AS HUGEINT)*shd - CAST(shh AS HUGEINT)*b3) AS det_0,
+        |    CAST(n AS HUGEINT)*(CAST(b2 AS HUGEINT)*sdd - CAST(shd AS HUGEINT)*b3)
+        |      - CAST(b1 AS HUGEINT)*(CAST(sh AS HUGEINT)*sdd - CAST(shd AS HUGEINT)*sd)
+        |      + CAST(sd AS HUGEINT)*(CAST(sh AS HUGEINT)*b3 - CAST(b2 AS HUGEINT)*sd) AS det_1,
+        |    CAST(n AS HUGEINT)*(CAST(shh AS HUGEINT)*b3 - CAST(b2 AS HUGEINT)*shd)
+        |      - CAST(sh AS HUGEINT)*(CAST(sh AS HUGEINT)*b3 - CAST(b2 AS HUGEINT)*sd)
+        |      + CAST(b1 AS HUGEINT)*(CAST(sh AS HUGEINT)*shd - CAST(shh AS HUGEINT)*sd) AS det_2
+        |  FROM agg)
+        |SELECT event_type, n,
+        |  CAST(CAST(2*det_0 AS VARCHAR) AS DOUBLE) / CAST(CAST(det_a AS VARCHAR) AS DOUBLE) AS beta0,
+        |  CAST(CAST(2*det_1 AS VARCHAR) AS DOUBLE) / CAST(CAST(det_a AS VARCHAR) AS DOUBLE) AS beta_hour,
+        |  CAST(CAST(2*det_2 AS VARCHAR) AS DOUBLE) / CAST(CAST(det_a AS VARCHAR) AS DOUBLE) AS beta_dow
+        |FROM dets ORDER BY event_type""".stripMargin,
+
+    // same ≤8-edge min-plus semantics enumerated by a (node, cost, hops)
+    // walk — algorithm vs definition, the graph_bfs convention weighted
+    "graph_sssp" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst,
+        |    ('0x' || substr(md5('w-' || src || '-' || dst), 1, 15))::BIGINT % 9 + 1 AS w
+        |  FROM (
+        |    SELECT u AS src, ('0x' || substr(md5('scc-a-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0
+        |    UNION ALL
+        |    SELECT u, ('0x' || substr(md5('scc-b-' || u), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE u % 7 <> 0)
+        |  WHERE src <> dst),
+        |walk AS MATERIALIZED (
+        |  WITH RECURSIVE wk(node, cost, hops) AS (
+        |    SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+        |    UNION
+        |    SELECT e.dst, wk.cost + e.w, wk.hops + 1
+        |    FROM wk JOIN edges e ON e.src = wk.node WHERE wk.hops < 8)
+        |  SELECT node, MIN(cost) AS d FROM wk GROUP BY node),
+        |reach AS (SELECT walk.node, walk.d FROM walk JOIN base ON walk.node = base.u)
+        |SELECT d AS dist, COUNT(*) AS n_nodes FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mirrors the fixed IEEE operation order of the Spark expression
     // term-for-term; the argmin flag replays via the same
