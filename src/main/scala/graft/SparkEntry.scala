@@ -390,6 +390,53 @@ object SparkEntry {
       SpatialGrid.pairsWithin(pts, 500L).orderBy("a_id", "b_id")
     },
 
+    "join_spatial_polygon" -> { (s, dir) =>
+      // Point-in-polygon containment join — the region-assignment member
+      // of the spatial tier (radius pairs, bounded kNN, now polygon
+      // containment): 24 convex quadrilaterals (hash-positioned diamonds
+      // |dx|·wy + |dy|·wx ≤ wx·wy — algebraically the conjunction of
+      // four half-plane tests with integer cross products, convex BY
+      // CONSTRUCTION) against the density-normalized point cloud. The
+      // 100 TB shape: polygons explode to their covered grid cells
+      // (≤ ~121 cells each — a metadata frame), points carry their cell
+      // key from the scan, and containment candidates come from the
+      // (cx, cy) EQUI-join — the corpus never meets the polygon list
+      // row-by-row (the broadcast-loop anti-shape). Exact integer
+      // containment test; LEFT join back onto the polygon frame keeps
+      // zero-hit regions in the census. Negative bbox cells clamp to 0,
+      // where truncating and floor division agree — measured before
+      // shipping, not assumed.
+      import s.implicits._
+      import graft.operators.SpatialGrid
+      val cell = 2000L
+      val pts = SpatialGrid.points(Tables.customer(s, dir), "c_custkey", cell)
+      val n1 = Tables.customer(s, dir).agg(count(lit(1)).as("n"))
+      val poly = (0L to 23L).toDF("pid")
+        .crossJoin(broadcast(n1))
+        .withColumn("side", expr("2582 * cast(ceil(sqrt(cast(n as double))) as long)"))
+        .withColumn("cx0", pmod(Tf.hash60(concat(lit("poly-x-"), col("pid").cast("string"))), col("side")))
+        .withColumn("cy0", pmod(Tf.hash60(concat(lit("poly-y-"), col("pid").cast("string"))), col("side")))
+        .withColumn("wx", pmod(Tf.hash60(concat(lit("poly-wx-"), col("pid").cast("string"))), lit(4000L)) + lit(6000L))
+        .withColumn("wy", pmod(Tf.hash60(concat(lit("poly-wy-"), col("pid").cast("string"))), lit(4000L)) + lit(6000L))
+        .select("pid", "cx0", "cy0", "wx", "wy")
+        .localCheckpoint()
+      val cells = poly
+        .withColumn("cx", explode(sequence(
+          greatest(expr(s"(cx0 - wx) div $cell"), lit(0L)), expr(s"(cx0 + wx) div $cell"))))
+        .withColumn("cy", explode(sequence(
+          greatest(expr(s"(cy0 - wy) div $cell"), lit(0L)), expr(s"(cy0 + wy) div $cell"))))
+      val hits = cells.join(pts, Seq("cx", "cy"))
+        .groupBy("pid").agg(count(lit(1)).as("n_candidates"),
+          sum(when(abs(col("x") - col("cx0")) * col("wy") +
+            abs(col("y") - col("cy0")) * col("wx") <= col("wx") * col("wy"),
+            1L).otherwise(0L)).as("n_inside"))
+      poly.join(hits, Seq("pid"), "left")
+        .select(col("pid"), col("wx"), col("wy"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_inside"), lit(0L)).as("n_inside"))
+        .orderBy("pid")
+    },
+
     "join_spatial_knn" -> { (s, dir) =>
       // Bounded kNN join — for each point, its k = 3 nearest neighbors
       // WITHIN radius r (the practical exact form: unbounded kNN needs
@@ -2742,6 +2789,33 @@ object SparkEntry {
           (col("s").cast("double") / col("m").cast("double")).as("tau"),
           col("theil_sen_slope"), (col("s") > 0L).as("trending_up"))
         .orderBy("event_type")
+    },
+
+    "events_seasonality" -> { (s, dir) =>
+      // Day-of-week seasonal index per event type — the seasonality
+      // census beside holtwinters' smoothing: index(dow) =
+      // (mean revenue on that dow) / (overall mean) as the exact
+      // rational sum_dow·n_all / (n_dow·sum_all), shipped as ONE IEEE
+      // division of int64-exact products (≤ ~2.5e17 at sf10 — inside
+      // int64, and int64→double conversion is correctly rounded on both
+      // engines; only int128 needs the VARCHAR-parse detour). The
+      // above-average flag is the same comparison kept in pure integers.
+      // ONE keyed corpus agg into the 35-cell (type, dow) frame; totals
+      // ride a keyed metadata join.
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("cents"))
+      val cells = ev.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      val tot = cells.groupBy("event_type")
+        .agg(sum("n_events").as("n_all"), sum("sum_cents").as("sum_all"))
+      cells.join(tot, "event_type")
+        .select(col("event_type"), col("dow"), col("n_events"),
+          ((col("sum_cents") * col("n_all")).cast("double") /
+            (col("n_events") * col("sum_all")).cast("double")).as("seasonal_index"),
+          (col("sum_cents") * col("n_all") > col("n_events") * col("sum_all"))
+            .as("above_average"))
+        .orderBy("event_type", "dow")
     },
 
     "survival_km" -> { (s, dir) =>
@@ -7500,6 +7574,64 @@ object SparkEntry {
         |  theil_sen_slope, s > 0 AS trending_up
         |FROM stats JOIN nd USING (event_type) JOIN med USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // same 35-cell collapse; the index is one int64→double division
+    "events_seasonality" ->
+      """WITH ev AS (
+        |  SELECT event_type, ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, dow, COUNT(*) AS n_events,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_all,
+        |    CAST(SUM(sum_cents) AS BIGINT) AS sum_all
+        |  FROM cells GROUP BY 1)
+        |SELECT event_type, dow, n_events,
+        |  CAST(sum_cents * n_all AS DOUBLE) / CAST(n_events * sum_all AS DOUBLE)
+        |    AS seasonal_index,
+        |  sum_cents * n_all > n_events * sum_all AS above_average
+        |FROM cells JOIN tot USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // same cell-exploded equi-join and exact integer diamond test
+    "join_spatial_polygon" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |pts AS (
+        |  SELECT x, y, x // 2000 AS cx, y // 2000 AS cy FROM (
+        |    SELECT h60 % side AS x, (h60 // side) % side AS y FROM (
+        |      SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h60,
+        |        2582 * CAST(ceil(sqrt(CAST(nn.n AS DOUBLE))) AS BIGINT) AS side
+        |      FROM customer, nn))),
+        |poly AS (
+        |  SELECT p.pid,
+        |    ('0x' || substr(md5('poly-x-' || p.pid), 1, 15))::BIGINT
+        |      % (2582 * CAST(ceil(sqrt(CAST(nn.n AS DOUBLE))) AS BIGINT)) AS cx0,
+        |    ('0x' || substr(md5('poly-y-' || p.pid), 1, 15))::BIGINT
+        |      % (2582 * CAST(ceil(sqrt(CAST(nn.n AS DOUBLE))) AS BIGINT)) AS cy0,
+        |    ('0x' || substr(md5('poly-wx-' || p.pid), 1, 15))::BIGINT % 4000 + 6000 AS wx,
+        |    ('0x' || substr(md5('poly-wy-' || p.pid), 1, 15))::BIGINT % 4000 + 6000 AS wy
+        |  FROM (SELECT CAST(range AS BIGINT) AS pid FROM range(24)) p, nn),
+        |cells AS (
+        |  SELECT pid, cx0, cy0, wx, wy, gx.cxv AS cx, gy.cyv AS cy
+        |  FROM poly,
+        |    LATERAL (SELECT unnest(generate_series(
+        |      GREATEST((cx0 - wx) // 2000, 0), (cx0 + wx) // 2000)) AS cxv) gx,
+        |    LATERAL (SELECT unnest(generate_series(
+        |      GREATEST((cy0 - wy) // 2000, 0), (cy0 + wy) // 2000)) AS cyv) gy),
+        |hits AS (
+        |  SELECT c.pid, COUNT(*) AS n_candidates,
+        |    CAST(SUM(CASE WHEN abs(p.x - c.cx0) * c.wy + abs(p.y - c.cy0) * c.wx
+        |      <= c.wx * c.wy THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+        |  FROM cells c JOIN pts p ON p.cx = c.cx AND p.cy = c.cy
+        |  GROUP BY 1)
+        |SELECT poly.pid, poly.wx, poly.wy,
+        |  COALESCE(h.n_candidates, 0) AS n_candidates,
+        |  COALESCE(h.n_inside, 0) AS n_inside
+        |FROM poly LEFT JOIN hits h ON h.pid = poly.pid
+        |ORDER BY poly.pid""".stripMargin,
 
     // same sorted KM fold replayed step-by-step: one division + one
     // multiplication per death time, identical IEEE operation order

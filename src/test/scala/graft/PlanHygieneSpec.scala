@@ -79,7 +79,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q22_inactive_rich",
       // join_spatial_grid broadcasts the ONE-ROW point count used for the
       // density-normalizing coordinate side — the mixture_rebalance shape
-      "join_spatial_grid", "join_spatial_knn",
+      // (join_spatial_polygon reuses the same points() one-row broadcast;
+      // its polygon frame itself is checkpointed and joins by cell key)
+      "join_spatial_grid", "join_spatial_knn", "join_spatial_polygon",
       // join_bloom_prefilter broadcasts the ONE-ROW serialized Bloom
       // filter onto the fact scan — the runtime-filter pushdown itself
       "join_bloom_prefilter",
