@@ -1673,6 +1673,42 @@ object SparkEntry {
         .orderBy("user_id", "valid_from", "event_id")
     },
 
+    "cdc_bitemporal" -> { (s, dir) =>
+      // Bitemporal as-of query — the CDC tier's two-time-axis member
+      // (SCD2 tracks VALID time; production also needs TRANSACTION
+      // time): "each user's state as of effective time E, as KNOWN at
+      // ingest time T". Ingest time = effective + a deterministic
+      // hash lag of 0..3 days, so changes effective just before E are
+      // genuinely absent from the T-knowledge frontier and the
+      // bitemporal answer differs from the plain as-of — the
+      // `superseded_later` flag marks exactly those users, the rows a
+      // naive single-axis reader silently gets wrong. Two partitioned
+      // top-1 windows (by user) + one keyed join; all epoch-ms integer
+      // arithmetic. E = 2024-01-20, T = 2024-01-22 (the events domain
+      // spans January 2024 at every SF).
+      val e = 1705708800000L
+      val t = 1705881600000L
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000000").as("eff_ms"))
+        .withColumn("ingest_ms", col("eff_ms") +
+          pmod(Tf.hash60(concat(lit("lag-"), col("event_id").cast("string"))),
+            lit(259200000L)))
+        .where(col("eff_ms") <= e)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("eff_ms").desc, col("event_id").desc)
+      val known = ev.where(col("ingest_ms") <= t)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("eff_ms"), col("ingest_ms"))
+      val truth = ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("true_event_id"))
+      known.join(truth, "user_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("eff_ms"), col("ingest_ms"),
+          (col("true_event_id") =!= col("event_id")).as("superseded_later"))
+        .orderBy("user_id")
+    },
+
     "cdc_scd2_backfill" -> { (s, dir) =>
       // Late-arriving out-of-order CDC correction — the production SCD2
       // pain point cdc_scd2 doesn't cover: a backfill batch whose event
@@ -4648,6 +4684,74 @@ object SparkEntry {
         .orderBy("user_id", "sess_idx")
     },
 
+    "events_attribution_markov" -> { (s, dir) =>
+      // Markov removal-effect attribution (Anderl et al. 2016) — the
+      // model-based sibling of events_attribution's first/last-touch
+      // heuristics: build the journey transition chain (START → touches →
+      // CONV/END, journeys segmented by running purchase count — the
+      // attribution lane's window trick), then each channel's credit is
+      // its REMOVAL EFFECT: how much the conversion probability drops
+      // when paths through that channel are cut. Semantics chosen for
+      // exactness: "probability of converting within 8 transitions" via
+      // scaled-integer value iteration (p scaled 1e9, one truncating
+      // division per state per round — the graph_pagerank discipline),
+      // so base and removed probabilities are EXACT integers and the
+      // effects hash-compare; only the final share normalization is an
+      // IEEE division (operands < 2⁵³ — exact conversions). Corpus cost:
+      // two windows + ONE keyed count into the ≤(types+2)² transition
+      // matrix; the iteration runs driver-side on that vocabulary-bounded
+      // frame (the BpeTrain collect convention). Oracle unrolls the same
+      // 8 rounds over a scenario×state grid.
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val seq0 = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+        .withColumn("j", coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wj = Window.partitionBy("user_id", "j").orderBy("ts_ns", "event_id")
+      val rows2 = seq0
+        .withColumn("to_next", lead("event_type", 1).over(wj))
+        .withColumn("rn", row_number().over(wj))
+      val trans = rows2.where(col("to_next").isNotNull)
+        .select(col("event_type").as("from_s"), col("to_next").as("to_s"))
+        .union(rows2.where(col("rn") === 1)
+          .select(lit("__start").as("from_s"), col("event_type").as("to_s")))
+        .union(rows2.where(col("to_next").isNull && col("event_type") =!= "purchase")
+          .select(col("event_type").as("from_s"), lit("__end").as("to_s")))
+        .groupBy("from_s", "to_s").agg(count(lit(1)).as("n"))
+      val tm = trans.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val states = Seq("__start", "click", "error", "purchase", "signup", "view", "__end")
+      val marg = tm.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+      def converge(removed: Option[String]): Long = {
+        var p = states.map(st => st -> (if (st == "purchase") 1000000000L else 0L)).toMap
+        for (_ <- 1 to 8) {
+          p = states.map { st =>
+            val v =
+              if (st == "purchase") 1000000000L
+              else if (st == "__end") 0L
+              else if (removed.contains(st)) 0L
+              else marg.get(st) match {
+                case None | Some(0L) => 0L
+                case Some(m) =>
+                  states.map(t => tm.getOrElse((st, t), 0L) * p(t)).sum / m
+              }
+            st -> v
+          }.toMap
+        }
+        p("__start")
+      }
+      val base = converge(None)
+      val channels = Seq("click", "error", "signup", "view")
+      val eff = channels.map(c => (c, base - converge(Some(c))))
+      val sumEff = eff.map(_._2).sum
+      eff.map { case (c, e) =>
+        (c, base, base - e, e, e.toDouble / sumEff.toDouble)
+      }.toDF("channel", "base_p_x1e9", "removed_p_x1e9",
+        "removal_effect_x1e9", "share")
+        .orderBy("channel")
+    },
+
     "events_transitions" -> { (s, dir) =>
       // First-order event-sequence transition matrix: per user, each
       // event's successor (by event time), counted into (from, to) cells
@@ -6898,6 +7002,27 @@ object SparkEntry {
       |WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** One value-iteration level of the Markov-attribution oracle: p{k}
+    * from p{k-1} over the scenario×state grid — absorbing states pinned,
+    * the removed channel forced to zero, transient states one truncating
+    * division of the exact Σ n·p accumulator (mirrors the driver-side
+    * iteration in `events_attribution_markov` round-for-round). */
+  private def markovLevel(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""p$k AS (
+       |  SELECT g.scen, g.state,
+       |    CAST(CASE WHEN g.state = 'purchase' THEN 1000000000
+       |         WHEN g.state = '__end' THEN 0
+       |         WHEN g.state = g.scen THEN 0
+       |         ELSE COALESCE(a.acc // m.tot, 0) END AS BIGINT) AS p
+       |  FROM grid g
+       |  LEFT JOIN (SELECT $prev.scen, tr.from_s, SUM(tr.n * $prev.p) AS acc
+       |             FROM trans tr JOIN $prev ON $prev.state = tr.to_s
+       |             GROUP BY 1, 2) a
+       |    ON a.scen = g.scen AND a.from_s = g.state
+       |  LEFT JOIN marg m ON m.from_s = g.state)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "snapshot_scan" ->
@@ -8385,6 +8510,77 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // same journey chain and 8 scaled-integer rounds, unrolled over the
+    // scenario×state grid; only the share is an IEEE division
+    "events_attribution_markov" -> (
+      """WITH seq0 AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+        |  FROM events),
+        |rows2 AS (
+        |  SELECT user_id, j, event_type AS from_s,
+        |    lead(event_type) OVER wj AS to_next,
+        |    row_number() OVER wj AS rn
+        |  FROM seq0
+        |  WINDOW wj AS (PARTITION BY user_id, j ORDER BY epoch_ns(ts), event_id)),
+        |trans AS (
+        |  SELECT from_s, to_s, COUNT(*) AS n FROM (
+        |    SELECT from_s, to_next AS to_s FROM rows2 WHERE to_next IS NOT NULL
+        |    UNION ALL SELECT '__start', from_s FROM rows2 WHERE rn = 1
+        |    UNION ALL SELECT from_s, '__end' FROM rows2
+        |      WHERE to_next IS NULL AND from_s <> 'purchase')
+        |  GROUP BY 1, 2),
+        |marg AS (SELECT from_s, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY 1),
+        |grid AS (
+        |  SELECT sc.scen, st.state
+        |  FROM (VALUES ('__base'), ('click'), ('error'), ('signup'), ('view')) sc(scen),
+        |    (VALUES ('__start'), ('click'), ('error'), ('purchase'), ('signup'),
+        |      ('view'), ('__end')) st(state)),
+        |p0 AS (
+        |  SELECT scen, state,
+        |    CAST(CASE WHEN state = 'purchase' THEN 1000000000 ELSE 0 END AS BIGINT) AS p
+        |  FROM grid),
+        |""".stripMargin +
+      (1 to 8).map(markovLevel).mkString(",\n") +
+      """,
+        |basep AS (SELECT p AS base_p FROM p8 WHERE scen = '__base' AND state = '__start'),
+        |eff AS (
+        |  SELECT scen AS channel, p AS removed_p,
+        |    (SELECT base_p FROM basep) - p AS effect
+        |  FROM p8 WHERE scen <> '__base' AND state = '__start'),
+        |tote AS (SELECT CAST(SUM(effect) AS BIGINT) AS s FROM eff)
+        |SELECT channel, (SELECT base_p FROM basep) AS base_p_x1e9,
+        |  removed_p AS removed_p_x1e9, effect AS removal_effect_x1e9,
+        |  CAST(effect AS DOUBLE) / CAST((SELECT s FROM tote) AS DOUBLE) AS share
+        |FROM eff ORDER BY channel""".stripMargin),
+
+    // same two top-1 frames joined; epoch-ms integers throughout
+    "cdc_bitemporal" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000 AS eff_ms,
+        |    epoch_ns(ts) // 1000000 +
+        |      ('0x' || substr(md5('lag-' || event_id), 1, 15))::BIGINT % 259200000
+        |      AS ingest_ms
+        |  FROM events
+        |  WHERE epoch_ns(ts) // 1000000 <= 1705708800000),
+        |known AS (
+        |  SELECT user_id, event_id, event_type, eff_ms, ingest_ms FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY eff_ms DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ingest_ms <= 1705881600000) WHERE rn = 1),
+        |truth AS (
+        |  SELECT user_id, event_id AS true_event_id FROM (
+        |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY eff_ms DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1)
+        |SELECT k.user_id, k.event_id, k.event_type, k.eff_ms, k.ingest_ms,
+        |  t.true_event_id <> k.event_id AS superseded_later
+        |FROM known k JOIN truth t ON t.user_id = k.user_id
+        |ORDER BY k.user_id""".stripMargin,
 
     // full recompute over ALL events — the hash match proves the
     // key-scoped incremental backfill equals the rebuild
