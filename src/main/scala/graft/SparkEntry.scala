@@ -5679,6 +5679,79 @@ object SparkEntry {
         .limit(20)
     },
 
+    "layout_deletion_vectors" -> { (s, dir) =>
+      // Deletion-vector scan — the lakehouse position-delete model
+      // (Delta deletion vectors / Iceberg v2 position deletes): deletes
+      // arrive as (file, position) pairs instead of rewriting base
+      // files. The DV artifact per file is the r11 canonical bitmap
+      // (exact, memory ∝ deletes, mergeable), built in ONE keyed agg
+      // over the delete feed; the scan applies deletes as a BROADCAST
+      // anti-join on (file_id, pos) — map-side filtering, the base
+      // never shuffles, which is the entire reason DVs exist at 100 TB.
+      // The per-file gate ok_dv = |DV| == n_rows − n_survivors proves
+      // the bitmap artifact encodes exactly the delete set the scan
+      // applied. Files chunk by orderkey div 2048 (the snapshot_scan
+      // convention); deletes = orderkey % 11 == 3 (~9%).
+      import graft.expressions.Bitmap
+      val f = 2048L
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr(s"o_orderkey div $f").as("file_id"),
+        pmod(col("o_orderkey"), lit(f)).as("pos"))
+      val deletes = base.where(col("o_orderkey") % 11 === 3)
+        .select("file_id", "pos")
+      val dv = deletes.groupBy("file_id").agg(Bitmap.sketch(col("pos")).as("dv"))
+      val survivors = base.join(broadcast(deletes), Seq("file_id", "pos"), "left_anti")
+        .groupBy("file_id").agg(count(lit(1)).as("n_survivors"))
+      val nrows = base.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
+      nrows.join(dv, Seq("file_id"), "left")
+        .join(survivors, Seq("file_id"), "left")
+        .select(col("file_id"), col("n_rows"),
+          coalesce(when(col("dv").isNotNull, Bitmap.count(col("dv"))), lit(0L))
+            .as("n_deleted_dv"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
+        .withColumn("ok_dv",
+          col("n_deleted_dv") === col("n_rows") - col("n_survivors"))
+        .orderBy("file_id")
+    },
+
+    "graph_kcore" -> { (s, dir) =>
+      // k-core decomposition census — the density-peeling member of the
+      // graph tier (community cores, spam rings, graph sparsification):
+      // 8 synchronized peel rounds at k = 3 over a 3-hash undirected
+      // graph ('kc-' instance, out-degree 3 so the symmetrized average
+      // degree ~5 leaves a real core), each round dropping nodes of
+      // current degree < 3 and their incident edges — exactly "the
+      // 8-round peel census", deterministic regardless of convergence
+      // (the graph_sssp bounded-horizon convention). Per round: one
+      // keyed degree agg + two semi joins, localCheckpoint keeping the
+      // plan flat; everything partitions on node id. Output = remaining
+      // degree distribution. Oracle unrolls the same 8 peels.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val raw = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("kc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("kc-b-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("kc-c-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      var e = raw.select(col("src").as("u"), col("dst").as("v"))
+        .union(raw.select(col("dst").as("u"), col("src").as("v")))
+        .distinct().localCheckpoint()
+      for (_ <- 1 to 8) {
+        val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 3L).select("u")
+        e = e.join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select("u", "v").localCheckpoint()
+      }
+      e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
+    },
+
     "set_reconcile" -> { (s, dir) =>
       // Relational set operators as first-class citizens — INTERSECT /
       // EXCEPT with SQL's distinct-set semantics (the audience-reconcile
@@ -7021,6 +7094,17 @@ object SparkEntry {
        |             GROUP BY 1, 2) a
        |    ON a.scen = g.scen AND a.from_s = g.state
        |  LEFT JOIN marg m ON m.from_s = g.state)""".stripMargin
+  }
+
+  /** One synchronized peel of the k-core oracle: nodes of degree < 3 in
+    * e{k-1} drop, e{k} keeps edges with both endpoints surviving —
+    * mirrors the iterated semi-join peel in `graph_kcore`. */
+  private def kcoreLevel(k: Int): String = {
+    val prev = s"e${k - 1}"
+    s"""n$k AS (SELECT u FROM $prev GROUP BY u HAVING COUNT(*) >= 3),
+       |e$k AS (
+       |  SELECT e.u, e.v FROM $prev e
+       |  JOIN n$k a ON a.u = e.u JOIN n$k b ON b.u = e.v)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -10735,6 +10819,55 @@ object SparkEntry {
         |p3 AS (SELECT b.node, CAST(150000000 + COALESCE(c.c, 0) AS BIGINT) AS pr
         |  FROM base b LEFT JOIN c3 c ON c.dst = b.node)
         |SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
+    // same per-file counts; the DV cardinality must equal the
+    // anti-join's per-file row loss
+    "layout_deletion_vectors" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderkey // 2048 AS file_id,
+        |    o_orderkey % 2048 AS pos
+        |  FROM orders),
+        |del AS (SELECT file_id, pos FROM base WHERE o_orderkey % 11 = 3),
+        |r AS (SELECT file_id, COUNT(*) AS n_rows FROM base GROUP BY 1),
+        |dc AS (SELECT file_id, COUNT(*) AS n_deleted FROM del GROUP BY 1),
+        |sv AS (
+        |  SELECT b.file_id, COUNT(*) AS n_survivors
+        |  FROM base b LEFT JOIN del d ON d.file_id = b.file_id AND d.pos = b.pos
+        |  WHERE d.pos IS NULL GROUP BY 1)
+        |SELECT r.file_id, r.n_rows,
+        |  CAST(COALESCE(dc.n_deleted, 0) AS BIGINT) AS n_deleted_dv,
+        |  CAST(COALESCE(sv.n_survivors, 0) AS BIGINT) AS n_survivors,
+        |  COALESCE(dc.n_deleted, 0) = r.n_rows - COALESCE(sv.n_survivors, 0) AS ok_dv
+        |FROM r LEFT JOIN dc ON dc.file_id = r.file_id
+        |LEFT JOIN sv ON sv.file_id = r.file_id
+        |ORDER BY r.file_id""".stripMargin,
+
+    // same 3-hash undirected graph and 8 unrolled synchronized peels
+    "graph_kcore" -> (
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |raw AS (
+        |  SELECT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('kc-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node, ('0x' || substr(md5('kc-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node, ('0x' || substr(md5('kc-c-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base)),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM raw
+        |    UNION ALL SELECT dst, src FROM raw)),
+        |""".stripMargin +
+      (1 to 8).map(kcoreLevel).mkString(",\n") +
+      """
+        |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+        |  SELECT u, COUNT(*) AS deg FROM e8 GROUP BY u)
+        |GROUP BY deg ORDER BY deg""".stripMargin),
 
     "set_reconcile" ->
       """WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
