@@ -117,9 +117,19 @@ object Bench {
     // A FILTERed dev-loop run must never clobber the committed full-battery
     // artifact (it did once — 3-query files shipped in place of the 194-query
     // battery): filtered runs write nothing unless OUT is set explicitly.
+    // Default path anchors at the repo root (nearest ancestor of cwd with
+    // a build.sbt) so invoking the bench from a subdirectory still lands
+    // the artifact beside the committed battery files; if no root is
+    // found (e.g. jar run from elsewhere) fall back to cwd-relative.
+    def repoRoot: java.io.File = {
+      var d = new java.io.File(".").getCanonicalFile
+      while (d != null && !new java.io.File(d, "build.sbt").isFile)
+        d = d.getParentFile
+      if (d != null) d else new java.io.File(".").getCanonicalFile
+    }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (filter.isDefined) ""
-      else s"bench_local/latest_$sfName.json") // cwd-relative: sbt runs from the repo root
+      else new java.io.File(repoRoot, s"bench_local/latest_$sfName.json").getPath)
     if (outPath.nonEmpty) try {
       val f = new java.io.File(outPath)
       Option(f.getParentFile).foreach(_.mkdirs())

@@ -31,6 +31,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q3_shipping_priority")(spark, "/root/testdata/sf0.001")
 
+  /** graph_bfs hop budget, shared by the operator (double-stepped BSP, so
+    * maxIters = cap/2) and the oracle's recursive-CTE depth guard — one
+    * constant so the two bounds can never silently diverge: past the cap
+    * the operator THROWS while a lower oracle cap would truncate quietly. */
+  private val BfsHopCap = 80
+
   // decimal-pinned casts used across aggregates
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private def rate(c: Column): Column = c.cast("decimal(4,2)") // discount/tax in [0,1)
@@ -430,6 +436,56 @@ object SparkEntry {
           sum(when(abs(col("x") - col("cx0")) * col("wy") +
             abs(col("y") - col("cy0")) * col("wx") <= col("wx") * col("wy"),
             1L).otherwise(0L)).as("n_inside"))
+      poly.join(hits, Seq("pid"), "left")
+        .select(col("pid"), col("wx"), col("wy"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_inside"), lit(0L)).as("n_inside"))
+        .orderBy("pid")
+    },
+
+    "join_spatial_polygon_concave" -> { (s, dir) =>
+      // NON-CONVEX point-in-polygon containment join — the general form
+      // of join_spatial_polygon (whose diamonds are convex by
+      // construction; real geofences are not): 24 hash-positioned
+      // 8-vertex concave STARS, containment by ray-casting parity
+      // (operators/SpatialPolygon.scala) in exact integer arithmetic —
+      // cross-multiplied edge-intersection compares, the half-open span
+      // rule making vertex-grazing rays count exactly once (pinned by
+      // SpatialPolygonSpec's grazing cases). The 100 TB shape is the
+      // convex lane's unchanged: polygons explode to their covered bbox
+      // grid cells (≤ ~121 per polygon — for an 8-edge star the bbox
+      // cover is ≤ ~2× the edge-touched cells, not worth an interior
+      // winding fill), points carry their cell key from the scan,
+      // candidates come from the (cx, cy) EQUI-join, and the 8-edge
+      // parity fold runs inside whole-stage codegen per candidate — the
+      // corpus never meets the polygon list row-by-row. The oracle is a
+      // DIFFERENT algorithm: brute-force every-point×every-edge ray cast
+      // with no grid, so the hash match proves the candidate cover is
+      // complete, not just that two grids agree.
+      import s.implicits._
+      import graft.operators.{SpatialGrid, SpatialPolygon}
+      val cell = 2000L
+      val pts = SpatialGrid.points(Tables.customer(s, dir), "c_custkey", cell)
+      val n1 = Tables.customer(s, dir).agg(count(lit(1)).as("n"))
+      val poly = (0L to 23L).toDF("pid")
+        .crossJoin(broadcast(n1))
+        .withColumn("side", expr("2582 * cast(ceil(sqrt(cast(n as double))) as long)"))
+        .withColumn("cx0", pmod(Tf.hash60(concat(lit("cpoly-x-"), col("pid").cast("string"))), col("side")))
+        .withColumn("cy0", pmod(Tf.hash60(concat(lit("cpoly-y-"), col("pid").cast("string"))), col("side")))
+        .withColumn("wx", pmod(Tf.hash60(concat(lit("cpoly-wx-"), col("pid").cast("string"))), lit(4000L)) + lit(6000L))
+        .withColumn("wy", pmod(Tf.hash60(concat(lit("cpoly-wy-"), col("pid").cast("string"))), lit(4000L)) + lit(6000L))
+        .withColumn("verts", SpatialPolygon.starVerts("cx0", "cy0", "wx", "wy"))
+        .select("pid", "cx0", "cy0", "wx", "wy", "verts")
+        .localCheckpoint()
+      val cells = poly
+        .withColumn("cx", explode(sequence(
+          greatest(expr(s"(cx0 - wx) div $cell"), lit(0L)), expr(s"(cx0 + wx) div $cell"))))
+        .withColumn("cy", explode(sequence(
+          greatest(expr(s"(cy0 - wy) div $cell"), lit(0L)), expr(s"(cy0 + wy) div $cell"))))
+      val hits = cells.join(pts, Seq("cx", "cy"))
+        .withColumn("ncross", SpatialPolygon.rayCrossings("verts", "x", "y"))
+        .groupBy("pid").agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("ncross") % 2 === 1, 1L).otherwise(0L)).as("n_inside"))
       poly.join(hits, Seq("pid"), "left")
         .select(col("pid"), col("wx"), col("wy"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
@@ -2973,19 +3029,23 @@ object SparkEntry {
           "cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) as string)"),
           1, 1).cast("long").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n_obs"))
-      val tot = obs.agg(sum("n_obs").as("n")).withColumn("k", lit(1))
+      // Both scalar frames (the corpus count and the chi-square total)
+      // are ONE ROW — ride the q11_important_parts convention:
+      // crossJoin(broadcast(oneRow)), never a constant-literal equi-key
+      // (Catalyst folds lit(1)=lit(1) to `true` and plans a cartesian).
+      val tot = obs.agg(sum("n_obs").as("n"))
       def d38(c: Column) = c.cast("decimal(38,0)")
-      val terms = obs.withColumn("k", lit(1)).join(tot, "k").join(exp, "digit")
+      val terms = obs.crossJoin(broadcast(tot)).join(exp, "digit")
         .withColumn("diff", d38(col("n_obs") * lit(1000000000L)) -
           d38(col("n") * col("e_ppb")))
         .withColumn("den", d38(lit(1000000000L)) * d38(col("n")) * d38(col("e_ppb")))
         .withColumn("term", (col("diff") * col("diff")).cast("double") /
           col("den").cast("double"))
-      val chi2 = terms.groupBy("k")
+      val chi2 = terms
         .agg(sort_array(collect_list(struct(col("digit"), col("term")))).as("xs"))
-        .select(col("k"), expr(
+        .select(expr(
           "aggregate(xs, cast(0.0 as double), (acc, x) -> acc + x.term)").as("chi2"))
-      terms.join(chi2, "k")
+      terms.crossJoin(broadcast(chi2))
         .select(col("digit"), col("n_obs"),
           (col("n") * col("e_ppb")).as("expected_x1e9"), col("term"),
           col("chi2"), (!(col("chi2") > lit(15.507313d))).as("conforms"))
@@ -5649,6 +5709,44 @@ object SparkEntry {
         .orderBy("community")
     },
 
+    "graph_modularity" -> { (s, dir) =>
+      // One-level Louvain modularity sweep (operators/Modularity.scala) —
+      // the comparison baseline beside graph_labelprop: every node
+      // evaluates its singleton-partition move gain SYNCHRONOUSLY with
+      // the exact BIGINT numerator 2m·k_{i,in} − Σtot·k_i = 2m − k_i·k_j
+      // (simple graph, singleton start), ties to the smallest neighbor
+      // id — the published sequential sweep is run-order-dependent and
+      // could never replay; the synchronous total-order variant is the
+      // labelprop discipline applied to modularity. Own 'mod-' hash
+      // instance (undirected, symmetrized, deduped). Output: community
+      // SIZE census + the resulting partition's EXACT scaled modularity
+      // Q = q_num/q_den with q_num = Σ_c (4m·e_c − Σtot_c²), q_den = 4m²
+      // — all BIGINT (≤ (2m)² ≈ 2.6e13 at sf10), so the global quality
+      // of the partition hash-compares, not just its shape. Scale: one
+      // keyed degree agg, one keyed join + per-node window argmax, two
+      // keyed label joins for e_c — all partitioned by node id; the only
+      // broadcasts are one-row scalars.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val raw = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("mod-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("mod-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val edges = raw.select(col("src").as("u"), col("dst").as("v"))
+        .union(raw.select(col("dst").as("u"), col("src").as("v")))
+        .distinct().localCheckpoint()
+      val labels = graft.operators.Modularity.sweep(cust, edges)
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_communities"))
+      val q = graft.operators.Modularity.modularityScaled(labels, edges)
+        .select(col("q_num"), col("q_den"), col("n_communities").as("n_total"))
+      sizes.crossJoin(broadcast(q)).orderBy("size")
+    },
+
     "graph_pagerank" -> { (s, dir) =>
       // PageRank centrality (operators/PageRank.scala) — the missing
       // centrality member of the graph tier, made EXACT: three power-
@@ -5796,7 +5894,7 @@ object SparkEntry {
           pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
           .as("dst"))
         .where(col("src") =!= col("dst"))
-      Bfs.distances(cust, edges, source = 1L)
+      Bfs.distances(cust, edges, source = 1L, maxIters = BfsHopCap / 2)
         .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
     },
@@ -7840,6 +7938,72 @@ object SparkEntry {
         |  COALESCE(h.n_candidates, 0) AS n_candidates,
         |  COALESCE(h.n_inside, 0) AS n_inside
         |FROM poly LEFT JOIN hits h ON h.pid = poly.pid
+        |ORDER BY poly.pid""".stripMargin,
+
+    // BRUTE-FORCE ray cast — every point against every polygon's 8 edges,
+    // no grid anywhere, so the hash match proves the Spark side's bbox
+    // cell cover is complete; n_candidates replays the cell ranges
+    // arithmetically. Same cross-multiplied crossing compares, exact ints.
+    "join_spatial_polygon_concave" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |pts AS (
+        |  SELECT id, x, y, x // 2000 AS cx, y // 2000 AS cy FROM (
+        |    SELECT id, h60 % side AS x, (h60 // side) % side AS y FROM (
+        |      SELECT CAST(c_custkey AS BIGINT) AS id,
+        |        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h60,
+        |        2582 * CAST(ceil(sqrt(CAST(nn.n AS DOUBLE))) AS BIGINT) AS side
+        |      FROM customer, nn))),
+        |poly AS (
+        |  SELECT p.pid,
+        |    ('0x' || substr(md5('cpoly-x-' || p.pid), 1, 15))::BIGINT
+        |      % (2582 * CAST(ceil(sqrt(CAST(nn.n AS DOUBLE))) AS BIGINT)) AS cx0,
+        |    ('0x' || substr(md5('cpoly-y-' || p.pid), 1, 15))::BIGINT
+        |      % (2582 * CAST(ceil(sqrt(CAST(nn.n AS DOUBLE))) AS BIGINT)) AS cy0,
+        |    ('0x' || substr(md5('cpoly-wx-' || p.pid), 1, 15))::BIGINT % 4000 + 6000 AS wx,
+        |    ('0x' || substr(md5('cpoly-wy-' || p.pid), 1, 15))::BIGINT % 4000 + 6000 AS wy
+        |  FROM (SELECT CAST(range AS BIGINT) AS pid FROM range(24)) p, nn),
+        |verts AS (
+        |  SELECT pid, g.i,
+        |    cx0 + CASE g.i WHEN 0 THEN wx WHEN 1 THEN wx // 3 WHEN 2 THEN 0
+        |      WHEN 3 THEN -(wx // 3) WHEN 4 THEN -wx WHEN 5 THEN -(wx // 3)
+        |      WHEN 6 THEN 0 ELSE wx // 3 END AS vx,
+        |    cy0 + CASE g.i WHEN 0 THEN 0 WHEN 1 THEN wy // 3 WHEN 2 THEN wy
+        |      WHEN 3 THEN wy // 3 WHEN 4 THEN 0 WHEN 5 THEN -(wy // 3)
+        |      WHEN 6 THEN -wy ELSE -(wy // 3) END AS vy
+        |  FROM poly, (SELECT CAST(range AS BIGINT) AS i FROM range(8)) g),
+        |eds AS (
+        |  SELECT a.pid, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+        |  FROM verts a JOIN verts b ON b.pid = a.pid AND b.i = (a.i + 1) % 8),
+        |crossings AS (
+        |  SELECT e.pid, p.id,
+        |    SUM(CASE WHEN (e.y1 > p.y) <> (e.y2 > p.y) THEN
+        |      CASE WHEN e.y2 > e.y1 THEN
+        |        CASE WHEN (p.x - e.x1) * (e.y2 - e.y1)
+        |               < (p.y - e.y1) * (e.x2 - e.x1) THEN 1 ELSE 0 END
+        |      ELSE
+        |        CASE WHEN (p.x - e.x1) * (e.y2 - e.y1)
+        |               > (p.y - e.y1) * (e.x2 - e.x1) THEN 1 ELSE 0 END
+        |      END ELSE 0 END) AS nc
+        |  FROM pts p, eds e GROUP BY 1, 2),
+        |inside AS (
+        |  SELECT pid, CAST(SUM(nc % 2) AS BIGINT) AS n_inside
+        |  FROM crossings GROUP BY 1),
+        |bounds AS (
+        |  SELECT pid, GREATEST((cx0 - wx) // 2000, 0) AS cxlo,
+        |    (cx0 + wx) // 2000 AS cxhi,
+        |    GREATEST((cy0 - wy) // 2000, 0) AS cylo,
+        |    (cy0 + wy) // 2000 AS cyhi FROM poly),
+        |cand AS (
+        |  SELECT b.pid, COUNT(*) AS n_candidates
+        |  FROM bounds b, pts p
+        |  WHERE p.cx >= b.cxlo AND p.cx <= b.cxhi
+        |    AND p.cy >= b.cylo AND p.cy <= b.cyhi
+        |  GROUP BY 1)
+        |SELECT poly.pid, poly.wx, poly.wy,
+        |  COALESCE(cand.n_candidates, 0) AS n_candidates,
+        |  COALESCE(i.n_inside, 0) AS n_inside
+        |FROM poly LEFT JOIN cand ON cand.pid = poly.pid
+        |  LEFT JOIN inside i ON i.pid = poly.pid
         |ORDER BY poly.pid""".stripMargin,
 
     // same sorted KM fold replayed step-by-step: one division + one
@@ -10786,6 +10950,59 @@ object SparkEntry {
         |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // synchronous singleton-start Louvain sweep replayed by definition:
+    // gain = 2m − k_u·k_v (exact BIGINT), per-node argmax with the same
+    // (gain desc, v asc) total order, then the partition's scaled
+    // modularity q_num = Σ_c (2m·e2_c − Σtot_c²) over q_den = 4m²
+    "graph_modularity" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |raw AS (
+        |  SELECT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('mod-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node,
+        |      ('0x' || substr(md5('mod-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base)),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM raw
+        |    UNION ALL SELECT dst, src FROM raw)),
+        |deg AS (SELECT u AS node, COUNT(*) AS k FROM edges GROUP BY 1),
+        |mm AS (SELECT COUNT(*) // 2 AS m FROM edges),
+        |mv AS (SELECT u, v FROM (
+        |  SELECT e.u, e.v, 2 * mm.m - du.k * dv.k AS gain,
+        |    row_number() OVER (PARTITION BY e.u
+        |      ORDER BY (2 * mm.m - du.k * dv.k) DESC, e.v) AS rn
+        |  FROM edges e
+        |  JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node, mm)
+        |  WHERE rn = 1 AND gain > 0),
+        |labels AS MATERIALIZED (
+        |  SELECT b.node, COALESCE(mv.v, b.node) AS label
+        |  FROM base b LEFT JOIN mv ON mv.u = b.node),
+        |intra AS (
+        |  SELECT lu.label, COUNT(*) AS e2 FROM edges e
+        |  JOIN labels lu ON e.u = lu.node JOIN labels lv ON e.v = lv.node
+        |  WHERE lu.label = lv.label GROUP BY 1),
+        |tot AS (
+        |  SELECT l.label, SUM(COALESCE(d.k, 0)) AS sum_tot FROM labels l
+        |  LEFT JOIN deg d ON l.node = d.node GROUP BY 1),
+        |q AS (
+        |  SELECT CAST(SUM(2 * mm.m * COALESCE(i.e2, 0)
+        |           - t.sum_tot * t.sum_tot) AS BIGINT) AS q_num,
+        |    CAST(ANY_VALUE(4 * mm.m * mm.m) AS BIGINT) AS q_den,
+        |    COUNT(*) AS n_total
+        |  FROM tot t LEFT JOIN intra i ON t.label = i.label, mm),
+        |sizes AS (
+        |  SELECT size, CAST(COUNT(*) AS BIGINT) AS n_communities FROM (
+        |    SELECT label, CAST(COUNT(*) AS BIGINT) AS size
+        |    FROM labels GROUP BY 1) GROUP BY 1)
+        |SELECT size, n_communities, q_num, q_den, n_total
+        |FROM sizes, q ORDER BY size""".stripMargin,
+
     // same three scaled-integer rounds unrolled; truncating // matches
     // Spark's div exactly because every operand is non-negative
     "graph_pagerank" ->
@@ -10883,7 +11100,7 @@ object SparkEntry {
         |ORDER BY segment""".stripMargin,
 
     "graph_bfs" ->
-      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+      ("""WITH nn AS (SELECT COUNT(*) AS n FROM customer),
         |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
         |edges AS MATERIALIZED (
         |  SELECT u AS src, dst FROM (
@@ -10898,12 +11115,12 @@ object SparkEntry {
         |    SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
         |    UNION
         |    SELECT e.dst, w.d + 1 FROM w JOIN edges e ON e.src = w.node
-        |    WHERE w.d < 60)
+        |    WHERE w.d < """.stripMargin + BfsHopCap.toString + """)
         |  SELECT node, MIN(d) AS dist FROM w GROUP BY node),
         |reach AS (
         |  SELECT walk.node, walk.dist FROM walk JOIN base ON walk.node = base.u)
         |SELECT dist, COUNT(*) AS n_nodes FROM reach
-        |GROUP BY dist ORDER BY dist""".stripMargin,
+        |GROUP BY dist ORDER BY dist""".stripMargin),
 
     // five likelihood-scored rounds, generated programmatically (same
     // round shape as text_bpe_train's unrolled oracle plus a per-round

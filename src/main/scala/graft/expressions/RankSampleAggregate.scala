@@ -290,6 +290,16 @@ case class RankSampleMergeAgg(
     val b = child.eval(input)
     if (b != null) {
       val (n, us, vs) = RankSampleCodec.decode(b.asInstanceOf[Array[Byte]])
+      // Same-k contract: a stored sketch must carry m = min(n, k) kept
+      // entries. m < k with n > m means it was built at a smaller k'
+      // (entries k'+1..k are unrecoverable → merge ≢ rebuild); m > k
+      // means a larger k' (recoverable but a contract breach). Fail loud
+      // rather than silently emitting bytes that differ from a direct
+      // build over the union.
+      require(us.length <= k && (us.length == k || n == us.length),
+        s"rank_sample_merge(k=$k) fed a sketch with kept=${us.length} of n=$n " +
+          "entries - built with a different k; the same-k contract is " +
+          "required for merge == rebuild")
       var i = 0
       while (i < us.length) { buffer.add(us(i), vs(i)); i += 1 }
       buffer.n += n - us.length // add() already counted the kept entries

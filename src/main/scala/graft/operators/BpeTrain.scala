@@ -58,10 +58,11 @@ object BpeTrain {
         array_join(concat(split(col(wordCol), ""), array(lit("</w>"))), Sep + Sep),
         lit(Sep)).as("seq"))
     for (m <- merges) {
-      require(!(m.lhs + m.rhs).contains("'"), s"unexpected quote in merge $m")
-      enc = enc.select(col("word"), expr(
-        s"replace(seq, '$Sep${m.lhs}$Sep$Sep${m.rhs}$Sep', '$Sep${m.merged}$Sep')")
-        .as("seq"))
+      // Column-arg replace: tokens never pass through the SQL parser, so
+      // quotes/backslashes in corpus-derived tokens can't corrupt the replay
+      enc = enc.select(col("word"),
+        replace(col("seq"), lit(s"$Sep${m.lhs}$Sep$Sep${m.rhs}$Sep"),
+          lit(s"$Sep${m.merged}$Sep")).as("seq"))
     }
     enc.select(col("word"),
       size(split(regexp_replace(col("seq"), s"^$Sep|$Sep$$", ""), Sep + Sep))
@@ -127,13 +128,11 @@ object BpeTrain {
       if (top.isEmpty) exhausted = true
       else {
         val (lhs, rhs) = (top(0).getString(0), top(0).getString(1))
-        require(!(lhs + rhs).contains("'"), s"unexpected quote in pair $lhs$rhs")
         merges += ScoredMerge(step.toLong, lhs, rhs, lhs + rhs,
           top(0).getLong(2), top(0).getLong(3), top(0).getLong(4))
         seqs = seqs
-          .select(expr(
-            s"replace(seq, '$Sep$lhs$Sep$Sep$rhs$Sep', '$Sep${lhs + rhs}$Sep')")
-            .as("seq"), col("freq"))
+          .select(replace(col("seq"), lit(s"$Sep$lhs$Sep$Sep$rhs$Sep"),
+            lit(s"$Sep${lhs + rhs}$Sep")).as("seq"), col("freq"))
           .localCheckpoint(true)
         step += 1
       }
@@ -178,16 +177,14 @@ object BpeTrain {
       else {
         val pair = top(0).getString(0)
         val c = top(0).getLong(1)
-        // tokens never contain the separator or quotes (corpus chars plus
-        // the end marker), so splitting on '··' and embedding in a SQL
-        // literal are both safe; guard anyway
-        require(!pair.contains("'"), s"unexpected quote in pair $pair")
+        // tokens never contain the separator (corpus chars plus the end
+        // marker), so splitting on '··' is safe; replace rides Column
+        // args, so arbitrary token bytes can't reach the SQL parser
         val Array(lhs, rhs) = pair.split(Sep + Sep)
         merges += Merge(step.toLong, lhs, rhs, lhs + rhs, c)
         seqs = seqs
-          .select(expr(
-            s"replace(seq, '$Sep$pair$Sep', '$Sep${lhs + rhs}$Sep')")
-            .as("seq"), col("freq"))
+          .select(replace(col("seq"), lit(s"$Sep$pair$Sep"),
+            lit(s"$Sep${lhs + rhs}$Sep")).as("seq"), col("freq"))
           .localCheckpoint(true)
         step += 1
       }

@@ -195,7 +195,13 @@ object Scc {
       val re = es.collect().map(r => (r.getLong(0), r.getLong(1)))
       done += tarjanLocal(rn, re).toSeq.toDF("node", "pivot").localCheckpoint(true)
     }
-    // canonicalize: scc_id = min member per pivot group
+    // canonicalize: scc_id = min member per pivot group. An empty node
+    // set skips every phase AND the local finish, so guard the reduce.
+    if (done.isEmpty) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("node", "scc_id")
+    }
     val all = done.reduce(_ union _)
     val canon = all.groupBy("pivot").agg(min("node").as("scc_id"))
     all.join(canon, Seq("pivot")).select(col("node"), col("scc_id"))

@@ -116,7 +116,15 @@ class PlanHygieneSpec extends AnyFunSuite {
       // graph_linkpred derives its edge set with the graph-lane ONE-ROW
       // node-count broadcast (the graph_condensation shape; bfs/scc hide
       // the same construction behind their eager checkpoints)
-      "graph_linkpred")
+      "graph_linkpred",
+      // profile_benford broadcasts TWO one-row scalars (the corpus count
+      // and the chi-square total) onto the 9-row digit frame — the
+      // q11_important_parts shape, twice
+      "profile_benford",
+      // graph_modularity broadcasts the ONE-ROW edge count m into the
+      // gain computation and the ONE-ROW (q_num, q_den) quality scalar
+      // onto the size census — the graph-lane scalar shape
+      "graph_modularity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
