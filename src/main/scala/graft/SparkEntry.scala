@@ -3222,6 +3222,41 @@ object SparkEntry {
         .orderBy("feature", "threshold_bucket")
     },
 
+    "ml_tree" -> { (s, dir) =>
+      // Multi-level exact-Gini decision tree (operators/DecisionTree
+      // .scala) — the composition the stump primitive exists for: depth-3
+      // level-wise growth where every LEVEL is ONE corpus pass (a keyed
+      // (node, feature, bucket) agg), prefix-sum candidate stats over
+      // the metadata cell frame, broadcast split application — 3 scans
+      // total, never the naive 2^d per-node passes. Same features/label
+      // as ml_split_gini (5000-cent value buckets, hour, dow → purchase),
+      // same int64-exact impurity finishing in fixed-order IEEE so the
+      // per-node argmin (gini, feature, bucket) replays cross-engine.
+      // Output = the split table (internal nodes: heap id, chosen
+      // feature, threshold, gini, node totals) UNION the leaf census of
+      // the final assignment — the whole fitted model plus its induced
+      // partition, every value oracle-replayed by three unrolled levels
+      // of the same SQL (nested-CASE split application). Freezing rule:
+      // only heap ids in [2^level, 2^{level+1}) split at `level`, so an
+      // early leaf can never be re-split under an ambiguous id.
+      val ev = Tables.events(s, dir).select(
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val (splits, assigned) = graft.operators.DecisionTree.fit(
+        ev, Seq("cents_b", "hour", "dow"), "label", depth = 3)
+      val leaves = assigned.groupBy("node")
+        .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+      splits.select(col("node"), lit(false).as("is_leaf"), col("feature"),
+          col("threshold_bucket"), col("gini"), col("n"), col("n_pos"))
+        .union(leaves.select(col("node"), lit(true).as("is_leaf"),
+          lit(null).cast("string").as("feature"),
+          lit(null).cast("long").as("threshold_bucket"),
+          lit(null).cast("double").as("gini"), col("n"), col("n_pos")))
+        .orderBy("node", "is_leaf")
+    },
+
     "events_ewma" -> { (s, dir) =>
       // Integer-exact EWMA smoothing (α = 1/8) per event type — the
       // recursive half of the forecasting family (anomaly/forecast/
@@ -7146,6 +7181,72 @@ object SparkEntry {
     * computes the same pair set as prior-pairs ∪ delta-probe, so hashing
     * against the identical full-recompute SQL proves incremental ≡
     * recompute. */
+  /** ml_tree oracle: three unrolled levels of the ml_split_gini SQL, each
+    * re-deriving (node,feature,bucket) cells, prefix-sum stats, the
+    * fixed-order IEEE impurity, the per-node (gini, feature, bucket)
+    * argmin, and the nested-CASE split application — then the split
+    * table UNION the leaf census. The [2^level, 2^{level+1}) freezing
+    * rule rides the WHERE node >= lo filters. */
+  private def mlTreeLevelSql(l: Int): String = {
+    val lo = 1L << l
+    s"""cells$l AS (
+       |  SELECT node, feature, bucket, COUNT(*) AS cn, SUM(label) AS cp FROM (
+       |    SELECT node, 'cents_b' AS feature, cents_b AS bucket, label
+       |      FROM ev$l WHERE node >= $lo
+       |    UNION ALL SELECT node, 'hour', hour, label FROM ev$l WHERE node >= $lo
+       |    UNION ALL SELECT node, 'dow', dow, label FROM ev$l WHERE node >= $lo) u
+       |  GROUP BY 1, 2, 3),
+       |stats$l AS (
+       |  SELECT node, feature, bucket,
+       |    SUM(cn) OVER (PARTITION BY node, feature ORDER BY bucket) AS nl,
+       |    SUM(cp) OVER (PARTITION BY node, feature ORDER BY bucket) AS al,
+       |    SUM(cn) OVER (PARTITION BY node, feature) AS n,
+       |    SUM(cp) OVER (PARTITION BY node, feature) AS a
+       |  FROM cells$l),
+       |g$l AS (
+       |  SELECT node, feature, bucket, n, a,
+       |    (CAST(nl AS DOUBLE)
+       |      - CAST(al*al + (nl-al)*(nl-al) AS DOUBLE) / CAST(nl AS DOUBLE)
+       |      + CAST(n - nl AS DOUBLE)
+       |      - CAST((a-al)*(a-al) + ((n-nl)-(a-al))*((n-nl)-(a-al)) AS DOUBLE)
+       |        / CAST(n - nl AS DOUBLE))
+       |    / CAST(n AS DOUBLE) AS gini
+       |  FROM stats$l WHERE nl < n),
+       |best$l AS (
+       |  SELECT node, feature, CAST(bucket AS BIGINT) AS bucket, gini,
+       |    CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS n_pos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY node
+       |    ORDER BY gini, feature, bucket) AS rn FROM g$l) WHERE rn = 1),
+       |ev${l + 1} AS (
+       |  SELECT e.cents_b, e.hour, e.dow, e.label,
+       |    CASE WHEN b.node IS NULL THEN e.node
+       |      ELSE 2*e.node + CASE WHEN (CASE b.feature
+       |        WHEN 'cents_b' THEN e.cents_b WHEN 'hour' THEN e.hour
+       |        ELSE e.dow END) <= b.bucket THEN 0 ELSE 1 END END AS node
+       |  FROM ev$l e LEFT JOIN best$l b ON b.node = e.node)""".stripMargin
+  }
+
+  private val mlTreeOracle: String =
+    """WITH ev0 AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS cents_b,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+      |    CAST(1 AS BIGINT) AS node
+      |  FROM events),
+      |""".stripMargin +
+      (0 to 2).map(mlTreeLevelSql).mkString(",\n") + "\n" +
+    """SELECT node, is_leaf, feature, threshold_bucket, gini, n, n_pos FROM (
+      |  SELECT node, FALSE AS is_leaf, feature, bucket AS threshold_bucket,
+      |    gini, n, n_pos FROM best0
+      |  UNION ALL SELECT node, FALSE, feature, bucket, gini, n, n_pos FROM best1
+      |  UNION ALL SELECT node, FALSE, feature, bucket, gini, n, n_pos FROM best2
+      |  UNION ALL SELECT node, TRUE, CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+      |    COUNT(*), CAST(SUM(label) AS BIGINT)
+      |  FROM ev3 GROUP BY node)
+      |ORDER BY node, is_leaf""".stripMargin
+
   private val dedupImagesOracle: String =
     """WITH img AS (
       |  SELECT doc_id AS img_id, doc_id // 3 AS seed, doc_id % 3 AS var,
@@ -8209,6 +8310,12 @@ object SparkEntry {
         |  gini, (b.feature IS NOT NULL) AS is_best
         |FROM g LEFT JOIN best b ON g.feature = b.feature AND g.bucket = b.bucket
         |ORDER BY g.feature, threshold_bucket""".stripMargin,
+
+    // three unrolled levels of the stump SQL (helper above): identical
+    // cell aggs, prefix sums, IEEE impurity order, per-node argmin, and
+    // nested-CASE split application — the DECISIONS and the VALUES both
+    // hash-compare
+    "ml_tree" -> mlTreeOracle,
 
     // replays the CUSUM excursion recurrence with a recursive CTE; the
     // integer mean and the 5μ/4 alarm threshold use the same truncating
