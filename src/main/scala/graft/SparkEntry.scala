@@ -1170,6 +1170,51 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "sketch_ams_f2" -> { (s, dir) =>
+      // AMS/tug-of-war second-moment sketch (Alon, Matias & Szegedy 1996)
+      // — the self-join-size estimator beside the CMS inner-product lane:
+      // counter_j = Σ_rows sign_j(user), sign_j = ±1 from bit j of the
+      // row's user hash (ONE md5 per row, 9 signs extracted by shifts),
+      // E[counter²] = F2 = Σ_u cnt_u². The sketch is LINEAR, so daily
+      // counter vectors sum to the union's counters BIT-IDENTICALLY —
+      // the stored-sketch lifecycle claim (ok_merge_lossless) is exact
+      // integer equality, not an md5-of-bytes compare. Estimates are
+      // deterministic integer squares of replayable counters, so the
+      // median-of-9 estimate ships as a COMPARED VALUE (the CMS
+      // convention — the oracle recomputes the same signs from md5),
+      // alongside exact F2 for the observed-accuracy read. Corpus cost:
+      // one narrow map (hash + shifts) + two keyed aggs (daily build,
+      // per-type exact F2); the merge re-aggregates the 5×days metadata
+      // frame.
+      val ev = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .withColumn("h", Tf.hash60(concat(lit("ams-"), col("user_id").cast("string"))))
+      val signed = (0 until 9).foldLeft(ev) { (d, j) =>
+        d.withColumn(s"s$j",
+          lit(1L) - lit(2L) * pmod(expr(s"h div ${1L << j}"), lit(2L)))
+      }
+      val dailyCols = (0 until 9).map(j => sum(col(s"s$j")).as(s"c$j"))
+      val daily = signed.groupBy("event_type", "day")
+        .agg(dailyCols.head, dailyCols.tail: _*)
+      val mergedCols = (0 until 9).map(j => sum(col(s"c$j")).as(s"m$j"))
+      val merged = daily.groupBy("event_type")
+        .agg(mergedCols.head, mergedCols.tail: _*)
+      val directCols = (0 until 9).map(j => sum(col(s"s$j")).as(s"d$j"))
+      val direct = signed.groupBy("event_type")
+        .agg(directCols.head, directCols.tail: _*)
+      val exact = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+        .groupBy("event_type").agg(
+          sum(col("cnt") * col("cnt")).as("f2_exact"), sum("cnt").as("n_rows"))
+      merged.join(direct, "event_type").join(exact, "event_type")
+        .withColumn("ok_merge_lossless",
+          (0 until 9).map(j => col(s"m$j") === col(s"d$j")).reduce(_ && _))
+        .withColumn("est_median", expr("element_at(array_sort(array(" +
+          (0 until 9).map(j => s"m$j * m$j").mkString(",") + ")), 5)"))
+        .select(col("event_type"), col("n_rows"), col("f2_exact"),
+          col("est_median"), col("ok_merge_lossless"))
+        .orderBy("event_type")
+    },
+
     "sketch_kmv" -> { (s, dir) =>
       // KMV (k-minimum-values / bottom-k) distinct sketch with set
       // INTERSECTION estimation — the question the HLL tier cannot answer
@@ -6009,6 +6054,43 @@ object SparkEntry {
         .select("x", "y", "n_xy", "n_x", "n_y", "lift")
     },
 
+    "text_kneser_ney" -> { (s, dir) =>
+      // Kneser-Ney smoothed bigram LM (Kneser & Ney 1995; Chen & Goodman
+      // 1998's interpolated form) — the canonical n-gram smoothing, made
+      // EXACT: with discount D = 3/4 every probability is the rational
+      //   P(y|x) = [max(4·c_xy − 3, 0)·N + 3·N1+(x·)·N1+(·y)] / (4·c_x·N)
+      // (N = distinct bigram types = N1+(··)), so p_num/p_den ship as
+      // BIGINT (≤ ~4e14 at sf10 — inside 2^53, so the final one-division
+      // double ALSO hash-compares) and the continuation-probability
+      // machinery — the thing that distinguishes KN from Katz/add-k —
+      // is pinned by the N1+ columns riding the compared output. Corpus
+      // cost: the ONE lead() window all bigram lanes share, one keyed
+      // bigram agg; everything downstream (left counts, continuation
+      // counts, the type total) re-aggregates the bigram-TYPE frame
+      // (metadata scale). Top-20 by (c_xy desc, x, y) as
+      // TakeOrderedAndProject.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val wl = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = toks.withColumn("y", lead("w", 1).over(wl))
+        .where(col("y").isNotNull && col("w") =!= "" && col("y") =!= "")
+        .select(col("w").as("x"), col("y"))
+      val c12 = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val c1 = pairs.groupBy("x").agg(count(lit(1)).as("c_x"))
+      val n1l = c12.groupBy("x").agg(count(lit(1)).as("n1_x"))
+      val n1r = c12.groupBy("y").agg(count(lit(1)).as("n1_y"))
+      val ntot = c12.agg(count(lit(1)).as("n_types"))
+      c12.join(c1, "x").join(n1l, "x").join(n1r, "y").crossJoin(broadcast(ntot))
+        .withColumn("p_num",
+          greatest(lit(4L) * col("c_xy") - lit(3L), lit(0L)) * col("n_types")
+            + lit(3L) * col("n1_x") * col("n1_y"))
+        .withColumn("p_den", lit(4L) * col("c_x") * col("n_types"))
+        .withColumn("p_kn", col("p_num").cast("double") / col("p_den").cast("double"))
+        .orderBy(col("c_xy").desc, col("x"), col("y")).limit(20)
+        .select("x", "y", "c_xy", "c_x", "n1_x", "n1_y", "n_types",
+          "p_num", "p_den", "p_kn")
+    },
+
     "text_wordpiece_train" -> { (s, dir) =>
       // WordPiece likelihood-scored merge training (Schuster & Nakajima
       // 2012) — the scoring that separates WordPiece from BPE: each round
@@ -8623,6 +8705,34 @@ object SparkEntry {
         |FROM est e JOIN rk ON e.l_returnflag = rk.l_returnflag AND e.q_pct = rk.q_pct
         |ORDER BY 1, 2""".stripMargin,
 
+    // AMS counters replayed sign-by-sign from the same md5 bits; the
+    // median-of-9 estimate is a deterministic integer, so it's COMPARED;
+    // merge-losslessness is integer-sum associativity, oracle emits true
+    "sketch_ams_f2" ->
+      ("""WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5('ams-' || user_id), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |""".stripMargin +
+        (0 until 9).map(j =>
+          s"    CAST(SUM(1 - 2 * ((h // ${1L << j}) % 2)) AS BIGINT) AS m$j")
+          .mkString(",\n") + "\n" +
+      """  FROM ev GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows
+        |  FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+        |        FROM events GROUP BY 1, 2) GROUP BY 1)
+        |SELECT m.event_type, n_rows, f2_exact,
+        |  CAST(list_sort([""".stripMargin +
+        (0 until 9).map(j => s"m$j * m$j").mkString(", ") +
+      """])[5] AS BIGINT) AS est_median,
+        |  true AS ok_merge_lossless
+        |FROM m JOIN ex ON m.event_type = ex.event_type
+        |ORDER BY m.event_type""".stripMargin),
+
     "sketch_kmv" ->
       """WITH d AS (
         |  SELECT DISTINCT event_type, user_id,
@@ -10833,6 +10943,30 @@ object SparkEntry {
 
     // bigrams by definition via list indexing (a different construction
     // from the lead() window); same exact marginals and single division
+    // same bigram machinery as collocations; the KN probability replays
+    // as one exact BIGINT rational (D = 3/4 scaled through) + one IEEE
+    // division of < 2^53 operands
+    "text_kneser_ney" ->
+      """WITH big AS (
+        |  SELECT UNNEST(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> {'x': ws[i], 'y': ws[i + 1]})) AS b
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents) t),
+        |pairs AS (SELECT b.x AS x, b.y AS y FROM big
+        |  WHERE b.x <> '' AND b.y <> ''),
+        |c12 AS (SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT x, COUNT(*) AS c_x FROM pairs GROUP BY 1),
+        |n1l AS (SELECT x, COUNT(*) AS n1_x FROM c12 GROUP BY 1),
+        |n1r AS (SELECT y, COUNT(*) AS n1_y FROM c12 GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n_types FROM c12)
+        |SELECT c12.x, c12.y, c_xy, c_x, n1_x, n1_y, n_types,
+        |  CAST(GREATEST(4 * c_xy - 3, 0) * n_types + 3 * n1_x * n1_y AS BIGINT) AS p_num,
+        |  CAST(4 * c_x * n_types AS BIGINT) AS p_den,
+        |  CAST(GREATEST(4 * c_xy - 3, 0) * n_types + 3 * n1_x * n1_y AS DOUBLE)
+        |    / CAST(4 * c_x * n_types AS DOUBLE) AS p_kn
+        |FROM c12 JOIN c1 ON c12.x = c1.x JOIN n1l ON c12.x = n1l.x
+        |  JOIN n1r ON c12.y = n1r.y, nt
+        |ORDER BY c_xy DESC, c12.x, c12.y LIMIT 20""".stripMargin,
+
     "text_collocations" ->
       """WITH big AS (
         |  SELECT UNNEST(list_transform(generate_series(1, len(ws) - 1),
