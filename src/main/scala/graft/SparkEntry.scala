@@ -3564,6 +3564,38 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    "events_changepoint" -> { (s, dir) =>
+      // Retrospective single changepoint per event type — the offline
+      // companion of events_cusum's online alarm: the CUSUM changepoint
+      // estimator (Page 1954 / Hinkley 1970's argmax form) picks
+      // argmax_k |Σ_{i≤k}(x_i − x̄)|, made EXACT by multiplying through
+      // by T: D(k) = |T·P_k − k·S| (P = prefix sum, S = total, k = rank)
+      // — all BIGINT (≤ T·S ≈ 1.2e11 at sf10), argmax with the (d desc,
+      // day asc) total order, left/right segment sums/counts in the
+      // compared output so the implied mean shift is replayable. Corpus
+      // cost: ONE keyed daily agg; prefix sums and the argmax ride
+      // per-type windows on the days-scale frame.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val wt = Window.partitionBy("event_type")
+      val pre = daily
+        .withColumn("p", sum("cnt").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("s", sum("cnt").over(wt))
+        .withColumn("t", count(lit(1)).over(wt))
+        .withColumn("r", row_number().over(wo).cast("long"))
+        .where(col("r") < col("t")) // split AFTER day k: right side non-empty
+        .withColumn("d", abs(col("t") * col("p") - col("r") * col("s")))
+      val wb = Window.partitionBy("event_type").orderBy(col("d").desc, col("day"))
+      pre.withColumn("rn", row_number().over(wb)).where(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"), col("d").as("d_max"),
+          col("r").as("n_left"), col("p").as("s_left"),
+          (col("t") - col("r")).as("n_right"), (col("s") - col("p")).as("s_right"))
+        .orderBy("event_type")
+    },
+
     "events_cusum" -> { (s, dir) =>
       // CUSUM change-point detection (Page 1954) — the control-chart
       // member of the smoothing family: one-sided cumulative excursions
@@ -5825,6 +5857,56 @@ object SparkEntry {
       val q = graft.operators.Modularity.modularityScaled(labels, edges)
         .select(col("q_num"), col("q_den"), col("n_communities").as("n_total"))
       sizes.crossJoin(broadcast(q)).orderBy("size")
+    },
+
+    "graph_louvain2" -> { (s, dir) =>
+      // TWO-level Louvain — the full published loop's first two passes
+      // (Blondel 2008): sweep, CONTRACT communities to super-nodes
+      // (inter-community multiplicities become edge weights, intra edges
+      // become self-loops carrying Σtot but never k_{i,in}), sweep again
+      // with the weighted gain 2m·w(u,v) − K_u·K_v
+      // (Modularity.sweepWeighted) — still exact BIGINT end to end. Same
+      // 'mod-' instance as graph_modularity, so its q1 EQUALS that
+      // lane's q (cross-lane consistency the artifacts can check). The
+      // contraction is one keyed label join + one keyed (lu, lv) agg —
+      // after which everything runs on the super-graph (metadata scale:
+      // communities, not nodes). Output: composed-partition size census
+      // + EXACT scaled modularity at both levels (q1_num, q2_num over
+      // the shared q_den = 4m²) — whether the second pass helped is a
+      // compared VALUE, not a claim (the synchronous variant doesn't
+      // inherit sequential Louvain's monotonicity guarantee).
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val raw = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("mod-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("mod-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val edges = raw.select(col("src").as("u"), col("dst").as("v"))
+        .union(raw.select(col("dst").as("u"), col("src").as("v")))
+        .distinct().localCheckpoint()
+      val labels1 = graft.operators.Modularity.sweep(cust, edges).localCheckpoint()
+      val wedges = edges
+        .join(labels1.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels1.select(col("node").as("v"), col("label").as("lv")), "v")
+        .groupBy(col("lu").as("u"), col("lv").as("v")).agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val nodes2 = labels1.select(col("label").as("node")).distinct()
+      val labels2 = graft.operators.Modularity.sweepWeighted(nodes2, wedges)
+      val composed = labels1.select(col("node"), col("label").as("l1"))
+        .join(labels2.select(col("node").as("l1"), col("label")), "l1")
+        .select("node", "label")
+      val q1 = graft.operators.Modularity.modularityScaled(labels1, edges)
+        .select(col("q_num").as("q1_num"), col("q_den"),
+          col("n_communities").as("n_level1"))
+      val q2 = graft.operators.Modularity.modularityScaled(composed, edges)
+        .select(col("q_num").as("q2_num"), col("n_communities").as("n_level2"))
+      val sizes = composed.groupBy("label").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_communities"))
+      sizes.crossJoin(broadcast(q1)).crossJoin(broadcast(q2)).orderBy("size")
     },
 
     "graph_pagerank" -> { (s, dir) =>
@@ -8398,6 +8480,30 @@ object SparkEntry {
     // nested-CASE split application — the DECISIONS and the VALUES both
     // hash-compare
     "ml_tree" -> mlTreeOracle,
+
+    // the argmax-|T·P_k − k·S| estimator replayed with the same windows
+    // and the same (d desc, day) total order — every output column exact
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, day, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day) AS p,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS s,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS t,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS r
+        |  FROM daily),
+        |cand AS (
+        |  SELECT event_type, day, abs(t * p - r * s) AS d, r, p,
+        |    t - r AS nr, s - p AS sr
+        |  FROM pre WHERE r < t)
+        |SELECT event_type, day AS cp_day, CAST(d AS BIGINT) AS d_max,
+        |  r AS n_left, CAST(p AS BIGINT) AS s_left,
+        |  CAST(nr AS BIGINT) AS n_right, CAST(sr AS BIGINT) AS s_right
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY d DESC, day) AS rn FROM cand)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // replays the CUSUM excursion recurrence with a recursive CTE; the
     // integer mean and the 5μ/4 alarm threshold use the same truncating
@@ -11243,6 +11349,91 @@ object SparkEntry {
         |    FROM labels GROUP BY 1) GROUP BY 1)
         |SELECT size, n_communities, q_num, q_den, n_total
         |FROM sizes, q ORDER BY size""".stripMargin,
+
+    // level 1 identical to graph_modularity's replay; level 2 contracts
+    // (keyed label joins + (lu,lv) count agg), re-derives weighted
+    // degrees, and replays the weighted gain 2m·w − K_u·K_v with the
+    // same total order; both q values recomputed on the ORIGINAL graph
+    "graph_louvain2" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |raw AS (
+        |  SELECT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('mod-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node,
+        |      ('0x' || substr(md5('mod-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base)),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM raw
+        |    UNION ALL SELECT dst, src FROM raw)),
+        |deg AS (SELECT u AS node, COUNT(*) AS k FROM edges GROUP BY 1),
+        |mm AS (SELECT COUNT(*) // 2 AS m FROM edges),
+        |mv AS (SELECT u, v FROM (
+        |  SELECT e.u, e.v, 2 * mm.m - du.k * dv.k AS gain,
+        |    row_number() OVER (PARTITION BY e.u
+        |      ORDER BY (2 * mm.m - du.k * dv.k) DESC, e.v) AS rn
+        |  FROM edges e
+        |  JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node, mm)
+        |  WHERE rn = 1 AND gain > 0),
+        |labels AS MATERIALIZED (
+        |  SELECT b.node, COALESCE(mv.v, b.node) AS label
+        |  FROM base b LEFT JOIN mv ON mv.u = b.node),
+        |wed AS MATERIALIZED (
+        |  SELECT lu.label AS u, lv.label AS v, COUNT(*) AS w FROM edges e
+        |  JOIN labels lu ON e.u = lu.node JOIN labels lv ON e.v = lv.node
+        |  GROUP BY 1, 2),
+        |deg2 AS (SELECT u AS node, SUM(w) AS k FROM wed GROUP BY 1),
+        |mm2 AS (SELECT SUM(w) // 2 AS m FROM wed),
+        |mv2 AS (SELECT u, v FROM (
+        |  SELECT wd.u, wd.v, 2 * mm2.m * wd.w - du.k * dv.k AS gain,
+        |    row_number() OVER (PARTITION BY wd.u
+        |      ORDER BY (2 * mm2.m * wd.w - du.k * dv.k) DESC, wd.v) AS rn
+        |  FROM wed wd JOIN deg2 du ON wd.u = du.node
+        |  JOIN deg2 dv ON wd.v = dv.node, mm2 WHERE wd.u <> wd.v)
+        |  WHERE rn = 1 AND gain > 0),
+        |l2map AS (
+        |  SELECT n2.node, COALESCE(mv2.v, n2.node) AS label
+        |  FROM (SELECT DISTINCT label AS node FROM labels) n2
+        |  LEFT JOIN mv2 ON mv2.u = n2.node),
+        |composed AS MATERIALIZED (
+        |  SELECT l1.node, l2.label FROM labels l1
+        |  JOIN l2map l2 ON l2.node = l1.label),
+        |intra1 AS (
+        |  SELECT lu.label, COUNT(*) AS e2 FROM edges e
+        |  JOIN labels lu ON e.u = lu.node JOIN labels lv ON e.v = lv.node
+        |  WHERE lu.label = lv.label GROUP BY 1),
+        |tot1 AS (
+        |  SELECT l.label, SUM(COALESCE(d.k, 0)) AS sum_tot FROM labels l
+        |  LEFT JOIN deg d ON l.node = d.node GROUP BY 1),
+        |q1 AS (
+        |  SELECT CAST(SUM(2 * mm.m * COALESCE(i.e2, 0)
+        |           - t.sum_tot * t.sum_tot) AS BIGINT) AS q1_num,
+        |    CAST(ANY_VALUE(4 * mm.m * mm.m) AS BIGINT) AS q_den,
+        |    COUNT(*) AS n_level1
+        |  FROM tot1 t LEFT JOIN intra1 i ON t.label = i.label, mm),
+        |intra2 AS (
+        |  SELECT lu.label, COUNT(*) AS e2 FROM edges e
+        |  JOIN composed lu ON e.u = lu.node JOIN composed lv ON e.v = lv.node
+        |  WHERE lu.label = lv.label GROUP BY 1),
+        |tot2 AS (
+        |  SELECT l.label, SUM(COALESCE(d.k, 0)) AS sum_tot FROM composed l
+        |  LEFT JOIN deg d ON l.node = d.node GROUP BY 1),
+        |q2 AS (
+        |  SELECT CAST(SUM(2 * mm.m * COALESCE(i.e2, 0)
+        |           - t.sum_tot * t.sum_tot) AS BIGINT) AS q2_num,
+        |    COUNT(*) AS n_level2
+        |  FROM tot2 t LEFT JOIN intra2 i ON t.label = i.label, mm),
+        |sizes AS (
+        |  SELECT size, CAST(COUNT(*) AS BIGINT) AS n_communities FROM (
+        |    SELECT label, CAST(COUNT(*) AS BIGINT) AS size
+        |    FROM composed GROUP BY 1) GROUP BY 1)
+        |SELECT size, n_communities, q1_num, q_den, n_level1, q2_num, n_level2
+        |FROM sizes, q1, q2 ORDER BY size""".stripMargin,
 
     // same three scaled-integer rounds unrolled; truncating // matches
     // Spark's div exactly because every operand is non-negative

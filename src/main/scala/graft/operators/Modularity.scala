@@ -46,6 +46,34 @@ object Modularity {
       .select(col("node"), coalesce(col("target"), col("node")).as("label"))
   }
 
+  /** The WEIGHTED sweep — Louvain phase 2's working form: after
+    * contracting communities to super-nodes, inter-community edge
+    * multiplicities become weights and intra edges become self-loops.
+    * Gain of moving super-node u into neighbor v's singleton community:
+    * 2m·w(u,v) − K_u·K_v (K = weighted degree INCLUDING self-loops,
+    * which carry Σtot but never k_{i,in}) — still exact BIGINT.
+    *
+    * @param nodes (node: long)
+    * @param wedges (u, v, w: long) — ordered pairs INCLUDING u = v
+    *   self-loop rows (w(A,A) = 2·intra edges, the contraction
+    *   convention); for u ≠ v both orientations present
+    * @return (node, label) */
+  def sweepWeighted(nodes: DataFrame, wedges: DataFrame): DataFrame = {
+    val deg = wedges.groupBy(col("u").as("node")).agg(sum("w").as("k"))
+    val m1 = wedges.agg((sum(col("w")) / 2).cast("long").as("m"))
+    val w = Window.partitionBy("u").orderBy(col("gain").desc, col("v"))
+    val moves = wedges.where(col("u") =!= col("v"))
+      .join(deg.select(col("node").as("u"), col("k").as("ku")), "u")
+      .join(deg.select(col("node").as("v"), col("k").as("kv")), "v")
+      .crossJoin(broadcast(m1))
+      .withColumn("gain", lit(2L) * col("m") * col("w") - col("ku") * col("kv"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .where(col("gain") > 0)
+      .select(col("u").as("node"), col("v").as("target"))
+    nodes.select("node").join(moves, Seq("node"), "left")
+      .select(col("node"), coalesce(col("target"), col("node")).as("label"))
+  }
+
   /** Exact scaled modularity of a labeling: Q = q_num / (4m²) with
     * q_num = Σ_c (4m·e_c − Σtot_c²) — every term BIGINT (e_c = intra
     * edges of community c, Σtot_c = degree sum of its members; 4m·e_c

@@ -82,6 +82,41 @@ class ModularitySpec extends AnyFunSuite {
     assert((gotN, gotD) === (expN, expD))
   }
 
+  test("weighted sweep matches the model through a contraction round") {
+    import TestSpark.spark.implicits._
+    // two 4-cliques bridged: sweep 1 moves each node to its min-degree
+    // neighbor; contract; the weighted sweep then sees weights + self-loops
+    val und: Seq[(Long, Long)] =
+      (for (a <- 0 to 3; b <- (a + 1) to 3) yield (a.toLong, b.toLong)) ++
+        (for (a <- 4 to 7; b <- (a + 1) to 7) yield (a.toLong, b.toLong)) :+ (3L, 4L)
+    val nodes = (0L to 7L)
+    val sym = (und ++ und.map(e => (e._2, e._1))).distinct
+    val edgesDf = sym.toDF("u", "v")
+    val labels1 = Modularity.sweep(nodes.toDF("node"), edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver contraction
+    val wed = sym.groupBy { case (u, v) => (labels1(u), labels1(v)) }
+      .map { case ((a, b), xs) => (a, b, xs.size.toLong) }.toSeq
+    val nodes2 = labels1.values.toSeq.distinct.sorted
+    val got = Modularity.sweepWeighted(nodes2.toDF("node"),
+        wed.toDF("u", "v", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver model of the weighted sweep
+    val deg = wed.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).sum }
+      .withDefaultValue(0L)
+    val m = wed.map(_._3).sum / 2
+    val exp = nodes2.map { n =>
+      val nbrs = wed.filter(e => e._1 == n && e._2 != n)
+      if (nbrs.isEmpty) n -> n
+      else {
+        val (g, v) = nbrs.map(e => (2 * m * e._3 - deg(n) * deg(e._2), e._2))
+          .maxBy { case (g, v) => (g, -v) }
+        n -> (if (g > 0) v else n)
+      }
+    }.toMap
+    assert(got === exp)
+  }
+
   test("empty edge set: all singletons, q_den = 0 guard shape") {
     import TestSpark.spark.implicits._
     val nodesDf = (0L to 3L).toDF("node")

@@ -124,7 +124,22 @@ class PlanHygieneSpec extends AnyFunSuite {
       // graph_modularity broadcasts the ONE-ROW edge count m into the
       // gain computation and the ONE-ROW (q_num, q_den) quality scalar
       // onto the size census — the graph-lane scalar shape
-      "graph_modularity")
+      "graph_modularity",
+      // graph_louvain2 reuses the same ONE-ROW m/q scalar broadcasts at
+      // both levels (sweep, weighted sweep, q1, q2)
+      "graph_louvain2",
+      // join_spatial_polygon_concave reuses points()/poly's ONE-ROW count
+      // broadcast — the join_spatial_polygon shape; candidates and the
+      // parity fold ride the (cx, cy) equi-join
+      "join_spatial_polygon_concave",
+      // ml_tree's level-0 split application folds the constant root node
+      // id out of the equi-key, leaving a ONE-ROW IdentityBroadcast left
+      // join (best0 is exactly one row); levels 1+ plan as
+      // BroadcastHashJoin on the node key
+      "ml_tree",
+      // text_kneser_ney broadcasts the ONE-ROW bigram-type total N onto
+      // the bigram frame — the text_collocations shape
+      "text_kneser_ney")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
