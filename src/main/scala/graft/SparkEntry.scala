@@ -3302,6 +3302,44 @@ object SparkEntry {
         .orderBy("node", "is_leaf")
     },
 
+    "ml_forest" -> { (s, dir) =>
+      // Hash-bagged random forest (Breiman 2001's bagging with the
+      // bootstrap replaced by deterministic ~2/3 hash subsampling — the
+      // replayable form of the subsample-per-tree ensembles production
+      // GBDT/forest systems actually run): 3 trees × depth 2, and the
+      // 100 TB point is that every level is STILL one pass — the bagged
+      // union (rows × trees × 2/3 ≈ 2× the corpus) flows through ONE
+      // keyed (tree, node, feature, bucket) agg, so T trees cost the
+      // same scan count as one tree, not T× (DecisionTree.fitBagged).
+      // Bag membership = hash60('bag-'||tree||'-'||event_id) % 3 ≠ 0 —
+      // exact md5 arithmetic the oracle replays. Output: per-(tree,
+      // node) split table ∪ per-tree leaf census, every value gated
+      // (two unrolled levels × the tree key in the SQL).
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val bagged = ev
+        .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
+        .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
+          lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
+        .drop("event_id")
+      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
+        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
+      val leaves = assigned.groupBy("tree", "node")
+        .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+      splits.select(col("tree"), col("node"), lit(false).as("is_leaf"),
+          col("feature"), col("threshold_bucket"), col("gini"),
+          col("n"), col("n_pos"))
+        .union(leaves.select(col("tree"), col("node"), lit(true).as("is_leaf"),
+          lit(null).cast("string").as("feature"),
+          lit(null).cast("long").as("threshold_bucket"),
+          lit(null).cast("double").as("gini"), col("n"), col("n_pos")))
+        .orderBy("tree", "node", "is_leaf")
+    },
+
     "events_ewma" -> { (s, dir) =>
       // Integer-exact EWMA smoothing (α = 1/8) per event type — the
       // recursive half of the forecasting family (anomaly/forecast/
@@ -7390,6 +7428,71 @@ object SparkEntry {
        |  FROM ev$l e LEFT JOIN best$l b ON b.node = e.node)""".stripMargin
   }
 
+  /** ml_forest oracle: the ml_tree level SQL with the bag-defining tree
+    * key threaded through every GROUP BY / PARTITION BY / join. */
+  private def mlForestLevelSql(l: Int): String = {
+    val lo = 1L << l
+    s"""cells$l AS (
+       |  SELECT tree, node, feature, bucket, COUNT(*) AS cn, SUM(label) AS cp FROM (
+       |    SELECT tree, node, 'cents_b' AS feature, cents_b AS bucket, label
+       |      FROM fv$l WHERE node >= $lo
+       |    UNION ALL SELECT tree, node, 'hour', hour, label FROM fv$l WHERE node >= $lo
+       |    UNION ALL SELECT tree, node, 'dow', dow, label FROM fv$l WHERE node >= $lo) u
+       |  GROUP BY 1, 2, 3, 4),
+       |stats$l AS (
+       |  SELECT tree, node, feature, bucket,
+       |    SUM(cn) OVER (PARTITION BY tree, node, feature ORDER BY bucket) AS nl,
+       |    SUM(cp) OVER (PARTITION BY tree, node, feature ORDER BY bucket) AS al,
+       |    SUM(cn) OVER (PARTITION BY tree, node, feature) AS n,
+       |    SUM(cp) OVER (PARTITION BY tree, node, feature) AS a
+       |  FROM cells$l),
+       |g$l AS (
+       |  SELECT tree, node, feature, bucket, n, a,
+       |    (CAST(nl AS DOUBLE)
+       |      - CAST(al*al + (nl-al)*(nl-al) AS DOUBLE) / CAST(nl AS DOUBLE)
+       |      + CAST(n - nl AS DOUBLE)
+       |      - CAST((a-al)*(a-al) + ((n-nl)-(a-al))*((n-nl)-(a-al)) AS DOUBLE)
+       |        / CAST(n - nl AS DOUBLE))
+       |    / CAST(n AS DOUBLE) AS gini
+       |  FROM stats$l WHERE nl < n),
+       |best$l AS (
+       |  SELECT tree, node, feature, CAST(bucket AS BIGINT) AS bucket, gini,
+       |    CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS n_pos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY tree, node
+       |    ORDER BY gini, feature, bucket) AS rn FROM g$l) WHERE rn = 1),
+       |fv${l + 1} AS (
+       |  SELECT e.tree, e.cents_b, e.hour, e.dow, e.label,
+       |    CASE WHEN b.node IS NULL THEN e.node
+       |      ELSE 2*e.node + CASE WHEN (CASE b.feature
+       |        WHEN 'cents_b' THEN e.cents_b WHEN 'hour' THEN e.hour
+       |        ELSE e.dow END) <= b.bucket THEN 0 ELSE 1 END END AS node
+       |  FROM fv$l e LEFT JOIN best$l b
+       |    ON b.tree = e.tree AND b.node = e.node)""".stripMargin
+  }
+
+  private val mlForestOracle: String =
+    """WITH fv0 AS (
+      |  SELECT CAST(t.tree AS BIGINT) AS tree,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS cents_b,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+      |    CAST(1 AS BIGINT) AS node
+      |  FROM events, (SELECT CAST(range AS BIGINT) AS tree FROM range(3)) t
+      |  WHERE ('0x' || substr(md5('bag-' || t.tree || '-' || event_id), 1, 15))::BIGINT
+      |        % 3 <> 0),
+      |""".stripMargin +
+      (0 to 1).map(mlForestLevelSql).mkString(",\n") + "\n" +
+    """SELECT tree, node, is_leaf, feature, threshold_bucket, gini, n, n_pos FROM (
+      |  SELECT tree, node, FALSE AS is_leaf, feature, bucket AS threshold_bucket,
+      |    gini, n, n_pos FROM best0
+      |  UNION ALL SELECT tree, node, FALSE, feature, bucket, gini, n, n_pos FROM best1
+      |  UNION ALL SELECT tree, node, TRUE, CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+      |    COUNT(*), CAST(SUM(label) AS BIGINT)
+      |  FROM fv2 GROUP BY tree, node)
+      |ORDER BY tree, node, is_leaf""".stripMargin
+
   private val mlTreeOracle: String =
     """WITH ev0 AS (
       |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS cents_b,
@@ -8480,6 +8583,10 @@ object SparkEntry {
     // nested-CASE split application — the DECISIONS and the VALUES both
     // hash-compare
     "ml_tree" -> mlTreeOracle,
+
+    // the tree key threaded through two unrolled stump levels; bag
+    // membership replayed from the same md5 arithmetic
+    "ml_forest" -> mlForestOracle,
 
     // the argmax-|T·P_k − k·S| estimator replayed with the same windows
     // and the same (d desc, day) total order — every output column exact

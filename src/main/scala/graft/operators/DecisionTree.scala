@@ -31,6 +31,74 @@ object DecisionTree {
     * @return (splits, assigned): splits = (node, feature,
     *   threshold_bucket, gini, n, n_pos) one row per INTERNAL node;
     *   assigned = data with the final leaf id in `node` */
+  /** Forest variant: `data` carries a `tree` column (one row per (row,
+    * bag-member tree) — deterministic hash bagging upstream), and every
+    * level is STILL one pass: the cell agg keys by (tree, node, feature,
+    * bucket), windows partition by (tree, node, feature), the argmin by
+    * (tree, node), and split application broadcasts the per-(tree, node)
+    * best frame — so training T trees costs the same number of corpus
+    * scans as ONE tree over the T×bag-fraction-wide bagged union, not
+    * T×depth passes. Returns (splits, assigned) with `tree` leading. */
+  def fitBagged(data: DataFrame, features: Seq[String], labelCol: String,
+      depth: Int): (DataFrame, DataFrame) = {
+    require(features.nonEmpty && depth >= 1, "need features and depth >= 1")
+    val stackExpr = s"stack(${features.size}, " +
+      features.map(f => s"'$f', $f").mkString(", ") + ") as (feature, bucket)"
+    var cur = data.withColumn("node", lit(1L))
+    var splits: Option[DataFrame] = None
+    for (level <- 0 until depth) {
+      val lo = 1L << level
+      val cells = cur.where(col("node") >= lo)
+        .select(col("tree"), col("node"), expr(stackExpr), col(labelCol).as("label"))
+        .groupBy("tree", "node", "feature", "bucket")
+        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
+      val wf = Window.partitionBy("tree", "node", "feature").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("tree", "node", "feature")
+      val stats = cells
+        .withColumn("nl", sum("cn").over(wf))
+        .withColumn("al", sum("cp").over(wf))
+        .withColumn("n", sum("cn").over(wt))
+        .withColumn("a", sum("cp").over(wt))
+        .where(col("nl") < col("n"))
+      val gini = stats.withColumn("g", giniCol)
+      val wb = Window.partitionBy("tree", "node")
+        .orderBy(col("g"), col("feature"), col("bucket"))
+      val best = gini.withColumn("rn", row_number().over(wb)).where(col("rn") === 1)
+        .select(col("tree"), col("node"), col("feature"),
+          col("bucket").cast("long").as("threshold_bucket"),
+          col("g").as("gini"), col("n"), col("a").as("n_pos"))
+        .localCheckpoint()
+      splits = Some(splits.map(_.union(best)).getOrElse(best))
+      val fval = features.tail.foldLeft(
+        when(col("bf") === features.head, col(features.head))) {
+        (acc, f) => acc.when(col("bf") === f, col(f))
+      }
+      cur = cur.join(broadcast(best.select(col("tree"), col("node"),
+          col("feature").as("bf"), col("threshold_bucket").as("bb"))),
+          Seq("tree", "node"), "left")
+        .withColumn("node", when(col("bf").isNull, col("node"))
+          .otherwise(col("node") * 2
+            + when(fval <= col("bb"), lit(0L)).otherwise(lit(1L))))
+        .drop("bf", "bb")
+    }
+    (splits.get, cur)
+  }
+
+  /** The ml_split_gini impurity in its pinned IEEE operation order —
+    * shared by the single-tree and forest paths so their values agree. */
+  private def giniCol: org.apache.spark.sql.Column =
+    ((col("nl").cast("double")
+      - (col("al") * col("al")
+        + (col("nl") - col("al")) * (col("nl") - col("al"))).cast("double")
+        / col("nl").cast("double")
+      + (col("n") - col("nl")).cast("double")
+      - ((col("a") - col("al")) * (col("a") - col("al"))
+        + ((col("n") - col("nl")) - (col("a") - col("al")))
+          * ((col("n") - col("nl")) - (col("a") - col("al")))).cast("double")
+        / (col("n") - col("nl")).cast("double"))
+      / col("n").cast("double"))
+
   def fit(data: DataFrame, features: Seq[String], labelCol: String,
       depth: Int): (DataFrame, DataFrame) = {
     require(features.nonEmpty && depth >= 1, "need features and depth >= 1")
@@ -54,17 +122,7 @@ object DecisionTree {
         .withColumn("a", sum("cp").over(wt))
         .where(col("nl") < col("n")) // right side must be non-empty
       // identical operation order to ml_split_gini — the IEEE replay claim
-      val gini = stats.withColumn("g",
-        (col("nl").cast("double")
-          - (col("al") * col("al")
-            + (col("nl") - col("al")) * (col("nl") - col("al"))).cast("double")
-            / col("nl").cast("double")
-          + (col("n") - col("nl")).cast("double")
-          - ((col("a") - col("al")) * (col("a") - col("al"))
-            + ((col("n") - col("nl")) - (col("a") - col("al")))
-              * ((col("n") - col("nl")) - (col("a") - col("al")))).cast("double")
-            / (col("n") - col("nl")).cast("double"))
-          / col("n").cast("double"))
+      val gini = stats.withColumn("g", giniCol)
       val wb = Window.partitionBy("node")
         .orderBy(col("g"), col("feature"), col("bucket"))
       val best = gini.withColumn("rn", row_number().over(wb)).where(col("rn") === 1)

@@ -103,6 +103,43 @@ class DecisionTreeSpec extends AnyFunSuite {
     }
   }
 
+  test("fitBagged on T trees equals fit run per bag subset") {
+    import TestSpark.spark.implicits._
+    val feats = Seq("f1", "f2", "f3")
+    val rnd = new scala.util.Random(83)
+    val rows = Seq.fill(240)((rnd.nextInt(6).toLong, rnd.nextInt(6).toLong,
+      rnd.nextInt(6).toLong, if (rnd.nextInt(3) == 0) 1L else 0L))
+    // deterministic bags: row i in tree t iff (i*7 + t) % 3 != 0
+    val bags = (0L until 3L).flatMap { t =>
+      rows.zipWithIndex.collect { case ((a, b, c, y), i) if (i * 7 + t) % 3 != 0 =>
+        (t, a, b, c, y)
+      }
+    }
+    val baggedDf = bags.toDF("tree" +: feats :+ "label": _*)
+    val (fSplits, fAssigned) = DecisionTree.fitBagged(baggedDf, feats, "label", 2)
+    val forestSplits = fSplits.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getString(2), r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6))).toMap
+    val forestLeaves = fAssigned.groupBy("tree", "node")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (t <- 0L until 3L) {
+      val sub = bags.filter(_._1 == t).map { case (_, a, b, c, y) => (a, b, c, y) }
+      val subDf = sub.toDF(feats :+ "label": _*)
+      val (sSplits, sAssigned) = DecisionTree.fit(subDf, feats, "label", 2)
+      val single = sSplits.collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+      assert(single === forestSplits.collect { case ((`t`, nd), v) => nd -> v },
+        s"tree $t splits")
+      val singleLeaves = sAssigned.groupBy("node")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(singleLeaves === forestLeaves.collect { case ((`t`, nd), v) => nd -> v },
+        s"tree $t leaves")
+    }
+  }
+
   test("pure and single-bucket nodes freeze instead of re-splitting") {
     val feats = Seq("f1", "f2", "f3")
     // f1 separates perfectly at bucket 0; all other features constant —

@@ -139,7 +139,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "ml_tree",
       // text_kneser_ney broadcasts the ONE-ROW bigram-type total N onto
       // the bigram frame — the text_collocations shape
-      "text_kneser_ney")
+      "text_kneser_ney",
+      // ml_forest's level-0 split application folds the constant root id
+      // out of the (tree, node) equi-key, leaving a ≤3-row broadcast on
+      // the tree key — the ml_tree shape with the tree dimension
+      "ml_forest")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
