@@ -3340,6 +3340,46 @@ object SparkEntry {
         .orderBy("tree", "node", "is_leaf")
     },
 
+    "ml_forest_predict" -> { (s, dir) =>
+      // Forest INFERENCE — the serving half of ml_forest: leaf classes
+      // are the training assignment's per-(tree, leaf) majority (exact
+      // integer compare 2·n_pos > n), every corpus row routes through
+      // all 3 trees via DecisionTree.applySplits (depth broadcast hops,
+      // map-side — the corpus never shuffles to be scored), prediction =
+      // majority vote of 3, output = the confusion census (label × pred
+      // counts). A leaf no bagged row reached scores as class 0
+      // (coalesce — replayed identically). Everything exact, so the
+      // whole fitted-model-plus-inference pipeline hash-compares: the
+      // strongest end-to-end claim the ML tier makes.
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val bagged = ev
+        .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
+        .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
+          lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
+        .drop("event_id")
+      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
+        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
+      val classes = assigned.groupBy("tree", "node")
+        .agg((sum("label") * 2 > count(lit(1))).as("leaf_pred"))
+      val scoreRows = ev.withColumn("tree",
+        explode(array(lit(0L), lit(1L), lit(2L))))
+      val routed = graft.operators.DecisionTree.applySplits(
+        scoreRows, splits, Seq("cents_b", "hour", "dow"), depth = 2)
+      routed.join(broadcast(classes), Seq("tree", "node"), "left")
+        .withColumn("p",
+          when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
+        .groupBy("event_id", "label").agg(sum("p").as("v"))
+        .select(col("label"),
+          when(col("v") >= 2, 1L).otherwise(0L).as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    },
+
     "events_ewma" -> { (s, dir) =>
       // Integer-exact EWMA smoothing (α = 1/8) per event type — the
       // recursive half of the forecasting family (anomaly/forecast/
@@ -4327,6 +4367,42 @@ object SparkEntry {
         .unionAll(j(ordOld, custNew))
         .unionAll(j(ordNew, custNew))
         .orderBy("o_orderkey")
+    },
+
+    "profile_skew" -> { (s, dir) =>
+      // Key-skew diagnostics — the operational profile beside
+      // profile_table/drift/benford: per-key counts, the top-10 hot keys,
+      // and TWO exact concentration measures of the whole distribution:
+      // HHI numerator Σcnt² and the exact Gini coefficient as the
+      // integer rational gini_num = 2·Σᵢ i·cntᵢ − (n+1)·T over
+      // gini_den = n·T (ranks ascending by (cnt, key); within an
+      // equal-cnt block order is irrelevant since the value is
+      // constant). The global rank uses NO unpartitioned window: keys
+      // collapse to counts-of-counts (distinct cnt values — a tiny
+      // frame), operators/PrefixSum gives each block's starting rank r0
+      // by the two-phase bucket scan, and the block contributes
+      // c·(m·r0 + m(m+1)/2) in closed form. The oracle computes the
+      // SAME Gini by brute-force row_number over all keys — a different
+      // algorithm, so the hash match proves the decomposition. This is
+      // the report you run before choosing salting factors
+      // (join_skew_salted) or hybrid hot-key handling (join_hybrid_skew).
+      val cnts = Tables.orders(s, dir).groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val cc = cnts.groupBy("cnt").agg(count(lit(1)).as("m"))
+      val pre = graft.operators.PrefixSum.inclusive(cc, "cnt", "m", 16L)
+      val glob = pre
+        .withColumn("r0", col("cum") - col("m"))
+        .withColumn("contrib", expr("cnt * (m * r0 + (m * (m + 1)) div 2)"))
+        .agg(sum(col("contrib")).as("srx"),
+          sum(col("cnt") * col("m")).as("n_rows"),
+          sum(col("m")).as("n_keys"),
+          sum(col("cnt") * col("cnt") * col("m")).as("hhi_num"))
+        .select(
+          (lit(2L) * col("srx") - (col("n_keys") + 1) * col("n_rows")).as("gini_num"),
+          (col("n_keys") * col("n_rows")).as("gini_den"),
+          col("n_rows"), col("n_keys"), col("hhi_num"))
+      val top = cnts.orderBy(col("cnt").desc, col("key")).limit(10)
+      top.crossJoin(broadcast(glob)).orderBy(col("cnt").desc, col("key"))
     },
 
     "profile_table" -> { (s, dir) =>
@@ -7470,19 +7546,26 @@ object SparkEntry {
        |    ON b.tree = e.tree AND b.node = e.node)""".stripMargin
   }
 
-  private val mlForestOracle: String =
-    """WITH fv0 AS (
-      |  SELECT CAST(t.tree AS BIGINT) AS tree,
+  /** Shared CTE prefix: bucketed features (with event_id for scoring),
+    * the hash-bagged per-tree union, and two unrolled training levels. */
+  private val mlForestCtes: String =
+    """WITH feats AS (
+      |  SELECT event_id,
       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS cents_b,
       |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
       |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
-      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
-      |    CAST(1 AS BIGINT) AS node
-      |  FROM events, (SELECT CAST(range AS BIGINT) AS tree FROM range(3)) t
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      |  FROM events),
+      |trees AS (SELECT CAST(range AS BIGINT) AS tree FROM range(3)),
+      |fv0 AS (
+      |  SELECT t.tree, cents_b, hour, dow, label, CAST(1 AS BIGINT) AS node
+      |  FROM feats, trees t
       |  WHERE ('0x' || substr(md5('bag-' || t.tree || '-' || event_id), 1, 15))::BIGINT
       |        % 3 <> 0),
       |""".stripMargin +
-      (0 to 1).map(mlForestLevelSql).mkString(",\n") + "\n" +
+      (0 to 1).map(mlForestLevelSql).mkString(",\n")
+
+  private val mlForestOracle: String = mlForestCtes + "\n" +
     """SELECT tree, node, is_leaf, feature, threshold_bucket, gini, n, n_pos FROM (
       |  SELECT tree, node, FALSE AS is_leaf, feature, bucket AS threshold_bucket,
       |    gini, n, n_pos FROM best0
@@ -7492,6 +7575,41 @@ object SparkEntry {
       |    COUNT(*), CAST(SUM(label) AS BIGINT)
       |  FROM fv2 GROUP BY tree, node)
       |ORDER BY tree, node, is_leaf""".stripMargin
+
+  /** ml_forest_predict oracle: leaf classes from the training
+    * assignment, every (row × tree) routed through the same two
+    * nested-CASE hops, majority vote of 3, confusion census. */
+  private val mlForestPredictOracle: String = mlForestCtes + ",\n" +
+    """cls AS (
+      |  SELECT tree, node, 2 * SUM(label) > COUNT(*) AS leaf_pred
+      |  FROM fv2 GROUP BY 1, 2),
+      |sc0 AS (
+      |  SELECT t.tree, event_id, cents_b, hour, dow, label,
+      |    CAST(1 AS BIGINT) AS node
+      |  FROM feats, trees t),
+      |sc1 AS (
+      |  SELECT e.tree, e.event_id, e.cents_b, e.hour, e.dow, e.label,
+      |    CASE WHEN b.node IS NULL THEN e.node
+      |      ELSE 2*e.node + CASE WHEN (CASE b.feature
+      |        WHEN 'cents_b' THEN e.cents_b WHEN 'hour' THEN e.hour
+      |        ELSE e.dow END) <= b.bucket THEN 0 ELSE 1 END END AS node
+      |  FROM sc0 e LEFT JOIN best0 b ON b.tree = e.tree AND b.node = e.node),
+      |sc2 AS (
+      |  SELECT e.tree, e.event_id, e.label,
+      |    CASE WHEN b.node IS NULL THEN e.node
+      |      ELSE 2*e.node + CASE WHEN (CASE b.feature
+      |        WHEN 'cents_b' THEN e.cents_b WHEN 'hour' THEN e.hour
+      |        ELSE e.dow END) <= b.bucket THEN 0 ELSE 1 END END AS node
+      |  FROM sc1 e LEFT JOIN best1 b ON b.tree = e.tree AND b.node = e.node),
+      |votes AS (
+      |  SELECT e.event_id, e.label,
+      |    SUM(CASE WHEN COALESCE(c.leaf_pred, false) THEN 1 ELSE 0 END) AS v
+      |  FROM sc2 e LEFT JOIN cls c ON c.tree = e.tree AND c.node = e.node
+      |  GROUP BY 1, 2)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(CASE WHEN v >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+      |  COUNT(*) AS n
+      |FROM votes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val mlTreeOracle: String =
     """WITH ev0 AS (
@@ -8587,6 +8705,10 @@ object SparkEntry {
     // the tree key threaded through two unrolled stump levels; bag
     // membership replayed from the same md5 arithmetic
     "ml_forest" -> mlForestOracle,
+
+    // same trained forest plus leaf-majority classes, nested-CASE
+    // routing of every (row × tree), majority vote, confusion census
+    "ml_forest_predict" -> mlForestPredictOracle,
 
     // the argmax-|T·P_k − k·S| estimator replayed with the same windows
     // and the same (d desc, day) total order — every output column exact
@@ -10423,6 +10545,26 @@ object SparkEntry {
         |  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // brute-force Gini: a direct global row_number over all keys — the
+    // different-algorithm gate for the PrefixSum block decomposition
+    "profile_skew" ->
+      """WITH cnts AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS key, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT key, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt, key) AS BIGINT) AS i FROM cnts),
+        |g AS (
+        |  SELECT CAST(SUM(i * cnt) AS BIGINT) AS srx,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS hhi_num FROM rk),
+        |gg AS (
+        |  SELECT CAST(2 * srx - (n_keys + 1) * n_rows AS BIGINT) AS gini_num,
+        |    CAST(n_keys * n_rows AS BIGINT) AS gini_den,
+        |    n_rows, n_keys, hhi_num FROM g),
+        |top AS (SELECT key, cnt FROM cnts ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT key, cnt, gini_num, gini_den, n_rows, n_keys, hhi_num
+        |FROM top, gg ORDER BY cnt DESC, key""".stripMargin,
 
     "profile_table" ->
       """SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -85,6 +85,33 @@ object DecisionTree {
     (splits.get, cur)
   }
 
+  /** Route rows through an already-fitted split table (the inference
+    * half): `depth` broadcast-join hops, each advancing one level —
+    * a row at a frozen/leaf id simply misses the join and stays. `data`
+    * must carry the `tree` column when the splits do (forest scoring
+    * replays every tree per row). Map-side only: the corpus never
+    * shuffles, the split table is ≤ Σ 2^level rows per tree. */
+  def applySplits(data: DataFrame, splits: DataFrame, features: Seq[String],
+      depth: Int): DataFrame = {
+    val keys = if (splits.columns.contains("tree")) Seq("tree", "node") else Seq("node")
+    val fval = features.tail.foldLeft(
+      when(col("bf") === features.head, col(features.head))) {
+      (acc, f) => acc.when(col("bf") === f, col(f))
+    }
+    var cur = data.withColumn("node", lit(1L))
+    for (_ <- 0 until depth) {
+      cur = cur.join(broadcast(splits.select(
+          keys.map(col) :+ col("feature").as("bf")
+            :+ col("threshold_bucket").as("bb"): _*)),
+          keys, "left")
+        .withColumn("node", when(col("bf").isNull, col("node"))
+          .otherwise(col("node") * 2
+            + when(fval <= col("bb"), lit(0L)).otherwise(lit(1L))))
+        .drop("bf", "bb")
+    }
+    cur
+  }
+
   /** The ml_split_gini impurity in its pinned IEEE operation order —
     * shared by the single-tree and forest paths so their values agree. */
   private def giniCol: org.apache.spark.sql.Column =

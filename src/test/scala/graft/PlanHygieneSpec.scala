@@ -143,7 +143,13 @@ class PlanHygieneSpec extends AnyFunSuite {
       // ml_forest's level-0 split application folds the constant root id
       // out of the (tree, node) equi-key, leaving a ≤3-row broadcast on
       // the tree key — the ml_tree shape with the tree dimension
-      "ml_forest")
+      "ml_forest",
+      // ml_forest_predict routes via the same level-0 constant-root
+      // broadcast (training AND scoring hops)
+      "ml_forest_predict",
+      // profile_skew broadcasts the ONE-ROW global concentration scalars
+      // (gini_num/den, HHI, totals) onto the top-10 key frame
+      "profile_skew")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
