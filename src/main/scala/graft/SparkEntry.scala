@@ -4614,6 +4614,54 @@ object SparkEntry {
         .orderBy("user_id", "c_start", "e_start")
     },
 
+    "join_interval_allen" -> { (s, dir) =>
+      // Allen's interval algebra census (Allen 1983 — the 13 mutually
+      // exclusive, jointly exhaustive temporal relations: before/meets/
+      // overlaps/starts/during/finishes, their inverses, and equals) —
+      // the classification layer on top of the interval-join tier: per
+      // (user, day), the user's click span vs view span, endpoints
+      // truncated to HOURS so endpoint-equality relations (meets/starts/
+      // finishes/equals) occur structurally, not just by nanosecond
+      // luck. The CASE ladder orders disjoint tests so each pair lands
+      // in exactly one relation — exact integer compares throughout; the
+      // census LEFT-joins a 13-row literal so absent relations report 0.
+      // Scale: spans are one keyed agg each; the pair join is EQUI on
+      // (user_id, day) — one pair per key by construction (min/max spans
+      // are unique per key); a many-to-many variant would ride
+      // RangeJoin.intervalOverlap's bucket machinery unchanged.
+      import s.implicits._
+      val hourNs = 3600000000000L
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_ns"), expr("ts_ns div 86400000000000").as("day"))
+      def spans(t: String, p: String): DataFrame =
+        ev.where(col("event_type") === t)
+          .groupBy("user_id", "day")
+          .agg(expr(s"min(ts_ns) div $hourNs").as(s"${p}_start"),
+            (expr(s"max(ts_ns) div $hourNs") + 1).as(s"${p}_end"))
+      val pairs = spans("click", "a").join(spans("view", "b"), Seq("user_id", "day"))
+      val rel = pairs.withColumn("relation",
+        when(col("a_end") < col("b_start"), "before")
+          .when(col("a_end") === col("b_start"), "meets")
+          .when(col("b_end") < col("a_start"), "after")
+          .when(col("b_end") === col("a_start"), "met_by")
+          .when(col("a_start") === col("b_start") && col("a_end") === col("b_end"), "equals")
+          .when(col("a_start") === col("b_start") && col("a_end") < col("b_end"), "starts")
+          .when(col("a_start") === col("b_start"), "started_by")
+          .when(col("a_end") === col("b_end") && col("a_start") > col("b_start"), "finishes")
+          .when(col("a_end") === col("b_end"), "finished_by")
+          .when(col("a_start") > col("b_start") && col("a_end") < col("b_end"), "during")
+          .when(col("a_start") < col("b_start") && col("a_end") > col("b_end"), "contains")
+          .when(col("a_start") < col("b_start"), "overlaps")
+          .otherwise("overlapped_by"))
+      val all13 = Seq("before", "meets", "overlaps", "starts", "during",
+        "finishes", "equals", "finished_by", "contains", "started_by",
+        "overlapped_by", "met_by", "after").toDF("relation")
+      all13.join(rel.groupBy("relation").agg(count(lit(1)).as("n_pairs")),
+          Seq("relation"), "left")
+        .select(col("relation"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy("relation")
+    },
+
     "link_golden" -> { (s, dir) =>
       // Golden-record construction — the survivorship step of master-data
       // management that entity resolution exists FOR: once near-duplicate
@@ -6173,6 +6221,36 @@ object SparkEntry {
       Bfs.distances(cust, edges, source = 1L, maxIters = BfsHopCap / 2)
         .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
+    },
+
+    "graph_closeness" -> { (s, dir) =>
+      // k-source closeness centrality (Bavelas 1950's Σ-distance form,
+      // sampled at k = 4 fixed sources — the standard large-graph
+      // practice since exact all-pairs is O(nm)) over the SAME 'scc-'
+      // hash digraph as graph_bfs/graph_scc. The scale point is
+      // operators/Bfs.distancesMulti: all k traversals run in ONE BSP
+      // loop — state is (source, node) pairs, every join keys on that
+      // compound, so the loop pays diameter-many rounds ONCE for the
+      // union of frontiers instead of k times (per-round fixed overhead
+      // dominates these metadata-scale shuffles — the measured
+      // double-step argument compounded across sources). Output: top-20
+      // central nodes by (sources-reached desc, Σdist asc, node) — all
+      // exact integers. Oracle re-walks all four sources by recursive
+      // CTE with MIN(d) — algorithm vs definition, the graph_bfs
+      // convention.
+      import graft.operators.Bfs
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+      Bfs.distancesMulti(cust, edges, Seq(1L, 2L, 3L, 5L), maxIters = BfsHopCap / 2)
+        .groupBy("node").agg(count(lit(1)).as("n_src"), sum("dist").as("sum_dist"))
+        .orderBy(col("n_src").desc, col("sum_dist"), col("node")).limit(20)
     },
 
     "graph_condensation" -> { (s, dir) =>
@@ -10014,6 +10092,46 @@ object SparkEntry {
         |SELECT v AS doc_id, MIN(lab) AS cluster_id, v = MIN(lab) AS is_rep
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
+    // the same mutually-exclusive CASE ladder over hour-truncated spans;
+    // the 13-row VALUES frame keeps absent relations at 0
+    "join_interval_allen" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |a AS (
+        |  SELECT user_id, day, MIN(ts_ns) // 3600000000000 AS a_start,
+        |    MAX(ts_ns) // 3600000000000 + 1 AS a_end
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, day, MIN(ts_ns) // 3600000000000 AS b_start,
+        |    MAX(ts_ns) // 3600000000000 + 1 AS b_end
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        |rel AS (
+        |  SELECT CASE
+        |    WHEN a_end < b_start THEN 'before'
+        |    WHEN a_end = b_start THEN 'meets'
+        |    WHEN b_end < a_start THEN 'after'
+        |    WHEN b_end = a_start THEN 'met_by'
+        |    WHEN a_start = b_start AND a_end = b_end THEN 'equals'
+        |    WHEN a_start = b_start AND a_end < b_end THEN 'starts'
+        |    WHEN a_start = b_start THEN 'started_by'
+        |    WHEN a_end = b_end AND a_start > b_start THEN 'finishes'
+        |    WHEN a_end = b_end THEN 'finished_by'
+        |    WHEN a_start > b_start AND a_end < b_end THEN 'during'
+        |    WHEN a_start < b_start AND a_end > b_end THEN 'contains'
+        |    WHEN a_start < b_start THEN 'overlaps'
+        |    ELSE 'overlapped_by' END AS relation
+        |  FROM a JOIN b ON a.user_id = b.user_id AND a.day = b.day),
+        |all13 AS (SELECT * FROM (VALUES ('before'), ('meets'), ('overlaps'),
+        |  ('starts'), ('during'), ('finishes'), ('equals'), ('finished_by'),
+        |  ('contains'), ('started_by'), ('overlapped_by'), ('met_by'),
+        |  ('after')) t(relation)),
+        |census AS (SELECT relation, COUNT(*) AS n FROM rel GROUP BY 1)
+        |SELECT all13.relation,
+        |  CAST(COALESCE(census.n, 0) AS BIGINT) AS n_pairs
+        |FROM all13 LEFT JOIN census ON all13.relation = census.relation
+        |ORDER BY all13.relation""".stripMargin,
+
     "join_interval_overlap" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ns(ts) AS tsn,
@@ -11802,6 +11920,37 @@ object SparkEntry {
         |  SELECT walk.node, walk.dist FROM walk JOIN base ON walk.node = base.u)
         |SELECT dist, COUNT(*) AS n_nodes FROM reach
         |GROUP BY dist ORDER BY dist""".stripMargin),
+
+    // four recursive walks in one CTE (source s threaded through),
+    // MIN(d) per (s, node), Σ-distance closeness ranking by definition
+    "graph_closeness" ->
+      ("""WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT u AS src, dst FROM (
+        |    SELECT u, ('0x' || substr(md5('scc-a-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0
+        |    UNION ALL
+        |    SELECT u, ('0x' || substr(md5('scc-b-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0)
+        |  WHERE u <> dst),
+        |walk AS MATERIALIZED (
+        |  WITH RECURSIVE w(s, node, d) AS (
+        |    SELECT src.s, src.s, CAST(0 AS BIGINT)
+        |    FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |          (CAST(3 AS BIGINT)), (CAST(5 AS BIGINT))) src(s)
+        |    UNION
+        |    SELECT w.s, e.dst, w.d + 1 FROM w JOIN edges e ON e.src = w.node
+        |    WHERE w.d < """.stripMargin + BfsHopCap.toString + """)
+        |  SELECT s, node, MIN(d) AS dist FROM w GROUP BY 1, 2),
+        |reach AS (
+        |  SELECT walk.s, walk.node, walk.dist FROM walk
+        |  JOIN base ON walk.node = base.u),
+        |agg AS (
+        |  SELECT node, COUNT(*) AS n_src, CAST(SUM(dist) AS BIGINT) AS sum_dist
+        |  FROM reach GROUP BY 1)
+        |SELECT node, n_src, sum_dist FROM agg
+        |ORDER BY n_src DESC, sum_dist, node LIMIT 20""".stripMargin),
 
     // five likelihood-scored rounds, generated programmatically (same
     // round shape as text_bpe_train's unrolled oracle plus a per-round

@@ -23,6 +23,53 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
+  /** MULTI-source BFS: hop distances from every source in ONE BSP loop —
+    * the state is (s, node, dist) pairs and every join/anti-join keys on
+    * (s, node), so k sources cost one loop whose rounds track the UNION
+    * of the k frontiers, not k separate loops of diameter-many fixed
+    * round overheads each (the closeness-centrality shape: k traversals
+    * amortized into one). Same double-step discipline as `distances`.
+    *
+    * @param sources distinct BFS roots (must be in `nodes`)
+    * @return (s, node, dist): distance from source s to node, reachable
+    *   pairs only */
+  def distancesMulti(nodes: DataFrame, edges: DataFrame, sources: Seq[Long],
+      maxIters: Int = 40): DataFrame = {
+    require(sources.nonEmpty && sources.distinct.size == sources.size)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").as("u"), col("dst").as("v"))
+      .distinct().localCheckpoint(true)
+    var visited = sources.map(s => (s, s, 0L)).toDF("s", "node", "dist")
+      .localCheckpoint(true)
+    var frontier = visited.select("s", "node")
+    var d = 0L
+    var frontierCount = sources.size.toLong
+    var iter = 0
+    def hop(f: DataFrame): DataFrame =
+      es.join(f.select(col("s"), col("node").as("u")), Seq("u"))
+        .select(col("s"), col("v").as("node")).distinct()
+    while (frontierCount > 0) {
+      val h1 = hop(frontier)
+        .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
+        .localCheckpoint(true)
+      val h2 = hop(h1)
+        .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
+        .join(h1, Seq("s", "node"), "left_anti")
+        .localCheckpoint(true)
+      val grown = h1.withColumn("dist", lit(d + 1L))
+        .union(h2.withColumn("dist", lit(d + 2L)))
+      visited = visited.union(grown)
+      frontier = h2
+      frontierCount = h2.count()
+      d += 2
+      iter += 1
+      require(iter < maxIters, s"multi-BFS did not converge in $maxIters rounds")
+    }
+    visited.join(nodes.select("node"), Seq("node"), "left_semi")
+      .select("s", "node", "dist")
+  }
+
   /** @param nodes (node: long) — vertex set; discovered ids outside it are
     *   dropped (hash-derived edge tables may point at phantom ids)
     * @param edges (src, dst: long) — directed edges
