@@ -3380,6 +3380,31 @@ object SparkEntry {
         .orderBy("label", "pred")
     },
 
+    "ml_gbt" -> { (s, dir) =>
+      // Gradient-boosted regression stumps (operators/Boosting.scala) —
+      // the sequential counterpart of ml_forest's bagging: 3 rounds of
+      // depth-1 stumps fit to BIGINT cent residuals under squared loss,
+      // learning rate 1/8 folded into ONE defined integer division per
+      // leaf (truncate-toward-zero in both engines — the events_holt
+      // measured semantics). Each round is ONE corpus pass (keyed
+      // (feature, bucket) cell agg); the residual update is a one-row
+      // broadcast CASE, map-side; SSE tracks in closed form from the
+      // cell stats, costing zero extra passes. Split score finishes in
+      // fixed-order IEEE from exact DECIMAL numerators (benford's
+      // HUGEINT/VARCHAR-parse replay on the oracle side), argmax
+      // tie-breaks (score DESC, feature, bucket) via sort+limit —
+      // TakeOrderedAndProject, no unpartitioned window. Output = the
+      // fitted model + its exact loss curve, every column gated.
+      val ev = Tables.events(s, dir).select(
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        expr("user_id % 16").as("user_b"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("cents"))
+      graft.operators.Boosting.fitStumps(
+          ev, Seq("hour", "dow", "user_b"), "cents", rounds = 3)
+        .orderBy("round")
+    },
+
     "events_ewma" -> { (s, dir) =>
       // Integer-exact EWMA smoothing (α = 1/8) per event type — the
       // recursive half of the forecasting family (anomaly/forecast/
@@ -4405,6 +4430,76 @@ object SparkEntry {
       top.crossJoin(broadcast(glob)).orderBy(col("cnt").desc, col("key"))
     },
 
+    "profile_correlation" -> { (s, dir) =>
+      // Pairwise Pearson correlation matrix over lineitem's numeric
+      // columns — the multivariate profile beside profile_table (per
+      // column) and profile_drift (per distribution): which measures
+      // co-move, the report that drives feature selection and
+      // redundant-column pruning. ONE corpus pass computes every exact
+      // sufficient statistic (n, Σx per column, Σx² and Σxy as
+      // DECIMAL(38,0) — Σ(p·p) ≈ 7e21 at sf10 leaves int64, and the
+      // n·Σxy − Σx·Σy numerators peak ~4e29, inside 38 digits; DuckDB
+      // replays via HUGEINT); the 6-pair reshape is a stack over the
+      // ONE-ROW aggregate, no join at all. Columns enter integer-scaled
+      // (cents / hundredths — Pearson is scale-invariant, so the scaled
+      // correlation IS the raw correlation), and each corr finishes in
+      // a pinned IEEE order: double(num) / (sqrt(double(vx)) ·
+      // sqrt(double(vy))) — one cast, two sqrts (correctly rounded in
+      // both engines), one multiply, one divide.
+      val li = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("q"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)").as("p"),
+        expr("cast(cast(l_discount as decimal(4,2)) * 100 as bigint)").as("d"),
+        expr("cast(cast(l_tax as decimal(4,2)) * 100 as bigint)").as("t"))
+      val cs = Seq("q", "p", "d", "t")
+      val pairs = for { i <- cs.indices; j <- i + 1 until cs.size }
+        yield (cs(i), cs(j))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      // The Σx²/Σxy accumulators leave int64 (Σp² ≈ 7e21 at sf10) but a
+      // decimal(38,0) SUM runs on boxed BigDecimals — measured 10× slower
+      // than long sums (21 s vs ~3 s at sf10). Each product (< 2^47)
+      // instead splits into hi = xy div 2^30 (Σhi ≤ 6.6e12 at sf10,
+      // inside int64 to ~sf1000) and lo = xy mod 2^30 (Σlo ≤ 6.4e16),
+      // so the CORPUS pass is all codegen'd long sums; the exact
+      // decimal recombination hi·2^30 + lo happens once on the ONE-ROW
+      // aggregate. Products are nonnegative here, so div/mod agree in
+      // any truncation semantics.
+      val B = 1073741824L // 2^30
+      def hiLo(name: String, prod: Column) = Seq(
+        sum(expr(s"_pc_$name div $B")).as(s"hi_$name"),
+        sum(expr(s"_pc_$name % $B")).as(s"lo_$name"))
+      val prods = cs.map(c => (s"ss_$c", col(c) * col(c))) ++
+        pairs.map { case (a, b) => (s"sp_${a}_$b", col(a) * col(b)) }
+      val withProds = prods.foldLeft(li) { case (acc, (nm, p)) =>
+        acc.withColumn(s"_pc_$nm", p) }
+      val aggs = (count(lit(1)).as("n") +:
+        cs.map(c => sum(col(c)).as(s"s_$c"))) ++
+        prods.flatMap { case (nm, p) => hiLo(nm, p) }
+      val g0 = withProds.agg(aggs.head, aggs.tail: _*)
+      val g = prods.foldLeft(g0) { case (acc, (nm, _)) =>
+        acc.withColumn(nm, d38(col(s"hi_$nm")) * lit(B) + d38(col(s"lo_$nm")))
+      }
+      val withV = cs.foldLeft(g) { (acc, c) =>
+        acc.withColumn(s"v_$c",
+          d38(col("n")) * col(s"ss_$c") - d38(col(s"s_$c")) * d38(col(s"s_$c")))
+      }
+      val withCorr = pairs.foldLeft(withV) { case (acc, (a, b)) =>
+        acc.withColumn(s"corr_${a}_$b",
+          (d38(col("n")) * col(s"sp_${a}_$b")
+            - d38(col(s"s_$a")) * d38(col(s"s_$b"))).cast("double")
+            / (sqrt(col(s"v_$a").cast("double"))
+              * sqrt(col(s"v_$b").cast("double"))))
+      }
+      val stackArgs = pairs.map { case (a, b) =>
+        s"'$a', '$b', s_$a, s_$b, corr_${a}_$b"
+      }.mkString(", ")
+      withCorr.select(col("n"), expr(s"stack(${pairs.size}, $stackArgs) " +
+          "as (col_x, col_y, sum_x, sum_y, corr)"))
+        .select(col("col_x"), col("col_y"), col("n"), col("sum_x"),
+          col("sum_y"), col("corr"))
+        .orderBy("col_x", "col_y")
+    },
+
     "profile_table" -> { (s, dir) =>
       // Column-level data-quality profiling (the pre-ingest validation
       // pass a pipeline runs before trusting a new source): per column,
@@ -5405,6 +5500,47 @@ object SparkEntry {
       val exact = Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", 5)
       annVerification(approx, exact, k = 5, "recall_ge_0.2", 0.2)
+    },
+
+    "ann_rrf" -> { (s, dir) =>
+      // Reciprocal-rank fusion (Cormack et al. 2009; the standard
+      // hybrid-retrieval combiner) of two genuinely different rankers
+      // over the same corpus: the EXACT cosine top-20 and the int8
+      // scalar-QUANTIZED cosine top-20 (the embed_quantize codes
+      // dequantized — deterministic IEEE, so ranks replay; at rest this
+      // second ranker is what a 4×-compressed serving tier returns).
+      // rrf(d) = Σ_lists 1/(60 + rank_d): ranks are integers, each term
+      // is one IEEE division, the sum is two COALESCEd terms in fixed
+      // textual order — hash-exact. Fusion happens on the two O(queries
+      // × 20) rank lists (full outer join on (qid, nid) — metadata
+      // scale); both rankers are map-only broadcast scans with bounded
+      // TopKByScore sinks, so the corpus never shuffles. Output: fused
+      // top-10 per query with membership flags.
+      val emb = Tables.embeddings(s, dir)
+      val qA = emb.where(col("vec_id") < 10)
+      val listA = Ann.bruteForceTopK(emb, qA, "vec_id", "embedding", 20)
+      val deq = emb.select(col("vec_id"), Vf.toDouble(col("embedding")).as("e"))
+        .withColumn("scale", Vf.quantScale(col("e")))
+        .withColumn("deq", transform(
+          Vf.quantize(col("e"), col("scale")),
+          c => c.cast("double") * col("scale")))
+        .select(col("vec_id"), col("deq"))
+      val listB = Ann.bruteForceTopK(deq, deq.where(col("vec_id") < 10),
+        "vec_id", "deq", 20)
+      val fused = listA.select(col("qid"), col("nid"), col("rank").as("ra"))
+        .join(listB.select(col("qid"), col("nid"), col("rank").as("rb")),
+          Seq("qid", "nid"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("ra").cast("double")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("rrf").desc, col("nid"))
+      fused.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("qid").as("query_id"), col("rnk"),
+          col("nid").as("neighbor_id"), col("rrf"),
+          col("ra").isNotNull.as("in_exact"), col("rb").isNotNull.as("in_quant"))
+        .orderBy("query_id", "rnk")
     },
 
     // ---- text analysis (#28-31) ----
@@ -6710,6 +6846,58 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     },
 
+    "text_bm25" -> { (s, dir) =>
+      // Okapi BM25 retrieval scoring (Robertson et al., TREC-3; the
+      // Lucene/Elasticsearch default) — the ranking member of the text
+      // tier beside text_tfidf's raw tf·(N/df): saturated term frequency
+      // (k1 = 6/5) + document-length normalization (b = 3/4). Both
+      // rational constants fold the whole per-(doc, term) score into ONE
+      // exact integer fraction — score = idf · (k1+1)·tf / (tf +
+      // k1·(1 − b + b·len·D/S)) = [44·S·tf·(2N − 2df + 1)] /
+      // [(20·S·tf + 6·S + 18·len·D)·(2df + 1)] — finished by a single
+      // IEEE division (DECIMAL(38,0) numerators; DuckDB replays via
+      // HUGEINT). The IDF is the rational Robertson–Sparck-Jones kernel
+      // argument (N − df + ½)/(df + ½) — the DEFINED approximation of
+      // the log IDF (ln is not correctly-rounded-guaranteed across
+      // engines; the benford lesson applied to a data-dependent
+      // constant), monotone in df so per-term ranking is preserved.
+      // Scale shape: the term filter lands IMMEDIATELY after tokenize,
+      // so tf/df aggregate only query-term postings; doc lengths are one
+      // keyed agg; (S, D) is a one-row broadcast; the per-doc sum over
+      // ≤3 matched terms is a fixed-textual-order pivot (no FP
+      // reassociation); top-15 plans as TakeOrderedAndProject.
+      val qterms = Seq("filter", "merge", "vector") // alphabetical
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .where(length(col("term")) >= 2)
+      val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val glob = dlen.agg(sum("len").as("s_tot"), count(lit(1)).as("d_tot"))
+      val tf = toks.where(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val scored = tf.join(dfreq, "term").join(dlen, "doc_id")
+        .crossJoin(broadcast(glob))
+        .withColumn("sc",
+          (d38(lit(44L)) * d38(col("s_tot")) * d38(col("tf"))
+            * d38(lit(2L) * col("d_tot") - lit(2L) * col("df") + lit(1L)))
+            .cast("double")
+          / ((d38(lit(20L)) * d38(col("s_tot")) * d38(col("tf"))
+              + d38(lit(6L)) * d38(col("s_tot"))
+              + d38(lit(18L)) * d38(col("len")) * d38(col("d_tot")))
+            * d38(lit(2L) * col("df") + lit(1L))).cast("double"))
+      val perDoc = scored.groupBy("doc_id")
+        .agg(sum(when(col("term") === qterms(0), col("sc"))).as("s1"),
+          sum(when(col("term") === qterms(1), col("sc"))).as("s2"),
+          sum(when(col("term") === qterms(2), col("sc"))).as("s3"),
+          count(lit(1)).as("n_terms_matched"))
+        .withColumn("score", coalesce(col("s1"), lit(0.0))
+          + coalesce(col("s2"), lit(0.0)) + coalesce(col("s3"), lit(0.0)))
+      perDoc.orderBy(col("score").desc, col("doc_id")).limit(15)
+        .select(col("doc_id"), col("n_terms_matched"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+
     "sample_split" -> { (s, dir) =>
       // reproducible hash-based train/valid/test assignment (randomSplit
       // reassigns rows under repartition/backfill -> eval leakage)
@@ -7709,6 +7897,105 @@ object SparkEntry {
       |    COUNT(*), CAST(SUM(label) AS BIGINT)
       |  FROM ev3 GROUP BY node)
       |ORDER BY node, is_leaf""".stripMargin
+
+  /** One unrolled ml_gbt boosting round: cells → per-feature prefix
+    * sums → IEEE-pinned variance-reduction score (HUGEINT →
+    * VARCHAR-parse → DOUBLE, the profile_benford convention) → global
+    * argmax → leaf values as truncating integer divisions → closed-form
+    * SSE → residual update (one-row cross join + CASE). Mirrors
+    * operators/Boosting.fitStumps round-for-round. */
+  private def gbtRoundSql(t: Int): String =
+    s"""gc$t AS (
+       |  SELECT feature, bucket, COUNT(*) AS cn, SUM(r) AS sr,
+       |    SUM(CAST(r AS HUGEINT) * r) AS sq
+       |  FROM (
+       |    SELECT 'hour' AS feature, hour AS bucket, r FROM gv$t
+       |    UNION ALL SELECT 'dow', dow, r FROM gv$t
+       |    UNION ALL SELECT 'user_b', user_b, r FROM gv$t) u
+       |  GROUP BY 1, 2),
+       |gs$t AS (
+       |  SELECT feature, bucket,
+       |    SUM(cn) OVER (PARTITION BY feature ORDER BY bucket) AS nl,
+       |    SUM(sr) OVER (PARTITION BY feature ORDER BY bucket) AS sl,
+       |    SUM(cn) OVER (PARTITION BY feature) AS n,
+       |    SUM(sr) OVER (PARTITION BY feature) AS s,
+       |    SUM(sq) OVER (PARTITION BY feature) AS q
+       |  FROM gc$t),
+       |gsc$t AS (
+       |  SELECT feature, CAST(bucket AS BIGINT) AS bucket,
+       |    CAST(nl AS BIGINT) AS nl, CAST(sl AS BIGINT) AS sl,
+       |    CAST(n - nl AS BIGINT) AS nr, CAST(s - sl AS BIGINT) AS sr_r,
+       |    CAST(q AS BIGINT) AS q,
+       |    CAST(CAST(CAST(sl AS HUGEINT) * sl AS VARCHAR) AS DOUBLE)
+       |        / CAST(nl AS DOUBLE)
+       |      + CAST(CAST(CAST(s - sl AS HUGEINT) * (s - sl) AS VARCHAR) AS DOUBLE)
+       |        / CAST(n - nl AS DOUBLE) AS score
+       |  FROM gs$t WHERE nl < n),
+       |gb$t AS (
+       |  SELECT feature, bucket, nl, sl, nr, sr_r, q, score,
+       |    sl // (8 * nl) AS v_l, sr_r // (8 * nr) AS v_r,
+       |    q - 2 * ((sl // (8 * nl)) * sl + (sr_r // (8 * nr)) * sr_r)
+       |      + nl * (sl // (8 * nl)) * (sl // (8 * nl))
+       |      + nr * (sr_r // (8 * nr)) * (sr_r // (8 * nr)) AS sse_after
+       |  FROM (SELECT *, row_number() OVER (ORDER BY score DESC, feature,
+       |    bucket) AS rn FROM gsc$t) WHERE rn = 1),
+       |gv${t + 1} AS (
+       |  SELECT e.hour, e.dow, e.user_b,
+       |    e.r - CASE WHEN (CASE b.feature WHEN 'hour' THEN e.hour
+       |        WHEN 'dow' THEN e.dow ELSE e.user_b END) <= b.bucket
+       |      THEN b.v_l ELSE b.v_r END AS r
+       |  FROM gv$t e, gb$t b)""".stripMargin
+
+  private val mlGbtOracle: String =
+    """WITH gv0 AS (
+      |  SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+      |    user_id % 16 AS user_b,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS r
+      |  FROM events),
+      |""".stripMargin +
+      (0 to 2).map(gbtRoundSql).mkString(",\n") + "\n" +
+      (0 to 2).map(t =>
+        s"""SELECT CAST($t AS BIGINT) AS round, feature,
+           |  bucket AS threshold_bucket, nl AS n_left, sl AS sum_left,
+           |  nr AS n_right, sr_r AS sum_right, v_l AS v_left,
+           |  v_r AS v_right, score, q AS sse_before, sse_after
+           |FROM gb$t""".stripMargin)
+        .mkString("\nUNION ALL\n") + "\nORDER BY round"
+
+  /** profile_correlation oracle: the same one-pass sufficient statistics
+    * with HUGEINT in place of DECIMAL(38,0) and the identical pinned
+    * IEEE finish (VARCHAR-parse → DOUBLE, two sqrts, one multiply, one
+    * divide). Generated per pair so the Spark and SQL pair lists can
+    * never drift. */
+  private val profileCorrelationOracle: String = {
+    val cs = Seq("q", "p", "d", "t")
+    val pairs = for { i <- cs.indices; j <- i + 1 until cs.size }
+      yield (cs(i), cs(j))
+    def vNum(c: String) =
+      s"CAST(CAST(CAST(n AS HUGEINT) * ss_$c - CAST(s_$c AS HUGEINT) * s_$c AS VARCHAR) AS DOUBLE)"
+    val pairSelects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+         |  CAST(s_$a AS BIGINT) AS sum_x, CAST(s_$b AS BIGINT) AS sum_y,
+         |  CAST(CAST(CAST(n AS HUGEINT) * sp_${a}_$b - CAST(s_$a AS HUGEINT) * s_$b AS VARCHAR) AS DOUBLE)
+         |    / (sqrt(${vNum(a)}) * sqrt(${vNum(b)})) AS corr
+         |FROM g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+      |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d,
+      |    CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS t
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT COUNT(*) AS n,
+      |""".stripMargin +
+      cs.map(c => s"    SUM($c) AS s_$c").mkString(",\n") + ",\n" +
+      cs.map(c => s"    SUM(CAST($c AS HUGEINT) * $c) AS ss_$c").mkString(",\n") + ",\n" +
+      pairs.map { case (a, b) =>
+        s"    SUM(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" }.mkString(",\n") +
+      "\n  FROM li)\n" + pairSelects + "\nORDER BY col_x, col_y"
+  }
 
   private val dedupImagesOracle: String =
     """WITH img AS (
@@ -8779,6 +9066,8 @@ object SparkEntry {
     // nested-CASE split application — the DECISIONS and the VALUES both
     // hash-compare
     "ml_tree" -> mlTreeOracle,
+    "ml_gbt" -> mlGbtOracle,
+    "profile_correlation" -> profileCorrelationOracle,
 
     // the tree key threaded through two unrolled stump levels; bag
     // membership replayed from the same md5 arithmetic
@@ -11189,6 +11478,41 @@ object SparkEntry {
         |UNION ALL SELECT CAST(-1 AS BIGINT), 'recall_ge_0.2', true
         |ORDER BY query_id, metric""".stripMargin,
 
+    // both rank lists replayed in full (exact cosine; embed_quantize's
+    // dequantized codes), fused by the same two-term RRF sum
+    "ann_rrf" ->
+      """WITH c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |q AS (SELECT vec_id AS qid, cv AS qv FROM c WHERE nid < 10),
+        |ra AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(cv, qv) DESC, nid) AS ra
+        |  FROM c, q WHERE nid != qid QUALIFY ra <= 20),
+        |dq0 AS (SELECT nid, cv,
+        |    list_max(list_transform(cv, x -> abs(x))) / 127.0 AS scale FROM c),
+        |dq AS (SELECT nid,
+        |    list_transform(cv, x -> CAST(CASE WHEN scale = 0.0 THEN 0
+        |      ELSE CAST(FLOOR(x / scale + 0.5) AS INT) END AS DOUBLE) * scale) AS dv
+        |  FROM dq0),
+        |qb AS (SELECT nid AS qid, dv AS qv FROM dq WHERE nid < 10),
+        |rb AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(dv, qv) DESC, nid) AS rb
+        |  FROM dq, qb WHERE nid != qid QUALIFY rb <= 20),
+        |f AS (SELECT COALESCE(a.qid, b.qid) AS qid, COALESCE(a.nid, b.nid) AS nid,
+        |    a.ra, b.rb
+        |  FROM ra a FULL OUTER JOIN rb b ON a.qid = b.qid AND a.nid = b.nid),
+        |sc AS (SELECT qid, nid, ra, rb,
+        |    COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(ra AS DOUBLE)),
+        |      CAST(0 AS DOUBLE))
+        |    + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rb AS DOUBLE)),
+        |      CAST(0 AS DOUBLE)) AS rrf
+        |  FROM f)
+        |SELECT qid AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS BIGINT) AS rnk,
+        |  nid AS neighbor_id, rrf,
+        |  ra IS NOT NULL AS in_exact, rb IS NOT NULL AS in_quant
+        |FROM sc QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, text, len(text) AS lc, len(string_split(text, ' ')) AS n,
         |    len(list_distinct(string_split(text, ' '))) AS u
@@ -12258,6 +12582,33 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score FROM sc WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin,
+
+    // same rational-BM25 kernel: HUGEINT numerators, one IEEE division,
+    // fixed-textual-order three-term pivot sum
+    "text_bm25" ->
+      """WITH tok0 AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term FROM documents),
+        |tok AS (SELECT doc_id, term FROM tok0 WHERE length(term) >= 2),
+        |dlen AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY 1),
+        |glob AS (SELECT CAST(SUM(len) AS BIGINT) AS s_tot, COUNT(*) AS d_tot FROM dlen),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('filter', 'merge', 'vector') GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.term,
+        |    CAST(CAST(CAST(44 AS HUGEINT) * g.s_tot * t.tf
+        |        * (2 * g.d_tot - 2 * f.df + 1) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST((CAST(20 AS HUGEINT) * g.s_tot * t.tf
+        |        + CAST(6 AS HUGEINT) * g.s_tot
+        |        + CAST(18 AS HUGEINT) * l.len * g.d_tot)
+        |        * (2 * f.df + 1) AS VARCHAR) AS DOUBLE) AS sc
+        |  FROM tf t JOIN dfq f USING (term) JOIN dlen l USING (doc_id), glob g),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_terms_matched,
+        |    COALESCE(MAX(CASE WHEN term = 'filter' THEN sc END), CAST(0 AS DOUBLE))
+        |    + COALESCE(MAX(CASE WHEN term = 'merge' THEN sc END), CAST(0 AS DOUBLE))
+        |    + COALESCE(MAX(CASE WHEN term = 'vector' THEN sc END), CAST(0 AS DOUBLE)) AS score
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_terms_matched, score FROM pd
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     "sample_reservoir" ->
       """SELECT source, rk, doc_id, h FROM (

@@ -149,7 +149,18 @@ class PlanHygieneSpec extends AnyFunSuite {
       "ml_forest_predict",
       // profile_skew broadcasts the ONE-ROW global concentration scalars
       // (gini_num/den, HHI, totals) onto the top-10 key frame
-      "profile_skew")
+      "profile_skew",
+      // ml_gbt broadcasts the ONE-ROW fitted stump (feature, bucket,
+      // v_left, v_right) onto the residual chain each round — the
+      // ml_kmeans broadcast-model shape; the update is map-side CASE
+      "ml_gbt",
+      // text_bm25 broadcasts the ONE-ROW (S, D) corpus totals onto the
+      // query-term postings — the text_tfidf one-row-scalar shape
+      "text_bm25",
+      // ann_rrf runs TWO brute-force reference scans (exact + quantized),
+      // each the ann_topk broadcast-queries nested loop; fusion itself is
+      // a keyed (qid, nid) join on the O(queries × 20) rank lists
+      "ann_rrf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
