@@ -50,6 +50,19 @@ object Bench {
     // runs (sf1/sf10) gate recall exactly like the sf0.01 oracle does,
     // instead of silently timing a degraded approximation. Untimed.
     val assertOk = sys.env.get("SPARK_GRAFT_BENCH_ASSERT_OK").contains("1")
+    // Self-diagnosing artifact: capture system load (1m/5m/15m averages and
+    // the runnable/total task counts from /proc/loadavg) at battery start
+    // and end, so a run contaminated by concurrent CPU load is detectable
+    // from the committed JSON itself rather than only by re-measurement.
+    // On a 32-core box an uncontended battery shows load1 well under ~40;
+    // a load1 of 60+ with high runnable counts means the numbers are suspect.
+    def loadSnapshot(): String = try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      val parts = try src.mkString.trim.split("\\s+") finally src.close()
+      val Array(run, tot) = parts(3).split("/")
+      s"""{"load1":${parts(0)},"load5":${parts(1)},"load15":${parts(2)},"runnable":$run,"tasks":$tot}"""
+    } catch { case scala.util.control.NonFatal(_) => "null" }
+    val loadStart = loadSnapshot()
     val outcomes = selected.map { case (name, fn) =>
       val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -104,7 +117,8 @@ object Bench {
     val errs = outcomes.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = outcomes.collect { case (_, v, None) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val loadEnd = loadSnapshot()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_start":$loadStart,"load_end":$loadEnd}"""
     println(line)
     // Lossless artifact: the driver's BENCH_rN.json keeps only a tail of
     // stdout, which has truncated the alphabetical head of the per-query

@@ -11482,7 +11482,7 @@ object SparkEntry {
     // dequantized codes), fused by the same two-term RRF sum
     "ann_rrf" ->
       """WITH c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |q AS (SELECT vec_id AS qid, cv AS qv FROM c WHERE nid < 10),
+        |q AS (SELECT nid AS qid, cv AS qv FROM c WHERE nid < 10),
         |ra AS (SELECT qid, nid,
         |    row_number() OVER (PARTITION BY qid
         |      ORDER BY list_cosine_similarity(cv, qv) DESC, nid) AS ra
@@ -12590,7 +12590,7 @@ object SparkEntry {
         |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term FROM documents),
         |tok AS (SELECT doc_id, term FROM tok0 WHERE length(term) >= 2),
         |dlen AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY 1),
-        |glob AS (SELECT CAST(SUM(len) AS BIGINT) AS s_tot, COUNT(*) AS d_tot FROM dlen),
+        |g0 AS (SELECT CAST(SUM(len) AS BIGINT) AS s_tot, COUNT(*) AS d_tot FROM dlen),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
         |  WHERE term IN ('filter', 'merge', 'vector') GROUP BY 1, 2),
         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -12601,7 +12601,7 @@ object SparkEntry {
         |        + CAST(6 AS HUGEINT) * g.s_tot
         |        + CAST(18 AS HUGEINT) * l.len * g.d_tot)
         |        * (2 * f.df + 1) AS VARCHAR) AS DOUBLE) AS sc
-        |  FROM tf t JOIN dfq f USING (term) JOIN dlen l USING (doc_id), glob g),
+        |  FROM tf t JOIN dfq f USING (term) JOIN dlen l USING (doc_id), g0 g),
         |pd AS (SELECT doc_id, COUNT(*) AS n_terms_matched,
         |    COALESCE(MAX(CASE WHEN term = 'filter' THEN sc END), CAST(0 AS DOUBLE))
         |    + COALESCE(MAX(CASE WHEN term = 'merge' THEN sc END), CAST(0 AS DOUBLE))

@@ -52,7 +52,13 @@ object Boosting {
     require(features.nonEmpty && rounds >= 1, "need features and rounds >= 1")
     val stackExpr = s"stack(${features.size}, " +
       features.map(f => s"'$f', $f").mkString(", ") + ") as (feature, bucket)"
-    def d38(c: Column) = c.cast("decimal(19,0)")
+    // Exact-square helper: casts a BIGINT sum to DECIMAL(19,0) so that the
+    // PRODUCT of two such casts is promoted by Spark to DECIMAL(38,0)
+    // ((19,0)x(19,0) -> p=19+19+1 capped at 38, s=0) — i.e. the squared
+    // numerators below are exact. Only valid for a single binary product:
+    // do NOT reuse for sums or chained products, where (19,0) inputs would
+    // not be re-promoted and could overflow.
+    def d19(c: Column) = c.cast("decimal(19,0)")
     var cur = data.withColumn("r", col(targetCol).cast("long"))
     var out: Option[DataFrame] = None
     for (t <- 0 until rounds) {
@@ -77,8 +83,8 @@ object Boosting {
         .withColumn("nr", col("n") - col("nl"))
         .withColumn("sr_r", col("s") - col("sl"))
         .withColumn("score",
-          (d38(col("sl")) * d38(col("sl"))).cast("double") / col("nl").cast("double")
-            + (d38(col("sr_r")) * d38(col("sr_r"))).cast("double") / col("nr").cast("double"))
+          (d19(col("sl")) * d19(col("sl"))).cast("double") / col("nl").cast("double")
+            + (d19(col("sr_r")) * d19(col("sr_r"))).cast("double") / col("nr").cast("double"))
       // Global argmax over the O(Σbuckets) candidate frame: sort+limit
       // plans TakeOrderedAndProject (no unpartitioned window).
       val best = scored
