@@ -37,6 +37,11 @@ object SparkEntry {
     * the operator THROWS while a lower oracle cap would truncate quietly. */
   private val BfsHopCap = 80
 
+  /** Dependency radius shared by graph_betweenness's Spark loop and its
+    * unrolled oracle SQL (one CTE pair per level — keep small; Brandes
+    * 2008's bounded-distance variant truncates here). */
+  private val BetweennessHopCap = 8
+
   // decimal-pinned casts used across aggregates
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private def rate(c: Column): Column = c.cast("decimal(4,2)") // discount/tax in [0,1)
@@ -3380,6 +3385,45 @@ object SparkEntry {
         .orderBy("label", "pred")
     },
 
+    "ml_auc" -> { (s, dir) =>
+      // ROC-AUC of the forest scorer (operators/Auc.scala) — the
+      // EVALUATION lane closing the ML tier's loop: ml_forest trains,
+      // ml_forest_predict serves, this grades. Score = the 0..3 vote
+      // count from the same bagged forest pipeline; AUC via the
+      // Mann-Whitney identity assembled from per-(score, label)
+      // contingency cells — the score domain is FIXED {0,1,2,3}, so the
+      // doubled-U (tie-halves stay integer, the events_mannwhitney
+      // convention) expands statically into one conditional-sum agg:
+      // ONE corpus pass, no rank, no window, no join; u2 and both
+      // margins exact BIGINT, auc the single IEEE division
+      // u2 / (2·n_pos·n_neg). AucSpec pins u2 against a brute-force
+      // all-pairs count.
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val bagged = ev
+        .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
+        .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
+          lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
+        .drop("event_id")
+      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
+        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
+      val classes = assigned.groupBy("tree", "node")
+        .agg((sum("label") * 2 > count(lit(1))).as("leaf_pred"))
+      val scoreRows = ev.withColumn("tree",
+        explode(array(lit(0L), lit(1L), lit(2L))))
+      val routed = graft.operators.DecisionTree.applySplits(
+        scoreRows, splits, Seq("cents_b", "hour", "dow"), depth = 2)
+      val votes = routed.join(broadcast(classes), Seq("tree", "node"), "left")
+        .withColumn("p",
+          when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
+        .groupBy("event_id", "label").agg(sum("p").as("v"))
+      graft.operators.Auc.fromBucketScores(votes, "v", "label", Seq(0L, 1L, 2L, 3L))
+    },
+
     "ml_gbt" -> { (s, dir) =>
       // Gradient-boosted regression stumps (operators/Boosting.scala) —
       // the sequential counterpart of ml_forest's bagging: 3 rounds of
@@ -4234,6 +4278,30 @@ object SparkEntry {
           floor(col("c_acctbal") / lit(5000)).cast("long").as("bal_bucket"))
         .agg(count(lit(1)).as("n"))
         .where(col("n") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    },
+
+    "audit_ldiversity" -> { (s, dir) =>
+      // l-diversity audit (Machanavajjhala et al. 2007) — the second
+      // privacy gate beside audit_kanonymity's class-size check: a class
+      // can be large yet still leak if its SENSITIVE values are uniform
+      // (the homogeneity attack k-anonymity misses). Same equivalence
+      // classes (nation, segment, coarsened balance bucket); the
+      // sensitive attribute is the EXACT account balance the bucket
+      // coarsens away — a class whose members share few distinct exact
+      // balances reveals them. l = exact COUNT(DISTINCT balance cents)
+      // per class; flag every class with l < 3. One keyed agg (Spark's
+      // two-phase distinct — partial dedup map-side, no second scan);
+      // output is the flagged-class census, metadata-scale. The
+      // generalization loop (widen buckets until min-l reaches the
+      // target) re-runs this same agg driver-side, one pass per step.
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(5000)).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"))
+            .as("l"))
+        .where(col("l") < 3)
         .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
     },
 
@@ -6389,6 +6457,48 @@ object SparkEntry {
         .orderBy(col("n_src").desc, col("sum_dist"), col("node")).limit(20)
     },
 
+    "graph_betweenness" -> { (s, dir) =>
+      // Sampled bounded-distance Brandes betweenness (Brandes 2001's
+      // dependency accumulation; Brandes–Pich 2007 source sampling;
+      // Brandes 2008's bounded-distance variant at radius
+      // BetweennessHopCap) over the SAME 'scc-' hash digraph as
+      // bfs/closeness/scc — the path-criticality centrality beside
+      // closeness's Σ-distance. operators/Betweenness.scala runs two
+      // level-synchronous BSP passes on (source, node)-keyed metadata
+      // frames (the distancesMulti compound-key amortization): forward
+      // fuses BFS with exact BIGINT σ path counting, backward
+      // accumulates δ = Σ σ_v/σ_w·(1+δ_w) level by level. δ is DOUBLE
+      // yet hash-replays: σ_v/σ_w is one exact-int IEEE division, and
+      // the per-node sum has ≤ 2 terms on this out-degree-≤2 graph
+      // (2-term IEEE addition is commutative). Betweenness = Σ_s δ_s(v),
+      // summed in FIXED source order via a 4-way pivot so the rounding
+      // sequence replays. Output: top-20 critical nodes. Oracle unrolls
+      // both passes level-by-level (recursive-CTE distances, one σ and
+      // one δ CTE per level) — algorithm vs definition, the graph-lane
+      // convention.
+      import graft.operators.Betweenness
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+      val acc = Betweenness.sampled(cust, edges, Seq(1L, 2L, 3L, 5L),
+        maxHop = BetweennessHopCap)
+      acc.groupBy("node").agg(
+          count(lit(1)).as("n_src"),
+          coalesce(max(when(col("s") === 1L, col("delta"))), lit(0.0)).as("d1"),
+          coalesce(max(when(col("s") === 2L, col("delta"))), lit(0.0)).as("d2"),
+          coalesce(max(when(col("s") === 3L, col("delta"))), lit(0.0)).as("d3"),
+          coalesce(max(when(col("s") === 5L, col("delta"))), lit(0.0)).as("d5"))
+        .select(col("node"), col("n_src"),
+          (((col("d1") + col("d2")) + col("d3")) + col("d5")).as("bc"))
+        .orderBy(col("bc").desc, col("node")).limit(20)
+    },
+
     "graph_condensation" -> { (s, dir) =>
       // Condensation DAG — the composition of the directed-graph tier:
       // contract every SCC (operators/Scc.scala) to one node, build the
@@ -7842,10 +7952,10 @@ object SparkEntry {
       |  FROM fv2 GROUP BY tree, node)
       |ORDER BY tree, node, is_leaf""".stripMargin
 
-  /** ml_forest_predict oracle: leaf classes from the training
-    * assignment, every (row × tree) routed through the same two
-    * nested-CASE hops, majority vote of 3, confusion census. */
-  private val mlForestPredictOracle: String = mlForestCtes + ",\n" +
+  /** Shared scoring CTEs (ml_forest_predict + ml_auc): leaf classes from
+    * the training assignment, every (row × tree) routed through the same
+    * two nested-CASE hops, per-row vote count v ∈ 0..3. */
+  private val mlForestVotesCtes: String = mlForestCtes + ",\n" +
     """cls AS (
       |  SELECT tree, node, 2 * SUM(label) > COUNT(*) AS leaf_pred
       |  FROM fv2 GROUP BY 1, 2),
@@ -7871,11 +7981,110 @@ object SparkEntry {
       |  SELECT e.event_id, e.label,
       |    SUM(CASE WHEN COALESCE(c.leaf_pred, false) THEN 1 ELSE 0 END) AS v
       |  FROM sc2 e LEFT JOIN cls c ON c.tree = e.tree AND c.node = e.node
-      |  GROUP BY 1, 2)
-      |SELECT CAST(label AS BIGINT) AS label,
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val mlForestPredictOracle: String = mlForestVotesCtes + "\n" +
+    """SELECT CAST(label AS BIGINT) AS label,
       |  CAST(CASE WHEN v >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pred,
       |  COUNT(*) AS n
       |FROM votes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** ml_auc oracle: the same vote stream folded into per-(score, label)
+    * contingency cells, then the doubled Mann-Whitney U expanded
+    * STATICALLY over the fixed 0..3 score domain (exact BIGINT; ties
+    * carry the ½ as the un-halved tie term) and the one IEEE division —
+    * mirrors operators/Auc.fromBucketScores term for term. */
+  private val mlAucOracle: String = {
+    val dom = 0 to 3
+    val cells = dom.flatMap(v => Seq(
+      s"SUM(CASE WHEN v = $v AND label = 1 THEN 1 ELSE 0 END) AS p$v",
+      s"SUM(CASE WHEN v = $v AND label = 0 THEN 1 ELSE 0 END) AS q$v"))
+      .mkString(",\n    ")
+    val strict = for { i <- dom; j <- dom if i > j } yield s"2 * p$i * q$j"
+    val ties = dom.map(v => s"p$v * q$v")
+    val u2 = (strict ++ ties).mkString(" + ")
+    val n1 = dom.map(v => s"p$v").mkString(" + ")
+    val n0 = dom.map(v => s"q$v").mkString(" + ")
+    mlForestVotesCtes + s""",
+cells AS (SELECT
+    $cells
+  FROM votes)
+SELECT CAST($n1 AS BIGINT) AS n_pos, CAST($n0 AS BIGINT) AS n_neg,
+  CAST($u2 AS BIGINT) AS u2,
+  CAST($u2 AS DOUBLE) / CAST(2 * ($n1) * ($n0) AS DOUBLE) AS auc
+FROM cells"""
+  }
+
+  /** graph_betweenness oracle: recursive-CTE distances capped at the
+    * radius, one σ CTE per forward level (sum of predecessor σ's — exact
+    * BIGINT), one δ CTE per backward level (σ_v/σ_w·(1+δ_w) summed over
+    * the ≤2 same-source successors; 2-term IEEE addition is commutative
+    * so the DOUBLE replays Spark's), then the fixed-order 4-source pivot
+    * sum — mirrors operators/Betweenness.sampled level by level. */
+  private val graphBetweennessOracle: String = {
+    val h = BetweennessHopCap
+    val srcVals =
+      """(VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |        (CAST(3 AS BIGINT)), (CAST(5 AS BIGINT))) src(s)""".stripMargin
+    val prefix =
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+         |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
+         |edges AS MATERIALIZED (
+         |  SELECT u AS src, dst FROM (
+         |    SELECT u, ('0x' || substr(md5('scc-a-' || u), 1, 15))::BIGINT % nn.n AS dst
+         |    FROM base, nn WHERE u % 7 <> 0
+         |    UNION ALL
+         |    SELECT u, ('0x' || substr(md5('scc-b-' || u), 1, 15))::BIGINT % nn.n AS dst
+         |    FROM base, nn WHERE u % 7 <> 0)
+         |  WHERE u <> dst),
+         |walk AS MATERIALIZED (
+         |  WITH RECURSIVE w(s, node, d) AS (
+         |    SELECT src.s, src.s, CAST(0 AS BIGINT)
+         |    FROM $srcVals
+         |    UNION
+         |    SELECT w.s, e.dst, w.d + 1 FROM w JOIN edges e ON e.src = w.node
+         |    WHERE w.d < $h)
+         |  SELECT s, node, d FROM w),
+         |dist AS MATERIALIZED (
+         |  SELECT s, node, MIN(d) AS dist FROM walk GROUP BY 1, 2),
+         |sig0 AS (SELECT src.s, src.s AS node, CAST(1 AS BIGINT) AS sigma
+         |  FROM $srcVals)""".stripMargin
+    val sig = (1 to h).map { d =>
+      s"""sig$d AS MATERIALIZED (
+         |  SELECT p.s, e.dst AS node, SUM(p.sigma) AS sigma
+         |  FROM sig${d - 1} p JOIN edges e ON e.src = p.node
+         |  JOIN dist dd ON dd.s = p.s AND dd.node = e.dst AND dd.dist = $d
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val delStart =
+      s"""del$h AS (SELECT s, node, CAST(0.0 AS DOUBLE) AS delta
+         |  FROM dist WHERE dist = $h)""".stripMargin
+    val del = ((h - 1) to 0 by -1).map { d =>
+      s"""del$d AS MATERIALIZED (
+         |  SELECT v.s, v.node, COALESCE(c.dsum, 0.0) AS delta
+         |  FROM (SELECT s, node FROM dist WHERE dist = $d) v
+         |  LEFT JOIN (
+         |    SELECT sv.s, e.src AS node,
+         |      SUM(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE)
+         |          * (1.0 + dw.delta)) AS dsum
+         |    FROM sig$d sv JOIN edges e ON e.src = sv.node
+         |    JOIN del${d + 1} dw ON dw.s = sv.s AND dw.node = e.dst
+         |    JOIN sig${d + 1} sw ON sw.s = sv.s AND sw.node = e.dst
+         |    GROUP BY 1, 2) c ON c.s = v.s AND c.node = v.node)""".stripMargin
+    }
+    val acc = (0 to h).map(d => s"SELECT s, node, delta FROM del$d")
+      .mkString("acc AS (\n  ", "\n  UNION ALL ", ")")
+    val ctes = (prefix +: sig) ++ (delStart +: del) :+ acc
+    ctes.mkString(",\n") + "\n" +
+      """SELECT j.node, COUNT(*) AS n_src,
+        |  ((COALESCE(MAX(CASE WHEN j.s = 1 THEN j.delta END), 0.0)
+        |    + COALESCE(MAX(CASE WHEN j.s = 2 THEN j.delta END), 0.0))
+        |    + COALESCE(MAX(CASE WHEN j.s = 3 THEN j.delta END), 0.0))
+        |    + COALESCE(MAX(CASE WHEN j.s = 5 THEN j.delta END), 0.0) AS bc
+        |FROM (SELECT a.s, a.node, a.delta FROM acc a
+        |      JOIN base ON a.node = base.u WHERE a.node <> a.s) j
+        |GROUP BY j.node ORDER BY bc DESC, j.node LIMIT 20""".stripMargin
+  }
 
   private val mlTreeOracle: String =
     """WITH ev0 AS (
@@ -9076,6 +9285,8 @@ object SparkEntry {
     // same trained forest plus leaf-majority classes, nested-CASE
     // routing of every (row × tree), majority vote, confusion census
     "ml_forest_predict" -> mlForestPredictOracle,
+    "ml_auc" -> mlAucOracle,
+    "graph_betweenness" -> graphBetweennessOracle,
 
     // the argmax-|T·P_k − k·S| estimator replayed with the same windows
     // and the same (d desc, day) total order — every output column exact
@@ -10868,6 +11079,15 @@ object SparkEntry {
         |  CAST(floor(c_acctbal / 5000) AS BIGINT) AS bal_bucket, COUNT(*) AS n
         |FROM customer
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
+
+    "audit_ldiversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 5000) AS BIGINT) AS bal_bucket, COUNT(*) AS n,
+        |  COUNT(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS l
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) < 3
         |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
 
     "audit_constraints" ->

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Auc
+
+/** Contingency-cell Mann-Whitney AUC pinned against the brute-force
+  * all-pairs count it compresses: u2 must EQUAL 2·#{(p,n): s_p > s_n} +
+  * #{ties} exactly (both BIGINT), and auc must equal the one division. */
+class AucSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def bruteU2(rows: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val wins = (for (p <- pos; q <- neg) yield if (p > q) 1L else 0L).sum
+    val ties = (for (p <- pos; q <- neg) yield if (p == q) 1L else 0L).sum
+    (2 * wins + ties, pos.size.toLong, neg.size.toLong)
+  }
+
+  test("u2 equals the brute-force doubled pair count on random score mixes") {
+    import TestSpark.spark.implicits._
+    val domain = Seq(0L, 1L, 2L, 3L)
+    for (seed <- Seq(7, 19, 43)) {
+      val rnd = new scala.util.Random(seed)
+      // skew label odds with score so AUC lands strictly inside (0.5, 1)
+      val rows = Seq.fill(400) {
+        val s = rnd.nextInt(4).toLong
+        val y = if (rnd.nextInt(4).toLong < s) 1L else 0L
+        (s, y)
+      }
+      val (u2, n1, n0) = bruteU2(rows)
+      val got = Auc.fromBucketScores(rows.toDF("v", "label"), "v", "label", domain)
+        .collect().head
+      assert(got.getLong(0) == n1 && got.getLong(1) == n0)
+      assert(got.getLong(2) == u2, s"seed=$seed u2: got ${got.getLong(2)} want $u2")
+      assert(got.getDouble(3) == u2.toDouble / (2.0 * n1 * n0))
+    }
+  }
+
+  test("degenerate orderings: perfect, inverted, all-tied") {
+    import TestSpark.spark.implicits._
+    val domain = Seq(0L, 1L, 2L, 3L)
+    def auc(rows: Seq[(Long, Long)]): Double =
+      Auc.fromBucketScores(rows.toDF("v", "label"), "v", "label", domain)
+        .collect().head.getDouble(3)
+    val perfect = Seq.fill(5)((3L, 1L)) ++ Seq.fill(7)((0L, 0L))
+    val inverted = Seq.fill(5)((0L, 1L)) ++ Seq.fill(7)((3L, 0L))
+    val tied = Seq.fill(5)((2L, 1L)) ++ Seq.fill(7)((2L, 0L))
+    assert(auc(perfect) == 1.0)
+    assert(auc(inverted) == 0.0)
+    assert(auc(tied) == 0.5)
+  }
+}
