@@ -3388,8 +3388,12 @@ object SparkEntry {
     "ml_auc" -> { (s, dir) =>
       // ROC-AUC of the forest scorer (operators/Auc.scala) — the
       // EVALUATION lane closing the ML tier's loop: ml_forest trains,
-      // ml_forest_predict serves, this grades. Score = the 0..3 vote
-      // count from the same bagged forest pipeline; AUC via the
+      // ml_forest_predict serves, this grades. Score = the 0..3 LIFT
+      // vote count: a leaf votes positive when its training rate
+      // exceeds the corpus base rate (exact cross-multiplied compare on
+      // the one-row totals broadcast — a >50% majority vote is
+      // vacuously all-negative on this ~20%-positive corpus and would
+      // pin AUC at exactly 0.5, an empty gate); AUC via the
       // Mann-Whitney identity assembled from per-(score, label)
       // contingency cells — the score domain is FIXED {0,1,2,3}, so the
       // doubled-U (tie-halves stay integer, the events_mannwhitney
@@ -3411,8 +3415,12 @@ object SparkEntry {
         .drop("event_id")
       val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
         bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
+      val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("np_tot"))
       val classes = assigned.groupBy("tree", "node")
-        .agg((sum("label") * 2 > count(lit(1))).as("leaf_pred"))
+        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
+        .crossJoin(broadcast(tot))
+        .select(col("tree"), col("node"),
+          (col("cp") * col("n_tot") > col("cn") * col("np_tot")).as("leaf_pred"))
       val scoreRows = ev.withColumn("tree",
         explode(array(lit(0L), lit(1L), lit(2L))))
       val routed = graft.operators.DecisionTree.applySplits(
@@ -3422,6 +3430,123 @@ object SparkEntry {
           when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
         .groupBy("event_id", "label").agg(sum("p").as("v"))
       graft.operators.Auc.fromBucketScores(votes, "v", "label", Seq(0L, 1L, 2L, 3L))
+    },
+
+    "ml_confusion" -> { (s, dir) =>
+      // Threshold-point evaluation beside ml_auc's threshold-free rank
+      // statistic: the binary confusion cells of the 2-of-3 LIFT-vote
+      // decision (v ≥ 2 over ml_auc's base-rate-exceedance votes —
+      // see there for why a majority vote is an empty gate here),
+      // folded into ONE conditional-sum agg (tp/fp/fn/
+      // tn — same one-pass shape as audit_constraints' fused rules), and
+      // the four standard metrics each as ONE exact-integer IEEE
+      // division: accuracy (tp+tn)/n, precision tp/(tp+fp), recall
+      // tp/(tp+fn), and F1 in its rational form 2·tp/(2·tp+fp+fn) — the
+      // harmonic mean folded to a single division so there is exactly
+      // one rounding per metric, hash-replayable. All-negative or
+      // all-positive degenerate predictions yield NULL precision/recall
+      // identically in both engines (0/0).
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val bagged = ev
+        .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
+        .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
+          lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
+        .drop("event_id")
+      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
+        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
+      val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("np_tot"))
+      val classes = assigned.groupBy("tree", "node")
+        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
+        .crossJoin(broadcast(tot))
+        .select(col("tree"), col("node"),
+          (col("cp") * col("n_tot") > col("cn") * col("np_tot")).as("leaf_pred"))
+      val scoreRows = ev.withColumn("tree",
+        explode(array(lit(0L), lit(1L), lit(2L))))
+      val routed = graft.operators.DecisionTree.applySplits(
+        scoreRows, splits, Seq("cents_b", "hour", "dow"), depth = 2)
+      val votes = routed.join(broadcast(classes), Seq("tree", "node"), "left")
+        .withColumn("p",
+          when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
+        .groupBy("event_id", "label").agg(sum("p").as("v"))
+      votes
+        .select(col("label"), when(col("v") >= 2, 1L).otherwise(0L).as("pred"))
+        .agg(
+          sum(when(col("label") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("label") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("label") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("label") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          ((col("tp") + col("tn")).cast("double")
+            / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+            .as("accuracy"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("precision"),
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .as("recall"),
+          ((lit(2L) * col("tp")).cast("double")
+            / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+            .as("f1"))
+    },
+
+    "ml_cv" -> { (s, dir) =>
+      // k-fold cross-validation (k = 4) where ALL k leave-one-fold-out
+      // models train in ONE pass per level — the fitBagged amortization
+      // applied to validation: fold = hash60('cv-'||event_id) % 4, model
+      // t's training bag is every row with fold ≠ t (the k-fold
+      // complement instead of the forest's 2/3 subsample), and the
+      // fold-keyed union flows through the same ONE keyed (tree, node,
+      // feature, bucket) agg — k models cost one model's scan count.
+      // Scoring routes each row through its OWN fold's model only,
+      // predicting by the ml_auc lift vote (leaf training rate vs the
+      // corpus base rate, exact cross-multiplied)
+      // (withColumn fold→tree, map-side broadcast hops, no explode —
+      // every row is out-of-bag by construction, the honest-evaluation
+      // half ml_confusion's resubstitution census lacks). Output: the
+      // per-fold validation census (n_train, n_valid, errors, err_rate)
+      // — exact integers + one IEEE division; the fold spread is the
+      // variance estimate a model-selection loop consumes. Oracle
+      // threads the fold key through the same two unrolled levels.
+      val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+          expr("(ts_ns div 3600000000000) % 24").as("hour"),
+          expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+        .withColumn("fold", pmod(Tf.hash60(
+          concat(lit("cv-"), col("event_id").cast("string"))), lit(4L)))
+      val bagged = ev
+        .withColumn("tree", explode(array(
+          lit(0L), lit(1L), lit(2L), lit(3L))))
+        .where(col("fold") =!= col("tree"))
+        .drop("event_id", "fold")
+      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
+        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
+      val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("np_tot"))
+      val classes = assigned.groupBy("tree", "node")
+        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
+        .crossJoin(broadcast(tot))
+        .select(col("tree"), col("node"),
+          (col("cp") * col("n_tot") > col("cn") * col("np_tot")).as("leaf_pred"))
+      val nTrain = assigned.groupBy("tree").agg(count(lit(1)).as("n_train"))
+      val routed = graft.operators.DecisionTree.applySplits(
+        ev.withColumn("tree", col("fold")), splits,
+        Seq("cents_b", "hour", "dow"), depth = 2)
+      routed.join(broadcast(classes), Seq("tree", "node"), "left")
+        .withColumn("pred",
+          when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
+        .groupBy("tree").agg(count(lit(1)).as("n_valid"),
+          sum(when(col("pred") =!= col("label"), 1L).otherwise(0L)).as("errors"))
+        .join(nTrain, "tree")
+        .select(col("tree").as("fold"), col("n_train"), col("n_valid"),
+          col("errors"),
+          (col("errors").cast("double") / col("n_valid").cast("double"))
+            .as("err_rate"))
+        .orderBy("fold")
     },
 
     "ml_gbt" -> { (s, dir) =>
@@ -6499,6 +6624,35 @@ object SparkEntry {
         .orderBy(col("bc").desc, col("node")).limit(20)
     },
 
+    "graph_eccentricity" -> { (s, dir) =>
+      // Sampled eccentricity census with radius/diameter bounds — the
+      // third distancesMulti consumer (after closeness and betweenness's
+      // forward pass): per sampled source, eccentricity = max hop
+      // distance over reached real nodes, and the standard BFS-sample
+      // bounds diameter ≥ max_s ecc(s), radius ≤ min_s ecc(s) (the
+      // double-sweep estimation practice, Magnien–Latapy–Habib 2009).
+      // All exact integers: the k traversals ride ONE compound-keyed BSP
+      // loop, the census is one keyed agg on the (s, node) frame, and
+      // the ONE-ROW bounds aggregate broadcasts back onto the 4-row
+      // per-source frame (the graph-lane scalar shape). Oracle re-walks
+      // by recursive CTE + MIN(d) — algorithm vs definition.
+      import graft.operators.Bfs
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+      val per = Bfs.distancesMulti(cust, edges, Seq(1L, 2L, 3L, 5L),
+          maxIters = BfsHopCap / 2)
+        .groupBy("s").agg(count(lit(1)).as("n_reached"), max("dist").as("ecc"))
+      val bounds = per.agg(min("ecc").as("radius_ub"), max("ecc").as("diameter_lb"))
+      per.crossJoin(broadcast(bounds)).orderBy("s")
+    },
+
     "graph_condensation" -> { (s, dir) =>
       // Condensation DAG — the composition of the directed-graph tier:
       // contract every SCC (operators/Scc.scala) to one node, build the
@@ -6954,6 +7108,33 @@ object SparkEntry {
       scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
         .orderBy("doc_id", "term")
+    },
+
+    "text_hapax" -> { (s, dir) =>
+      // Vocabulary-growth census (the Heaps'-law / Zipf-tail observables
+      // a corpus-curation pipeline tracks per slice: a shrinking hapax
+      // share signals boilerplate/duplication, a collapsing type-token
+      // ratio signals template spam): per source — token count N,
+      // vocabulary V, hapax legomena V1 (frequency-1 types), dis
+      // legomena V2, and the two ratios V/N and V1/V as single IEEE
+      // divisions over exact counts. Same tokenizer as text_bm25. Scale:
+      // one tokenize pass + two keyed aggs; the only shuffled frame is
+      // the (source, term) vocabulary — sublinear in the corpus by
+      // Heaps' law itself.
+      val toks = Tables.documents(s, dir).select(col("source"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .where(length(col("term")) >= 2)
+      toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("dis"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("hapax"), col("dis"),
+          (col("vocab").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+          (col("hapax").cast("double") / col("vocab").cast("double")).as("hapax_share"))
+        .orderBy("source")
     },
 
     "text_bm25" -> { (s, dir) =>
@@ -7955,11 +8136,11 @@ object SparkEntry {
   /** Shared scoring CTEs (ml_forest_predict + ml_auc): leaf classes from
     * the training assignment, every (row × tree) routed through the same
     * two nested-CASE hops, per-row vote count v ∈ 0..3. */
-  private val mlForestVotesCtes: String = mlForestCtes + ",\n" +
-    """cls AS (
-      |  SELECT tree, node, 2 * SUM(label) > COUNT(*) AS leaf_pred
-      |  FROM fv2 GROUP BY 1, 2),
-      |sc0 AS (
+  /** Shared row-routing + vote CTEs appended after a `cls` leaf-class
+    * table: every (row × tree) through the two nested-CASE hops, per-row
+    * vote count v. */
+  private val mlScoreCtes: String =
+    """sc0 AS (
       |  SELECT t.tree, event_id, cents_b, hour, dow, label,
       |    CAST(1 AS BIGINT) AS node
       |  FROM feats, trees t),
@@ -7983,6 +8164,27 @@ object SparkEntry {
       |  FROM sc2 e LEFT JOIN cls c ON c.tree = e.tree AND c.node = e.node
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** ml_forest_predict's votes: leaf class = training MAJORITY. */
+  private val mlForestVotesCtes: String = mlForestCtes + ",\n" +
+    """cls AS (
+      |  SELECT tree, node, 2 * SUM(label) > COUNT(*) AS leaf_pred
+      |  FROM fv2 GROUP BY 1, 2),
+      |""".stripMargin + mlScoreCtes
+
+  /** ml_auc / ml_confusion's votes: leaf votes positive when its
+    * training rate EXCEEDS the corpus base rate (exact cross-multiplied
+    * lift compare — a majority vote is vacuously all-negative when no
+    * leaf passes 50%, which is every imbalanced corpus; the lift
+    * operating point is what makes the downstream rank/threshold
+    * statistics non-degenerate). */
+  private val mlLiftVotesCtes: String = mlForestCtes + ",\n" +
+    """tot AS (SELECT COUNT(*) AS nt, CAST(SUM(label) AS BIGINT) AS npt
+      |  FROM feats),
+      |cls AS (
+      |  SELECT tree, node, SUM(label) * t.nt > COUNT(*) * t.npt AS leaf_pred
+      |  FROM fv2, tot t GROUP BY tree, node, t.nt, t.npt),
+      |""".stripMargin + mlScoreCtes
+
   private val mlForestPredictOracle: String = mlForestVotesCtes + "\n" +
     """SELECT CAST(label AS BIGINT) AS label,
       |  CAST(CASE WHEN v >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pred,
@@ -8005,7 +8207,7 @@ object SparkEntry {
     val u2 = (strict ++ ties).mkString(" + ")
     val n1 = dom.map(v => s"p$v").mkString(" + ")
     val n0 = dom.map(v => s"q$v").mkString(" + ")
-    mlForestVotesCtes + s""",
+    mlLiftVotesCtes + s""",
 cells AS (SELECT
     $cells
   FROM votes)
@@ -8013,6 +8215,84 @@ SELECT CAST($n1 AS BIGINT) AS n_pos, CAST($n0 AS BIGINT) AS n_neg,
   CAST($u2 AS BIGINT) AS u2,
   CAST($u2 AS DOUBLE) / CAST(2 * ($n1) * ($n0) AS DOUBLE) AS auc
 FROM cells"""
+  }
+
+  /** ml_confusion oracle: the shared vote stream thresholded at v ≥ 2,
+    * the four cells one conditional-sum agg, each metric one division
+    * (F1 in the folded rational form — one rounding, like Spark). */
+  private val mlConfusionOracle: String = mlLiftVotesCtes + ",\n" +
+    """cf AS (SELECT
+      |    SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+      |    SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+      |    SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+      |    SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+      |  FROM (SELECT label, CASE WHEN v >= 2 THEN 1 ELSE 0 END AS pred
+      |        FROM votes))
+      |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+      |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+      |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+      |  CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+      |FROM cf""".stripMargin
+
+  /** ml_cv oracle: the forest level SQL verbatim (it is generic over the
+    * fv0 bag definition) with fold-complement bags — trees = range(4),
+    * model t trains on fold ≠ t — then each row scored by its OWN fold's
+    * model (sc0 sets tree = fold, no cross join) through the same two
+    * nested-CASE hops, per-fold error census. */
+  private val mlCvOracle: String = {
+    val prefix =
+      """WITH feats AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS cents_b,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+        |    ('0x' || substr(md5('cv-' || event_id), 1, 15))::BIGINT % 4 AS fold
+        |  FROM events),
+        |trees AS (SELECT CAST(range AS BIGINT) AS tree FROM range(4)),
+        |fv0 AS (
+        |  SELECT t.tree, cents_b, hour, dow, label, CAST(1 AS BIGINT) AS node
+        |  FROM feats, trees t WHERE feats.fold <> t.tree),
+        |""".stripMargin + (0 to 1).map(mlForestLevelSql).mkString(",\n")
+    prefix + ",\n" +
+      """tot AS (SELECT COUNT(*) AS nt, CAST(SUM(label) AS BIGINT) AS npt
+        |  FROM feats),
+        |cls AS (
+        |  SELECT tree, node, SUM(label) * t.nt > COUNT(*) * t.npt AS leaf_pred
+        |  FROM fv2, tot t GROUP BY tree, node, t.nt, t.npt),
+        |tr AS (SELECT tree, COUNT(*) AS n_train FROM fv0 GROUP BY 1),
+        |sc0 AS (
+        |  SELECT fold AS tree, event_id, cents_b, hour, dow, label,
+        |    CAST(1 AS BIGINT) AS node
+        |  FROM feats),
+        |sc1 AS (
+        |  SELECT e.tree, e.event_id, e.cents_b, e.hour, e.dow, e.label,
+        |    CASE WHEN b.node IS NULL THEN e.node
+        |      ELSE 2*e.node + CASE WHEN (CASE b.feature
+        |        WHEN 'cents_b' THEN e.cents_b WHEN 'hour' THEN e.hour
+        |        ELSE e.dow END) <= b.bucket THEN 0 ELSE 1 END END AS node
+        |  FROM sc0 e LEFT JOIN best0 b ON b.tree = e.tree AND b.node = e.node),
+        |sc2 AS (
+        |  SELECT e.tree, e.event_id, e.label,
+        |    CASE WHEN b.node IS NULL THEN e.node
+        |      ELSE 2*e.node + CASE WHEN (CASE b.feature
+        |        WHEN 'cents_b' THEN e.cents_b WHEN 'hour' THEN e.hour
+        |        ELSE e.dow END) <= b.bucket THEN 0 ELSE 1 END END AS node
+        |  FROM sc1 e LEFT JOIN best1 b ON b.tree = e.tree AND b.node = e.node),
+        |pr AS (
+        |  SELECT e.tree, e.label,
+        |    CASE WHEN COALESCE(c.leaf_pred, false) THEN 1 ELSE 0 END AS pred
+        |  FROM sc2 e LEFT JOIN cls c ON c.tree = e.tree AND c.node = e.node),
+        |per AS (
+        |  SELECT tree AS fold, COUNT(*) AS n_valid,
+        |    SUM(CASE WHEN pred <> label THEN 1 ELSE 0 END) AS errors
+        |  FROM pr GROUP BY 1)
+        |SELECT p.fold, CAST(t.n_train AS BIGINT) AS n_train,
+        |  CAST(p.n_valid AS BIGINT) AS n_valid, CAST(p.errors AS BIGINT) AS errors,
+        |  CAST(p.errors AS DOUBLE) / CAST(p.n_valid AS DOUBLE) AS err_rate
+        |FROM per p JOIN tr t ON t.tree = p.fold ORDER BY p.fold""".stripMargin
   }
 
   /** graph_betweenness oracle: recursive-CTE distances capped at the
@@ -9286,6 +9566,8 @@ FROM cells"""
     // routing of every (row × tree), majority vote, confusion census
     "ml_forest_predict" -> mlForestPredictOracle,
     "ml_auc" -> mlAucOracle,
+    "ml_confusion" -> mlConfusionOracle,
+    "ml_cv" -> mlCvOracle,
     "graph_betweenness" -> graphBetweennessOracle,
 
     // the argmax-|T·P_k − k·S| estimator replayed with the same windows
@@ -12496,6 +12778,38 @@ FROM cells"""
         |SELECT node, n_src, sum_dist FROM agg
         |ORDER BY n_src DESC, sum_dist, node LIMIT 20""".stripMargin),
 
+    // same four recursive walks; per-source MAX(dist) census + the
+    // one-row min/max bounds crossed back on
+    "graph_eccentricity" ->
+      ("""WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT u AS src, dst FROM (
+        |    SELECT u, ('0x' || substr(md5('scc-a-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0
+        |    UNION ALL
+        |    SELECT u, ('0x' || substr(md5('scc-b-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0)
+        |  WHERE u <> dst),
+        |walk AS MATERIALIZED (
+        |  WITH RECURSIVE w(s, node, d) AS (
+        |    SELECT src.s, src.s, CAST(0 AS BIGINT)
+        |    FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |          (CAST(3 AS BIGINT)), (CAST(5 AS BIGINT))) src(s)
+        |    UNION
+        |    SELECT w.s, e.dst, w.d + 1 FROM w JOIN edges e ON e.src = w.node
+        |    WHERE w.d < """.stripMargin + BfsHopCap.toString + """)
+        |  SELECT s, node, MIN(d) AS dist FROM w GROUP BY 1, 2),
+        |reach AS (
+        |  SELECT walk.s, walk.node, walk.dist FROM walk
+        |  JOIN base ON walk.node = base.u),
+        |per AS (
+        |  SELECT s, COUNT(*) AS n_reached, CAST(MAX(dist) AS BIGINT) AS ecc
+        |  FROM reach GROUP BY 1),
+        |b AS (SELECT MIN(ecc) AS radius_ub, MAX(ecc) AS diameter_lb FROM per)
+        |SELECT per.s, per.n_reached, per.ecc, b.radius_ub, b.diameter_lb
+        |FROM per, b ORDER BY per.s""".stripMargin),
+
     // five likelihood-scored rounds, generated programmatically (same
     // round shape as text_bpe_train's unrolled oracle plus a per-round
     // symbol-count CTE and the scored ORDER BY — double division is
@@ -12802,6 +13116,21 @@ FROM cells"""
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, score FROM sc WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin,
+
+    "text_hapax" ->
+      """WITH tok0 AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term FROM documents),
+        |tok AS (SELECT source, term FROM tok0 WHERE length(term) >= 2),
+        |tf AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |per AS (SELECT source,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, vocab, hapax, dis,
+        |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share
+        |FROM per ORDER BY source""".stripMargin,
 
     // same rational-BM25 kernel: HUGEINT numerators, one IEEE division,
     // fixed-textual-order three-term pivot sum

@@ -160,7 +160,18 @@ class PlanHygieneSpec extends AnyFunSuite {
       // ann_rrf runs TWO brute-force reference scans (exact + quantized),
       // each the ann_topk broadcast-queries nested loop; fusion itself is
       // a keyed (qid, nid) join on the O(queries × 20) rank lists
-      "ann_rrf")
+      "ann_rrf",
+      // ml_auc / ml_confusion / ml_cv broadcast the ONE-ROW corpus
+      // (count, positives) totals onto the ≤16-row leaf-class frame for
+      // the exact cross-multiplied lift vote — the profile_drift
+      // one-row-scalar shape on metadata; routing itself is the
+      // ml_forest_predict keyed broadcast hops
+      "ml_auc", "ml_confusion", "ml_cv",
+      // graph_eccentricity broadcasts the ONE-ROW (radius_ub,
+      // diameter_lb) bounds aggregate onto the 4-row per-source census —
+      // the graph-lane scalar shape (its edge derivation hides behind
+      // distancesMulti's eager checkpoints like bfs/scc)
+      "graph_eccentricity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
