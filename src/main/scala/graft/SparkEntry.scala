@@ -3493,6 +3493,47 @@ object SparkEntry {
             .as("f1"))
     },
 
+    "ml_lift" -> { (s, dir) =>
+      // Cumulative gains / lift table (operators/Auc.liftTable) — the
+      // targeting view of the same lift-vote scores ml_auc ranks: one
+      // row per threshold cut, reporting how many examples flagging at
+      // that depth selects (n_flagged), how many positives it captures
+      // (tp), recall tp/n₁, and lift in the cross-multiplied rational
+      // form tp·n/(n_flagged·n₁) — each metric ONE exact-int IEEE
+      // division. Cumulative sums are STATIC partial sums over the
+      // fixed score domain's contingency cells (no window, no sort —
+      // the ml_auc one-pass shape), so the "how deep to crawl/label"
+      // decision costs one conditional-sum agg at any corpus size.
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val bagged = ev
+        .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
+        .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
+          lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
+        .drop("event_id")
+      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
+        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
+      val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("np_tot"))
+      val classes = assigned.groupBy("tree", "node")
+        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
+        .crossJoin(broadcast(tot))
+        .select(col("tree"), col("node"),
+          (col("cp") * col("n_tot") > col("cn") * col("np_tot")).as("leaf_pred"))
+      val scoreRows = ev.withColumn("tree",
+        explode(array(lit(0L), lit(1L), lit(2L))))
+      val routed = graft.operators.DecisionTree.applySplits(
+        scoreRows, splits, Seq("cents_b", "hour", "dow"), depth = 2)
+      val votes = routed.join(broadcast(classes), Seq("tree", "node"), "left")
+        .withColumn("p",
+          when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
+        .groupBy("event_id", "label").agg(sum("p").as("v"))
+      graft.operators.Auc.liftTable(votes, "v", "label", Seq(0L, 1L, 2L, 3L))
+    },
+
     "ml_cv" -> { (s, dir) =>
       // k-fold cross-validation (k = 4) where ALL k leave-one-fold-out
       // models train in ONE pass per level — the fitBagged amortization
@@ -5398,6 +5439,52 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     },
 
+    "events_stationary" -> { (s, dir) =>
+      // Stationary distribution of the events_transitions Markov chain
+      // by POWER ITERATION (8 fixed iterations from uniform — the
+      // long-run "where does user behavior settle" summary next-event
+      // models calibrate against). The 100 TB shape: ONE corpus pass
+      // folds the transition counts into a SINGLE ROW of 25 conditional-
+      // sum cells (the event-type domain is fixed); every probability is
+      // one exact-int IEEE division and every iteration is pure column
+      // arithmetic on that one row — the corpus is never touched again.
+      // Determinism: the 5-term multiply-add chain per component is
+      // emitted in FIXED type order with left-associated parentheses
+      // (reduce), so the rounding sequence replays bit-identically in
+      // the oracle's textually-identical expressions. No collect: the
+      // matrix never leaves the cluster, the iteration is in-plan.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          col("ts_ns"), col("event_id"))
+        .withColumn("to_type", lead("from_type", 1).over(w))
+        .where(col("to_type").isNotNull)
+      val cellCols = for { i <- types; j <- types } yield
+        sum(when(col("from_type") === i && col("to_type") === j, 1L)
+          .otherwise(0L)).as(s"c_${i}_$j")
+      val one = pairs.agg(cellCols.head, cellCols.tail: _*)
+      val withP = one.select(
+        (for { i <- types; j <- types } yield {
+          val rowTot = types.map(k => col(s"c_${i}_$k")).reduce(_ + _)
+          (col(s"c_${i}_$j").cast("double") / rowTot.cast("double"))
+            .as(s"p_${i}_$j")
+        }): _*)
+      var cur = withP.select(
+        (withP.columns.map(col) ++ types.map(j => lit(0.2).as(s"pi_$j"))): _*)
+      for (_ <- 1 to 8) {
+        cur = cur.select(
+          ((for { i <- types; j <- types } yield col(s"p_${i}_$j")) ++
+            types.map(j => types.map(i => col(s"pi_$i") * col(s"p_${i}_$j"))
+              .reduce(_ + _).as(s"pi_$j"))): _*)
+      }
+      cur.select(explode(array(types.map(t =>
+          struct(lit(t).as("event_type"), col(s"pi_$t").as("pi"))): _*)).as("r"))
+        .select(col("r.event_type"), col("r.pi"))
+        .orderBy("event_type")
+    },
+
     "dedup_allpairs" -> { (s, dir) =>
       // Exact set-similarity self-join (All-Pairs/PPJoin, Bayardo et al.
       // 2007): every pair with binary word-TRIGRAM-set cosine ≥ 0.9, ZERO
@@ -6651,6 +6738,42 @@ object SparkEntry {
         .groupBy("s").agg(count(lit(1)).as("n_reached"), max("dist").as("ecc"))
       val bounds = per.agg(min("ecc").as("radius_ub"), max("ecc").as("diameter_lb"))
       per.crossJoin(broadcast(bounds)).orderBy("s")
+    },
+
+    "graph_assortativity" -> { (s, dir) =>
+      // Degree assortativity (Newman 2002: do well-connected nodes link
+      // to well-connected nodes?) over the shared 'scc-' digraph, in the
+      // directed form: per edge, x = out-degree(src), y = in-degree(dst),
+      // r = Pearson over the edge list. The profile_correlation
+      // discipline: ONE pass over the degree-annotated edges collects
+      // every exact BIGINT sufficient statistic (m, Σx, Σy, Σxy, Σx²,
+      // Σy² — degrees are bounded small, peak term ~1e14 at sf10, inside
+      // int64), and r finishes in a FIXED sequence of IEEE ops (two
+      // casts, two sqrts, one multiply, one divide) that hash-replays.
+      // Degree annotation = two keyed counts + two equi-joins; nothing
+      // non-keyed touches the edge list.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+      val outd = edges.groupBy("src").agg(count(lit(1)).as("xd"))
+      val ind = edges.groupBy("dst").agg(count(lit(1)).as("yd"))
+      edges.join(outd, "src").join(ind, "dst")
+        .agg(count(lit(1)).as("m"), sum("xd").as("sx"), sum("yd").as("sy"),
+          sum(col("xd") * col("yd")).as("sxy"),
+          sum(col("xd") * col("xd")).as("sxx"),
+          sum(col("yd") * col("yd")).as("syy"))
+        .select(col("m"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+          col("syy"),
+          ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("r"))
     },
 
     "graph_condensation" -> { (s, dir) =>
@@ -8236,6 +8359,36 @@ FROM cells"""
       |  CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
       |FROM cf""".stripMargin
 
+  /** ml_lift oracle: the lift-vote cells again, cumulative partial sums
+    * expanded statically per threshold cut, each metric one division
+    * (lift in the cross-multiplied rational form; NULL when the cut
+    * flags nothing) — mirrors operators/Auc.liftTable term for term. */
+  private val mlLiftOracle: String = {
+    val dom = 0 to 3
+    val cells = dom.flatMap(v => Seq(
+      s"SUM(CASE WHEN v = $v AND label = 1 THEN 1 ELSE 0 END) AS p$v",
+      s"SUM(CASE WHEN v = $v AND label = 0 THEN 1 ELSE 0 END) AS q$v"))
+      .mkString(",\n    ")
+    val n1 = dom.map(v => s"p$v").mkString(" + ")
+    val n = dom.flatMap(v => Seq(s"p$v", s"q$v")).mkString(" + ")
+    val rows = dom.map { cut =>
+      val tp = dom.filter(_ >= cut).map(v => s"p$v").mkString(" + ")
+      val fl = dom.filter(_ >= cut).flatMap(v => Seq(s"p$v", s"q$v")).mkString(" + ")
+      s"""SELECT CAST($cut AS BIGINT) AS cut,
+         |  CAST($fl AS BIGINT) AS n_flagged, CAST($tp AS BIGINT) AS tp,
+         |  CASE WHEN ($fl) = 0 THEN CAST(NULL AS DOUBLE)
+         |    ELSE CAST(($tp) * ($n) AS DOUBLE)
+         |      / CAST(($fl) * ($n1) AS DOUBLE) END AS lift,
+         |  CAST($tp AS DOUBLE) / CAST($n1 AS DOUBLE) AS recall
+         |FROM cells""".stripMargin
+    }
+    mlLiftVotesCtes + s""",
+cells AS (SELECT
+    $cells
+  FROM votes)
+""" + rows.mkString("\nUNION ALL ") + "\nORDER BY cut"
+  }
+
   /** ml_cv oracle: the forest level SQL verbatim (it is generic over the
     * fv0 bag definition) with fold-complement bags — trees = range(4),
     * model t trains on fold ≠ t — then each row scored by its OWN fold's
@@ -8293,6 +8446,46 @@ FROM cells"""
         |  CAST(p.n_valid AS BIGINT) AS n_valid, CAST(p.errors AS BIGINT) AS errors,
         |  CAST(p.errors AS DOUBLE) / CAST(p.n_valid AS DOUBLE) AS err_rate
         |FROM per p JOIN tr t ON t.tree = p.fold ORDER BY p.fold""".stripMargin
+  }
+
+  /** events_stationary oracle: transition cells → probabilities → 8
+    * power iterations, all generated with the SAME fixed type order and
+    * left-associated multiply-add chains as the Spark lane (SQL `+` is
+    * left-associative, matching Column.reduce), so every double
+    * hash-replays. */
+  private val eventsStationaryOracle: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = (for { i <- types; j <- types } yield
+      s"SUM(CASE WHEN from_type = '$i' AND to_type = '$j' THEN 1 ELSE 0 END) AS c_${i}_$j")
+      .mkString(",\n    ")
+    val probs = (for { i <- types; j <- types } yield {
+      val rowTot = types.map(k => s"c_${i}_$k").mkString(" + ")
+      s"CAST(c_${i}_$j AS DOUBLE) / CAST($rowTot AS DOUBLE) AS p_${i}_$j"
+    }).mkString(",\n    ")
+    val iters = (1 to 8).map { k =>
+      def pi(t: String) = if (k == 1) "0.2" else s"pi${k - 1}_$t"
+      val comps = types.map { j =>
+        types.map(i => s"${pi(i)} * p_${i}_$j").mkString(" + ") + s" AS pi${k}_$j"
+      }.mkString(",\n    ")
+      val src = if (k == 1) "pm" else s"it${k - 1}"
+      s"it$k AS (SELECT *,\n    $comps\n  FROM $src)"
+    }
+    val finalSel = types.map(t =>
+      s"SELECT '$t' AS event_type, pi8_$t AS pi FROM it8").mkString("\nUNION ALL ")
+    s"""WITH pr AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS to_type
+       |  FROM events),
+       |pairs AS (SELECT from_type, to_type FROM pr WHERE to_type IS NOT NULL),
+       |cm AS (SELECT
+       |    $cells
+       |  FROM pairs),
+       |pm AS (SELECT
+       |    $probs
+       |  FROM cm),
+       |""".stripMargin + iters.mkString(",\n") + "\n" +
+      finalSel + "\nORDER BY event_type"
   }
 
   /** graph_betweenness oracle: recursive-CTE distances capped at the
@@ -9568,6 +9761,8 @@ FROM cells"""
     "ml_auc" -> mlAucOracle,
     "ml_confusion" -> mlConfusionOracle,
     "ml_cv" -> mlCvOracle,
+    "ml_lift" -> mlLiftOracle,
+    "events_stationary" -> eventsStationaryOracle,
     "graph_betweenness" -> graphBetweennessOracle,
 
     // the argmax-|T·P_k − k·S| estimator replayed with the same windows
@@ -12809,6 +13004,34 @@ FROM cells"""
         |b AS (SELECT MIN(ecc) AS radius_ub, MAX(ecc) AS diameter_lb FROM per)
         |SELECT per.s, per.n_reached, per.ecc, b.radius_ub, b.diameter_lb
         |FROM per, b ORDER BY per.s""".stripMargin),
+
+    // same edge derivation; degree-annotated edge pass, exact sufficient
+    // statistics, one fixed IEEE tail (cast/sqrt/sqrt/mul/div)
+    "graph_assortativity" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT u AS src, dst FROM (
+        |    SELECT u, ('0x' || substr(md5('scc-a-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0
+        |    UNION ALL
+        |    SELECT u, ('0x' || substr(md5('scc-b-' || u), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE u % 7 <> 0)
+        |  WHERE u <> dst),
+        |outd AS (SELECT src, COUNT(*) AS xd FROM edges GROUP BY 1),
+        |ind AS (SELECT dst, COUNT(*) AS yd FROM edges GROUP BY 1),
+        |ex AS (SELECT o.xd, i.yd FROM edges e
+        |  JOIN outd o ON o.src = e.src JOIN ind i ON i.dst = e.dst),
+        |st AS (SELECT COUNT(*) AS m,
+        |  CAST(SUM(xd) AS BIGINT) AS sx, CAST(SUM(yd) AS BIGINT) AS sy,
+        |  CAST(SUM(xd * yd) AS BIGINT) AS sxy,
+        |  CAST(SUM(xd * xd) AS BIGINT) AS sxx,
+        |  CAST(SUM(yd * yd) AS BIGINT) AS syy FROM ex)
+        |SELECT m, sx, sy, sxy, sxx, syy,
+        |  CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS r
+        |FROM st""".stripMargin,
 
     // five likelihood-scored rounds, generated programmatically (same
     // round shape as text_bpe_train's unrolled oracle plus a per-round

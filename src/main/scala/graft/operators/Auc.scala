@@ -51,4 +51,41 @@ object Auc {
     cells.select(n1.as("n_pos"), n0.as("n_neg"), u2.as("u2"),
       (u2.cast("double") / (lit(2L) * n1 * n0).cast("double")).as("auc"))
   }
+
+  /** Cumulative gains / lift table over the same contingency cells: one
+    * row per candidate threshold `cut` ∈ domain — flag every example
+    * with score ≥ cut, report flagged count, captured positives, recall
+    * tp/n₁, and lift (tp/n_flagged)/(n₁/n) in its cross-multiplied
+    * rational form tp·n/(n_flagged·n₁) so each metric is ONE exact-int
+    * IEEE division. The cumulative sums are STATIC partial sums of the
+    * cells (no window, no sort — same 100 TB shape as fromBucketScores);
+    * the targeting decision "how deep to mail/crawl/label" reads
+    * straight off the table. */
+  def liftTable(scores: DataFrame, scoreCol: String, labelCol: String,
+      domain: Seq[Long]): DataFrame = {
+    require(domain.nonEmpty && domain == domain.sorted && domain.distinct == domain)
+    def cell(v: Long, lab: Long): Column =
+      sum(when(col(scoreCol) === v && col(labelCol) === lab, 1L).otherwise(0L))
+    val aggs = domain.flatMap(v =>
+      Seq(cell(v, 1L).as(s"p$v"), cell(v, 0L).as(s"q$v")))
+    val cells = scores.agg(aggs.head, aggs.tail: _*)
+    val n1 = domain.map(v => col(s"p$v")).reduce(_ + _)
+    val n = domain.flatMap(v => Seq(col(s"p$v"), col(s"q$v"))).reduce(_ + _)
+    val rows = domain.map { cut =>
+      val tp = domain.filter(_ >= cut).map(v => col(s"p$v")).reduce(_ + _)
+      val flagged = domain.filter(_ >= cut)
+        .flatMap(v => Seq(col(s"p$v"), col(s"q$v"))).reduce(_ + _)
+      // empty-slice guard: a cut above every attained score flags nothing;
+      // lift is undefined there (NULL in both engines, never a 0/0 throw)
+      struct(lit(cut).as("cut"), flagged.as("n_flagged"), tp.as("tp"),
+        when(flagged === 0L, lit(null).cast("double"))
+          .otherwise((tp * n).cast("double") / (flagged * n1).cast("double"))
+          .as("lift"),
+        (tp.cast("double") / n1.cast("double")).as("recall"))
+    }
+    cells.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.cut"), col("r.n_flagged"), col("r.tp"),
+        col("r.lift"), col("r.recall"))
+      .orderBy("cut")
+  }
 }

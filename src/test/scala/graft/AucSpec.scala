@@ -37,6 +37,38 @@ class AucSpec extends AnyFunSuite {
     }
   }
 
+  test("lift table matches per-cut brute-force counts") {
+    import TestSpark.spark.implicits._
+    val domain = Seq(0L, 1L, 2L, 3L)
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(300) {
+      val s = rnd.nextInt(4).toLong
+      (s, if (rnd.nextInt(5).toLong < s) 1L else 0L)
+    }
+    val n = rows.size.toLong
+    val n1 = rows.count(_._2 == 1L).toLong
+    val got = Auc.liftTable(rows.toDF("v", "label"), "v", "label", domain)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    for (cut <- domain) {
+      val flagged = rows.count(_._1 >= cut).toLong
+      val tp = rows.count(r => r._1 >= cut && r._2 == 1L).toLong
+      val (gf, gtp, glift, grec) = got(cut)
+      assert(gf == flagged && gtp == tp, s"cut=$cut counts")
+      assert(glift == (tp * n).toDouble / (flagged * n1).toDouble)
+      assert(grec == tp.toDouble / n1.toDouble)
+    }
+  }
+
+  test("lift at a cut above every attained score is NULL, not a throw") {
+    import TestSpark.spark.implicits._
+    val rows = Seq((0L, 1L), (0L, 0L), (1L, 0L)) // nothing scores 2 or 3
+    val r = Auc.liftTable(rows.toDF("v", "label"), "v", "label",
+      Seq(0L, 1L, 2L, 3L)).collect()
+    assert(r.filter(_.getLong(0) >= 2).forall(row =>
+      row.getLong(1) == 0L && row.isNullAt(3)))
+  }
+
   test("degenerate orderings: perfect, inverted, all-tied") {
     import TestSpark.spark.implicits._
     val domain = Seq(0L, 1L, 2L, 3L)

@@ -167,6 +167,13 @@ class PlanHygieneSpec extends AnyFunSuite {
       // one-row-scalar shape on metadata; routing itself is the
       // ml_forest_predict keyed broadcast hops
       "ml_auc", "ml_confusion", "ml_cv",
+      // ml_lift reuses the same one-row lift-vote totals broadcast
+      "ml_lift",
+      // graph_assortativity derives its edge set with the graph-lane
+      // ONE-ROW node-count broadcast (the graph_condensation shape —
+      // its raw edge frame feeds the degree joins directly, so the
+      // construction isn't hidden behind a checkpoint)
+      "graph_assortativity",
       // graph_eccentricity broadcasts the ONE-ROW (radius_ub,
       // diameter_lb) bounds aggregate onto the 4-row per-source census —
       // the graph-lane scalar shape (its edge derivation hides behind
