@@ -1694,6 +1694,36 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    "agg_grouping_sets" -> { (s, dir) =>
+      // GROUPING SETS — the general form rollup_agg and cube_agg
+      // specialize: MIXED non-hierarchical sets ((returnflag,
+      // linestatus), (ship year), ()) that neither ROLLUP (a prefix
+      // lattice) nor CUBE (the full lattice) can express — the exact
+      // shape of a reporting query that wants two unrelated breakdowns
+      // plus the grand total WITHOUT paying three scans. Catalyst plans
+      // ONE Expand + one hash aggregate: each input row fans out to its
+      // 3 set-instances map-side, so the corpus is read once at any
+      // scale. grouping() flags (cast to BIGINT in both engines)
+      // disambiguate subtotal NULLs from genuine NULL keys; the ORDER BY
+      // pins NULLS FIRST explicitly because Spark and DuckDB default
+      // opposite null orderings.
+      Tables.lineitem(s, dir)
+        .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+        .createOrReplaceTempView("li_gsets")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, ship_year,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          CAST(grouping(ship_year) AS BIGINT) AS g_sy,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        ORDER BY g_rf, g_ls, g_sy,
+          l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+          ship_year NULLS FIRST""")
+    },
+
     // ---- CDC / converters (#12-18) ----
 
     "json_schema_infer" -> { (s, dir) =>
@@ -3532,6 +3562,34 @@ object SparkEntry {
           when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
         .groupBy("event_id", "label").agg(sum("p").as("v"))
       graft.operators.Auc.liftTable(votes, "v", "label", Seq(0L, 1L, 2L, 3L))
+    },
+
+    "ml_target_encode" -> { (s, dir) =>
+      // Smoothed target (mean) encoding — the categorical-feature
+      // transform gradient-boosting pipelines apply before training
+      // (Micci-Barreca 2001's empirical-Bayes form with a constant
+      // smoothing weight m = 10): per category, the encoded value
+      // shrinks the category rate toward the global prior,
+      // enc = (Σy + m·prior)/(n + m). With prior = SY/N the whole
+      // expression folds to the exact integer rational
+      // (Σy·N + m·SY)/(N·(n + m)) — ONE IEEE division per category, no
+      // intermediate float prior (peak numerator ~1e14 at sf10, inside
+      // int64). Shape: one keyed agg + the ONE-ROW global totals
+      // broadcast onto the 24-row category frame; the per-row apply
+      // step in production is a broadcast map-side join against this
+      // output.
+      val ev = Tables.events(s, dir).select(
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val per = ev.groupBy("hour").agg(
+        count(lit(1)).as("n"), sum("label").as("sum_y"))
+      val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("sy_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("hour"), col("n"), col("sum_y"),
+          (col("sum_y").cast("double") / col("n").cast("double")).as("rate"),
+          ((col("sum_y") * col("n_tot") + lit(10L) * col("sy_tot")).cast("double")
+            / (col("n_tot") * (col("n") + lit(10L))).cast("double")).as("enc"))
+        .orderBy("hour")
     },
 
     "ml_cv" -> { (s, dir) =>
@@ -7348,6 +7406,50 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "sample_neyman" -> { (s, dir) =>
+      // Neyman-optimal stratified sample allocation (Neyman 1934: for a
+      // fixed total budget, minimum-variance allocation gives stratum h
+      // n_h ∝ N_h·S_h — big AND volatile strata get the samples; the
+      // design every survey/eval-set builder should use instead of
+      // proportional allocation). Strata = the FIXED 5-type event
+      // domain, so the whole computation pivots into ONE ROW of 15
+      // conditional-sum cells (the events_stationary discipline): per
+      // stratum N, Σx, Σx² over cents — variance numerator N·Σx² − (Σx)²
+      // EXACT via the DECIMAL(19,0)×(19,0)→(38,0) promotion (peak
+      // ~3e23 at sf10, past int64; the Boosting d19 trick), then S_h =
+      // one sqrt of one division, w_h = N_h·S_h, W folded in fixed type
+      // order, and the 1000-budget allocation floor(1000·w_h/W) — every
+      // double a fixed replayable IEEE sequence, every integer exact.
+      // ONE corpus pass; everything after is column arithmetic.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("cents"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val cells = types.flatMap(t => Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
+        sum(when(col("event_type") === t, col("cents")).otherwise(0L)).as(s"sx_$t"),
+        sum(when(col("event_type") === t, col("cents") * col("cents"))
+          .otherwise(0L)).as(s"sq_$t")))
+      val one = ev.agg(cells.head, cells.tail: _*)
+      val withW = types.foldLeft(one) { (df, t) =>
+        df.withColumn(s"s_$t", sqrt(
+            (d19(col(s"n_$t")) * d19(col(s"sq_$t"))
+              - d19(col(s"sx_$t")) * d19(col(s"sx_$t"))).cast("double")
+              / (col(s"n_$t") * col(s"n_$t")).cast("double")))
+          .withColumn(s"w_$t", col(s"n_$t").cast("double") * col(s"s_$t"))
+      }
+      val withAll = withW.withColumn("w_all",
+        types.map(t => col(s"w_$t")).reduce(_ + _))
+      withAll.select(explode(array(types.map(t => struct(
+          lit(t).as("event_type"), col(s"n_$t").as("n_rows"),
+          col(s"sx_$t").as("sum_cents"), col(s"s_$t").as("s_dev"),
+          floor(lit(1000.0) * col(s"w_$t") / col("w_all")).cast("long")
+            .as("alloc"))): _*)).as("r"))
+        .select(col("r.event_type"), col("r.n_rows"), col("r.sum_cents"),
+          col("r.s_dev"), col("r.alloc"))
+        .orderBy("event_type")
+    },
+
     "sample_importance" -> { (s, dir) =>
       // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
       // for Language Models via Importance Resampling"): score every doc
@@ -8486,6 +8588,47 @@ cells AS (SELECT
        |  FROM cm),
        |""".stripMargin + iters.mkString(",\n") + "\n" +
       finalSel + "\nORDER BY event_type"
+  }
+
+  /** sample_neyman oracle: the same one-row cell pivot; the exact
+    * variance numerator rides HUGEINT and converts to DOUBLE via a
+    * VARCHAR parse (the profile_benford lesson — both engines then do a
+    * correctly-rounded decimal-string → double), every subsequent IEEE
+    * op in the same fixed textual order as the Spark columns. */
+  private val sampleNeymanOracle: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = types.flatMap(t => Seq(
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t",
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN cents ELSE 0 END) AS BIGINT) AS sx_$t",
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN cents * cents ELSE 0 END) AS BIGINT) AS sq_$t"))
+      .mkString(",\n    ")
+    val sCols = types.map(t =>
+      s"""sqrt(CAST(CAST(CAST(n_$t AS HUGEINT) * sq_$t
+         |      - CAST(sx_$t AS HUGEINT) * sx_$t AS VARCHAR) AS DOUBLE)
+         |    / CAST(n_$t * n_$t AS DOUBLE)) AS s_$t""".stripMargin)
+      .mkString(",\n    ")
+    val wCols = types.map(t => s"CAST(n_$t AS DOUBLE) * s_$t AS w_$t")
+      .mkString(",\n    ")
+    val wAll = types.map(t => s"w_$t").mkString(" + ")
+    val sel = types.map(t =>
+      s"""SELECT '$t' AS event_type, n_$t AS n_rows, sx_$t AS sum_cents,
+         |  s_$t AS s_dev,
+         |  CAST(floor(1000.0 * w_$t / w_all) AS BIGINT) AS alloc FROM am""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |cm AS (SELECT
+       |    $cells
+       |  FROM e),
+       |sm AS (SELECT *,
+       |    $sCols
+       |  FROM cm),
+       |wm AS (SELECT *,
+       |    $wCols
+       |  FROM sm),
+       |am AS (SELECT *, $wAll AS w_all FROM wm)
+       |""".stripMargin + sel + "\nORDER BY event_type"
   }
 
   /** graph_betweenness oracle: recursive-CTE distances capped at the
@@ -9763,6 +9906,20 @@ cells AS (SELECT
     "ml_cv" -> mlCvOracle,
     "ml_lift" -> mlLiftOracle,
     "events_stationary" -> eventsStationaryOracle,
+    "sample_neyman" -> sampleNeymanOracle,
+    "ml_target_encode" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |per AS (SELECT hour, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS sum_y
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_tot, CAST(SUM(label) AS BIGINT) AS sy_tot
+        |  FROM e)
+        |SELECT hour, n, sum_y,
+        |  CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  CAST(sum_y * n_tot + 10 * sy_tot AS DOUBLE)
+        |    / CAST(n_tot * (n + 10) AS DOUBLE) AS enc
+        |FROM per, t ORDER BY hour""".stripMargin,
     "graph_betweenness" -> graphBetweennessOracle,
 
     // the argmax-|T·P_k − k·S| estimator replayed with the same windows
@@ -10261,6 +10418,21 @@ cells AS (SELECT
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """WITH li AS (SELECT *, CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, ship_year,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(GROUPING(ship_year) AS BIGINT) AS g_sy,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        |ORDER BY g_rf, g_ls, g_sy,
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |  ship_year NULLS FIRST""".stripMargin,
 
     "json_schema_infer" ->
       """WITH p AS (SELECT

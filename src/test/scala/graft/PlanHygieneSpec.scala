@@ -169,6 +169,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "ml_auc", "ml_confusion", "ml_cv",
       // ml_lift reuses the same one-row lift-vote totals broadcast
       "ml_lift",
+      // ml_target_encode broadcasts the ONE-ROW global (N, ΣY) prior
+      // onto the 24-row category frame for the exact folded-rational
+      // smoothed encoding — the profile_drift one-row-scalar shape
+      "ml_target_encode",
       // graph_assortativity derives its edge set with the graph-lane
       // ONE-ROW node-count broadcast (the graph_condensation shape —
       // its raw edge frame feeds the degree joins directly, so the
