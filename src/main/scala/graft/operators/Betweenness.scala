@@ -62,7 +62,10 @@ object Betweenness {
     // FORWARD: level-synchronous BFS fused with σ path counting.
     var frontier = sources.map(s => (s, s, 1L)).toDF("s", "node", "sigma")
       .localCheckpoint(true)
-    var visited = frontier.select("s", "node").localCheckpoint(true)
+    // visited stays a LAZY union of the already-checkpointed per-level
+    // deltas (the Bfs discipline) — re-checkpointing the growing set
+    // every level would rewrite O(levels · |V|) state for nothing.
+    var visited = frontier.select("s", "node")
     var levels = List(frontier.withColumn("dist", lit(0)))
     for (d <- 1 to maxHop) {
       frontier = frontier.select(col("s"), col("node").as("u"), col("sigma"))
@@ -71,7 +74,7 @@ object Betweenness {
         .join(visited, Seq("s", "node"), "left_anti")
         .groupBy("s", "node").agg(sum("sigma").as("sigma"))
         .localCheckpoint(true)
-      visited = visited.union(frontier.select("s", "node")).localCheckpoint(true)
+      visited = visited.union(frontier.select("s", "node"))
       levels ::= frontier.withColumn("dist", lit(d))
     }
     // levels was built deepest-first; index by dist for the backward walk
