@@ -88,6 +88,43 @@ object SparkEntry {
       .orderBy("query_id", "metric")
   }
 
+  /** Shared forest lift-vote scorer (the ml_auc/ml_confusion/ml_lift
+    * pipeline factored once for the evaluation lanes added after them):
+    * hash-bagged depth-2 forest, leaf votes positive when its training
+    * rate exceeds the corpus base rate (exact cross-multiplied on the
+    * one-row totals broadcast), per-row vote count v ∈ 0..3 with the 0/1
+    * label. One corpus pass per tree LEVEL to train, broadcast hops to
+    * score; mirrors mlLiftVotesCtes on the oracle side. */
+  private def liftVotes(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"),
+      expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+      expr("(ts_ns div 3600000000000) % 24").as("hour"),
+      expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+    val bagged = ev
+      .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
+      .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
+        lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
+      .drop("event_id")
+    val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
+      bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
+    val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("np_tot"))
+    val classes = assigned.groupBy("tree", "node")
+      .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
+      .crossJoin(broadcast(tot))
+      .select(col("tree"), col("node"),
+        (col("cp") * col("n_tot") > col("cn") * col("np_tot")).as("leaf_pred"))
+    val scoreRows = ev.withColumn("tree",
+      explode(array(lit(0L), lit(1L), lit(2L))))
+    val routed = graft.operators.DecisionTree.applySplits(
+      scoreRows, splits, Seq("cents_b", "hour", "dow"), depth = 2)
+    routed.join(broadcast(classes), Seq("tree", "node"), "left")
+      .withColumn("p",
+        when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
+      .groupBy("event_id", "label").agg(sum("p").as("v"))
+  }
+
   private def workDir(kind: String, sfDir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -2920,6 +2957,59 @@ object SparkEntry {
         .orderBy("event_type", "lag")
     },
 
+    "events_pacf" -> { (s, dir) =>
+      // Partial autocorrelation at lags 1 and 2 via Durbin-Levinson —
+      // the AR-order diagnostic beside events_autocorr's ACF (Box &
+      // Jenkins: a cutoff in PACF after lag p identifies an AR(p)
+      // process; ACF alone cannot separate direct from propagated
+      // dependence). φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²), and with the
+      // exact cross-multiplied integer forms r_k = N_k/D of the ACF lane
+      // sharing ONE denominator, it folds to the exact rational
+      // (N2·D − N1²)/(D² − N1²) — numerator/denominator ~1e28 at sf10
+      // via the DECIMAL(19,0)×(19,0)→(38,0) promotion, ONE IEEE division
+      // (decimal→double replays DuckDB's HUGEINT→VARCHAR→DOUBLE parse —
+      // the sample_neyman convention). Shape: corpus → ONE keyed daily
+      // agg; everything after runs on the O(types×days) metadata frame.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily
+        .withColumn("x1", lead("x", 1).over(w))
+        .withColumn("x2", lead("x", 2).over(w))
+      val totals = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("sxx"))
+      val pairs = lagged.selectExpr("event_type", "x",
+          "stack(2, 1L, x1, 2L, x2) as (lag, xk)")
+        .where(col("xk").isNotNull)
+        .groupBy("event_type", "lag")
+        .agg(sum(col("x") * col("xk")).as("sxy"),
+          sum("x").as("hx"), sum("xk").as("tx"), count(lit(1)).as("m"))
+      val nk = pairs.join(totals, "event_type")
+        .withColumn("num", col("n") * col("n") * col("sxy") -
+          col("n") * col("s") * (col("hx") + col("tx")) +
+          col("m") * col("s") * col("s"))
+        .withColumn("den", col("n") * col("n") * col("sxx") -
+          col("n") * col("s") * col("s"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val wide = nk.groupBy("event_type")
+        .agg(max("n").as("n_days"),
+          max(when(col("lag") === 1L, col("num"))).as("n1"),
+          max(when(col("lag") === 2L, col("num"))).as("n2"),
+          max("den").as("d"))
+      wide.select(col("event_type"), col("n_days"),
+          (col("n1").cast("double") / col("d").cast("double")).as("r1"),
+          (col("n2").cast("double") / col("d").cast("double")).as("r2"),
+          when(d19(col("d")) * d19(col("d")) - d19(col("n1")) * d19(col("n1")) === 0,
+            lit(null).cast("double"))
+            .otherwise(
+              (d19(col("n2")) * d19(col("d")) - d19(col("n1")) * d19(col("n1"))).cast("double")
+                / (d19(col("d")) * d19(col("d")) - d19(col("n1")) * d19(col("n1"))).cast("double"))
+            .as("phi22"))
+        .orderBy("event_type")
+    },
+
     "events_trend" -> { (s, dir) =>
       // Mann-Kendall trend test + Theil-Sen slope per event type — the
       // nonparametric trend member beside the smoothing/forecast tier
@@ -3130,6 +3220,57 @@ object SparkEntry {
           (col("n") * col("e_ppb")).as("expected_x1e9"), col("term"),
           col("chi2"), (!(col("chi2") > lit(15.507313d))).as("conforms"))
         .orderBy("digit")
+    },
+
+    "orders_pareto" -> { (s, dir) =>
+      // ABC / Pareto revenue classification (the 80/95 concentration
+      // census inventory analytics runs on every catalog): parts ranked
+      // by revenue, class A = parts within the first 80% of cumulative
+      // revenue, B to 95%, C the tail. The fact table collapses in ONE
+      // keyed agg (revenue in exact 1e-4-dollar BIGINT units — the
+      // (12,2)×(4,2) decimal product is integral at scale 4, so the
+      // cast rounds nothing); the global cumulative sum that a naive
+      // plan runs as a SINGLE-PARTITION window decomposes by REVENUE
+      // BAND (rev div 2²⁸): per-band totals are one keyed agg, the
+      // ~hundreds-row band table prefixes driver-side (the PrefixSum
+      // bounded-metadata pattern), offsets broadcast back, and the
+      // within-band running sum windows PARTITIONED by band — band
+      // ranges are disjoint in rev, so band-desc + (rev desc, pk)
+      // within-band IS the global order. Class cuts are exact integer
+      // cross-multiplications (cum·5 ≤ total·4; cum·20 ≤ total·19);
+      // the one IEEE division is the reported share.
+      val per = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("pk"),
+          (dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+            * lit(10000)).cast("long").as("rev"))
+        .groupBy("pk").agg(sum("rev").as("rev"))
+      val tot = per.agg(sum("rev").as("trev"))
+      val banded = per.withColumn("band", expr("rev div 268435456"))
+      val bands = banded.groupBy("band").agg(sum("rev").as("brev"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1) // descending band = descending revenue range
+      val before = bands.map(_._1).zip(bands.scanLeft(0L)(_ + _._2))
+      val offsets = {
+        import s.implicits._
+        before.toSeq.toDF("band", "cum_before")
+      }
+      val w = Window.partitionBy("band")
+        .orderBy(col("rev").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      banded.join(broadcast(offsets), Seq("band"))
+        .withColumn("cum", col("cum_before") + sum("rev").over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum") * 5 <= col("trev") * 4, "A")
+            .when(col("cum") * 20 <= col("trev") * 19, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_rev"),
+          max("trev").as("trev"))
+        .select(col("abc_class"), col("n_parts"), col("class_rev"),
+          (col("class_rev").cast("double") / col("trev").cast("double"))
+            .as("share"))
+        .orderBy("abc_class")
     },
 
     "orders_cohort_ltv" -> { (s, dir) =>
@@ -3646,6 +3787,35 @@ object SparkEntry {
           (col("errors").cast("double") / col("n_valid").cast("double"))
             .as("err_rate"))
         .orderBy("fold")
+    },
+
+    "ml_pr_auc" -> { (s, dir) =>
+      // Precision-recall average precision (operators/Auc
+      // .averagePrecision) of the shared forest lift-vote scorer — the
+      // imbalanced-class evaluation beside ml_auc's ROC: with ~20%
+      // positives, ROC-AUC is dominated by the easy negatives while AP
+      // weights every threshold by the precision actually attained
+      // (Davis & Goadrich 2006). Same ONE-pass contingency-cell shape:
+      // fixed 0..3 vote domain, AP folded over descending cuts in a
+      // fixed left-associated IEEE chain (two exact-int divisions + one
+      // multiply per term), base_rate = the AP of a random ranker for
+      // calibration of the number. No rank, no window, no join.
+      graft.operators.Auc.averagePrecision(
+        liftVotes(s, dir), "v", "label", Seq(0L, 1L, 2L, 3L))
+    },
+
+    "ml_calibration" -> { (s, dir) =>
+      // Reliability table + Brier score (operators/Auc.calibrationTable)
+      // of the same lift-vote scores: per vote level, the implied
+      // probability v/3 against the empirical positive rate (exact-int
+      // IEEE divisions; NULL on unattained levels in both engines), the
+      // signed calibration gap, and the corpus Brier score folded over
+      // the fixed domain in ascending left-associated order. AUC ranks,
+      // calibration trusts — a scorer that routes crawl/label budget
+      // needs both, and this costs the same single conditional-sum pass
+      // over the corpus as ml_auc.
+      graft.operators.Auc.calibrationTable(
+        liftVotes(s, dir), "v", "label", Seq(0L, 1L, 2L, 3L))
     },
 
     "ml_gbt" -> { (s, dir) =>
@@ -4461,6 +4631,43 @@ object SparkEntry {
         .orderBy("flag")
     },
 
+    "ml_ridge" -> { (s, dir) =>
+      // Ridge regression path via the SAME sufficient statistics as
+      // ml_linreg (Hoerl & Kennard 1970): for a 1-feature fit the
+      // L2-penalized slope is the closed form
+      // β_λ = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)² + λ·n), so the WHOLE
+      // regularization path costs ONE corpus pass — the grid is column
+      // arithmetic on the one-row stats. Here y = event cents, x = hour
+      // of day, λ ∈ {0, 16, 256, 4096}; numerator/denominator products
+      // reach ~5e20 at sf10 (past int64) so they ride the
+      // DECIMAL(19,0)×(19,0)→(38,0) promotion, one IEEE division per λ
+      // (decimal→double matching DuckDB's HUGEINT→VARCHAR→DOUBLE — the
+      // sample_neyman convention); the unpenalized intercept
+      // (Σy − β·Σx)/n is a fixed mirrored double chain. λ=0 reproduces
+      // OLS exactly — the in-query sanity anchor for the path.
+      val lams = Seq(0L, 16L, 256L, 4096L)
+      val ev = Tables.events(s, dir).select(
+        expr("(ts_ns div 3600000000000) % 24").as("x"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("y"))
+      val stats = ev.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val num = d19(col("n")) * d19(col("sxy")) - d19(col("sx")) * d19(col("sy"))
+      val rows = lams.map { lam =>
+        val den = d19(col("n")) * d19(col("sxx")) - d19(col("sx")) * d19(col("sx")) +
+          d19(lit(lam)) * d19(col("n"))
+        val slope = num.cast("double") / den.cast("double")
+        struct(lit(lam).as("lam"), col("n").as("n"), slope.as("slope"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n").cast("double")).as("intercept"))
+      }
+      stats.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.lam"), col("r.n"), col("r.slope"), col("r.intercept"))
+        .orderBy("lam")
+    },
+
     "audit_pseudonymize" -> { (s, dir) =>
       // Deterministic pseudonymization with REFERENTIAL INTEGRITY — the
       // privacy tier's fourth member (k-anonymity audit, erasure audit,
@@ -5259,6 +5466,64 @@ object SparkEntry {
         .select(col("grp"), col("pos").cast("long").as("pos"), col("n"),
           (col("sx").cast("double") / col("n") / lit(1e12)).as("pool"))
         .orderBy("grp", "pos")
+    },
+
+    "layout_zonemap" -> { (s, dir) =>
+      // Zone-map (min/max statistics) file-skipping planner — the
+      // metadata layer that makes layout_zorder/layout_hilbert pay off:
+      // per file (o_orderkey div 4096 — the natural insert-order
+      // clustering), min/max of order day and price cents plus per-
+      // predicate match counts, all in ONE keyed agg; then four
+      // representative predicates (date range, price floor, date tail,
+      // conjunctive) are evaluated against the zone table ALONE — a
+      // pruning decision per (file, predicate) on the |files|-row
+      // metadata frame, the corpus untouched. The gate carries the
+      // skipping CONTRACT, not just counts: matched_in_pruned must be 0
+      // (a pruned file may never contain a matching row — the exact
+      // soundness property a lakehouse scan planner relies on), and
+      // scan_frac is the fraction of rows the predicate actually reads.
+      def days(c: Column): Column =
+        datediff(c.cast("date"), to_date(lit("1970-01-01"))).cast("long")
+      def dlit(sd: String): Column =
+        datediff(lit(sd).cast("date"), to_date(lit("1970-01-01"))).cast("long")
+      val o = Tables.orders(s, dir).select(
+        expr("o_orderkey div 4096").as("file"),
+        days(col("o_orderdate")).as("day"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val conds: Seq[(Long, Column)] = Seq(
+        1L -> (col("day") >= dlit("1994-01-01") && col("day") <= dlit("1994-12-31")),
+        2L -> (col("cents") >= 40000000L),
+        3L -> (col("day") < dlit("1993-01-01")),
+        4L -> (col("day") >= dlit("1997-06-01") && col("cents") < 5000000L))
+      val zoneAggs: Seq[Column] = Seq(
+        count(lit(1)).as("rows"),
+        min("day").as("dmin"), max("day").as("dmax"),
+        min("cents").as("pmin"), max("cents").as("pmax")) ++
+        conds.map { case (pid, c) =>
+          sum(when(c, 1L).otherwise(0L)).as(s"m$pid") }
+      val zones = o.groupBy("file").agg(zoneAggs.head, zoneAggs.tail: _*)
+      val scans: Seq[(Long, Column)] = Seq(
+        1L -> (col("dmax") >= dlit("1994-01-01") && col("dmin") <= dlit("1994-12-31")),
+        2L -> (col("pmax") >= 40000000L),
+        3L -> (col("dmin") < dlit("1993-01-01")),
+        4L -> (col("dmax") >= dlit("1997-06-01") && col("pmin") < 5000000L))
+      zones.select(explode(array(scans.map { case (pid, sc) =>
+          struct(lit(pid).as("pid"), sc.as("scanned"), col("rows"),
+            col(s"m$pid").as("m"))
+        }: _*)).as("z"))
+        .select(col("z.pid"), col("z.scanned"), col("z.rows"), col("z.m"))
+        .groupBy("pid").agg(
+          count(lit(1)).as("n_files"),
+          sum(when(col("scanned"), 1L).otherwise(0L)).as("n_scanned"),
+          sum(when(col("scanned"), col("rows")).otherwise(0L)).as("rows_scanned"),
+          sum("rows").as("rows_total"),
+          sum("m").as("rows_matched"),
+          sum(when(!col("scanned"), col("m")).otherwise(0L)).as("matched_in_pruned"))
+        .select(col("pid"), col("n_files"), col("n_scanned"),
+          col("rows_scanned"), col("rows_matched"), col("matched_in_pruned"),
+          (col("rows_scanned").cast("double") / col("rows_total").cast("double"))
+            .as("scan_frac"))
+        .orderBy("pid")
     },
 
     "layout_compact" -> { (s, dir) =>
@@ -6419,6 +6684,52 @@ object SparkEntry {
           (col("c").cast("double") / (col("du") + col("dv") - col("c")).cast("double")).as("jaccard"),
           col("eu").isNotNull.as("is_edge"))
         .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(20)
+    },
+
+    "graph_linkpred_ra" -> { (s, dir) =>
+      // Resource-allocation link prediction (Zhou, Lü & Zhang 2009: each
+      // common neighbor v contributes 1/deg(v) — low-degree witnesses
+      // are stronger evidence than hubs; consistently the top performer
+      // in the Liben-Nowell benchmark family beside graph_linkpred's
+      // Jaccard). The weight rides as the FIXED-POINT integer
+      // 2²⁰ div deg(v), so the per-pair score is an exact BIGINT sum —
+      // order-independent where an IEEE Σ1/deg would hash-diverge under
+      // shuffle reordering (the float-poisoning lesson applied to
+      // variable-width sums; ranking ties broken by (u, v) stay total).
+      // Shape: deg joins onto the adjacency ONCE keyed by the wedge
+      // CENTER before the self-join, so the weight arrives with the
+      // wedge and the pair agg is one keyed SUM — same bounded
+      // Σdeg(w)² candidate generation as the Jaccard lane.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val raw = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("scc-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("scc-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val adj = raw.select(col("src").as("a"), col("dst").as("b"))
+        .union(raw.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+      val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      // weight the wedge CENTER (column b of both sides): one keyed join
+      val wadj = adj.join(deg.select(col("a").as("b"), col("d").as("dc")), "b")
+        .select(col("a"), col("b"),
+          expr("cast(1048576 as bigint) div dc").as("wt"))
+      val pairs = wadj.select(col("a").as("u"), col("b").as("w"), col("wt"))
+        .join(wadj.select(col("a").as("v"), col("b").as("w")), "w")
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("c"), sum("wt").as("ra"))
+      val edgeSet = adj.where(col("a") < col("b"))
+        .select(col("a").as("eu"), col("b").as("ev"))
+      pairs
+        .join(edgeSet, col("u") === col("eu") && col("v") === col("ev"), "left")
+        .select(col("u"), col("v"), col("c"), col("ra"),
+          col("eu").isNotNull.as("is_edge"))
+        .orderBy(col("ra").desc, col("u"), col("v"))
         .limit(20)
     },
 
@@ -7606,6 +7917,52 @@ object SparkEntry {
         .orderBy("source", "rk")
     },
 
+    "sample_balanced" -> { (s, dir) =>
+      // Class-balanced downsampling — every class capped at the MINORITY
+      // class's count, selection = the `target` smallest (hash, id) per
+      // class so membership is deterministic under any partitioning or
+      // backfill (the sample_split/sample_reservoir hash discipline).
+      // The naive per-class rank is a window with |classes| partitions —
+      // single-task sorts of n/|classes| rows. Instead the distributed
+      // HISTOGRAM SELECTION shape (the reshape_quantile_norm r9
+      // re-plan): bucket the 60-bit hash's top 16 bits → per
+      // (class, bucket) counts in ONE keyed agg; the |classes|×65536
+      // metadata frame locates each class's boundary bucket and residual
+      // quota; rows BELOW the boundary keep map-side, and only the
+      // ~n/65536-row boundary slice is ranked. Census gates exact
+      // MEMBERSHIP, not just counts: per class n_kept (= target),
+      // Σ event_id and bit_xor of the kept hashes.
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        .withColumn("h", Tf.hash60(concat(lit("bal-"), col("event_id").cast("string"))))
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val target = counts.agg(min("cnt").as("target"))
+      val bucketed = ev.withColumn("bucket", expr("h div 17592186044416")) // 2^44
+      val hist = bucketed.groupBy("event_type", "bucket").agg(count(lit(1)).as("bc"))
+      val wb = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boundary = hist
+        .withColumn("below", coalesce(sum("bc").over(wb), lit(0L)))
+        .crossJoin(broadcast(target))
+        .where(col("below") < col("target") &&
+          col("below") + col("bc") >= col("target"))
+        .select(col("event_type"), col("bucket").as("bb"),
+          (col("target") - col("below")).as("quota"))
+      val withB = bucketed.join(broadcast(boundary), Seq("event_type"))
+      val keepLow = withB.where(col("bucket") < col("bb"))
+        .select("event_type", "event_id", "h")
+      val wr = Window.partitionBy("event_type").orderBy(col("h"), col("event_id"))
+      val keepEdge = withB.where(col("bucket") === col("bb"))
+        .withColumn("rk", row_number().over(wr))
+        .where(col("rk") <= col("quota"))
+        .select("event_type", "event_id", "h")
+      keepLow.union(keepEdge)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("event_id").as("sum_ids"),
+          expr("bit_xor(h)").as("xor_h"))
+        .orderBy("event_type")
+    },
+
     "text_repetition" -> { (s, dir) =>
       // Gopher-style repetition filters, entirely map-only: the most
       // frequent bigram's share (max multiplicity — no explode/groupBy
@@ -8489,6 +8846,73 @@ cells AS (SELECT
     $cells
   FROM votes)
 """ + rows.mkString("\nUNION ALL ") + "\nORDER BY cut"
+  }
+
+  /** ml_pr_auc oracle: the lift-vote cells again, AP folded over
+    * descending cuts in the same left-associated IEEE chain as
+    * operators/Auc.averagePrecision (two exact-int divisions + one
+    * multiply per term; empty cut contributes exact 0). */
+  private val mlPrAucOracle: String = {
+    val dom = 0 to 3
+    val cells = dom.flatMap(v => Seq(
+      s"SUM(CASE WHEN v = $v AND label = 1 THEN 1 ELSE 0 END) AS p$v",
+      s"SUM(CASE WHEN v = $v AND label = 0 THEN 1 ELSE 0 END) AS q$v"))
+      .mkString(",\n    ")
+    val n1 = dom.map(v => s"p$v").mkString(" + ")
+    val n = dom.flatMap(v => Seq(s"p$v", s"q$v")).mkString(" + ")
+    val terms = dom.reverse.map { cut =>
+      val tp = dom.filter(_ >= cut).map(v => s"p$v").mkString(" + ")
+      val fl = dom.filter(_ >= cut).flatMap(v => Seq(s"p$v", s"q$v")).mkString(" + ")
+      s"""CASE WHEN ($fl) = 0 THEN 0.0
+         |    ELSE (CAST(p$cut AS DOUBLE) / CAST($n1 AS DOUBLE))
+         |      * (CAST($tp AS DOUBLE) / CAST($fl AS DOUBLE)) END""".stripMargin
+    }
+    mlLiftVotesCtes + s""",
+cells AS (SELECT
+    $cells
+  FROM votes)
+SELECT CAST($n1 AS BIGINT) AS n_pos,
+  CAST($n - ($n1) AS BIGINT) AS n_neg,
+  CAST($n1 AS DOUBLE) / CAST($n AS DOUBLE) AS base_rate,
+  """ + terms.mkString("\n  + ") + "\n  AS ap\nFROM cells"
+  }
+
+  /** ml_calibration oracle: per-score reliability rows + the Brier score
+    * folded over the fixed domain ascending (left-associated, each term
+    * the same double sequence as operators/Auc.calibrationTable). */
+  private val mlCalibrationOracle: String = {
+    val dom = 0 to 3
+    val cells = dom.flatMap(v => Seq(
+      s"SUM(CASE WHEN v = $v AND label = 1 THEN 1 ELSE 0 END) AS p$v",
+      s"SUM(CASE WHEN v = $v AND label = 0 THEN 1 ELSE 0 END) AS q$v"))
+      .mkString(",\n    ")
+    val n = dom.flatMap(v => Seq(s"p$v", s"q$v")).mkString(" + ")
+    val brierTerms = dom.map { v =>
+      val pv = s"(CAST($v AS DOUBLE) / CAST(3 AS DOUBLE))"
+      s"""CAST(p$v AS DOUBLE) * ((1.0 - $pv) * (1.0 - $pv))
+         |    + CAST(q$v AS DOUBLE) * ($pv * $pv)""".stripMargin
+    }
+    val rows = dom.map { v =>
+      s"""SELECT CAST($v AS BIGINT) AS score,
+         |  CAST(p$v + q$v AS BIGINT) AS n, CAST(p$v AS BIGINT) AS n_pos,
+         |  CAST($v AS DOUBLE) / CAST(3 AS DOUBLE) AS pred_p,
+         |  CASE WHEN (p$v + q$v) = 0 THEN CAST(NULL AS DOUBLE)
+         |    ELSE CAST(p$v AS DOUBLE) / CAST(p$v + q$v AS DOUBLE) END AS emp_p
+         |FROM cells""".stripMargin
+    }
+    mlLiftVotesCtes + s""",
+cells AS (SELECT
+    $cells
+  FROM votes),
+br AS (SELECT
+    (""" + brierTerms.mkString("\n  + ") + s""")
+    / CAST($n AS DOUBLE) AS brier
+  FROM cells),
+rl AS (
+""" + rows.mkString("\nUNION ALL ") + """)
+SELECT r.score, r.n, r.n_pos, r.pred_p, r.emp_p,
+  r.emp_p - r.pred_p AS gap, b.brier
+FROM rl r, br b ORDER BY r.score"""
   }
 
   /** ml_cv oracle: the forest level SQL verbatim (it is generic over the
@@ -9525,6 +9949,50 @@ cells AS (SELECT
         |FROM agg a JOIN tot t USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
 
+    // the autocorr integer forms N1, N2, D pivoted wide; φ22's ~1e28
+    // products ride HUGEINT, parsed to DOUBLE via VARCHAR to replay
+    // Spark's DECIMAL(38,0)→double cast (sample_neyman convention)
+    "events_pacf" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type, CAST(l.k AS BIGINT) AS lag, a.x AS x, b.x AS xk
+        |  FROM ranked a
+        |  JOIN (VALUES (1),(2)) l(k) ON TRUE
+        |  JOIN ranked b ON b.event_type = a.event_type AND b.r = a.r + l.k),
+        |agg AS (
+        |  SELECT event_type, lag, SUM(x*xk) AS sxy, SUM(x) AS hx,
+        |    SUM(xk) AS tx, COUNT(*) AS m
+        |  FROM pairs GROUP BY 1, 2),
+        |nk AS (
+        |  SELECT a.event_type, a.lag, t.n,
+        |    CAST(n*n*sxy - n*s*(hx+tx) + m*s*s AS BIGINT) AS num,
+        |    CAST(n*n*sxx - n*s*s AS BIGINT) AS den
+        |  FROM agg a JOIN tot t USING (event_type)),
+        |wide AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |    MAX(CASE WHEN lag = 1 THEN num END) AS n1,
+        |    MAX(CASE WHEN lag = 2 THEN num END) AS n2,
+        |    MAX(den) AS d
+        |  FROM nk GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE) AS r1,
+        |  CAST(n2 AS DOUBLE) / CAST(d AS DOUBLE) AS r2,
+        |  CASE WHEN CAST(d AS HUGEINT) * d - CAST(n1 AS HUGEINT) * n1 = 0
+        |    THEN CAST(NULL AS DOUBLE)
+        |    ELSE CAST(CAST(CAST(n2 AS HUGEINT) * d - CAST(n1 AS HUGEINT) * n1 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(d AS HUGEINT) * d - CAST(n1 AS HUGEINT) * n1 AS VARCHAR) AS DOUBLE)
+        |  END AS phi22
+        |FROM wide ORDER BY event_type""".stripMargin,
+
     // same pairwise frame; the Theil-Sen median replays via the identical
     // IEEE-double slope ordering with (d1, d2) tie-break and ceil-median
     "events_trend" ->
@@ -9905,6 +10373,35 @@ cells AS (SELECT
     "ml_confusion" -> mlConfusionOracle,
     "ml_cv" -> mlCvOracle,
     "ml_lift" -> mlLiftOracle,
+    "ml_pr_auc" -> mlPrAucOracle,
+    "ml_calibration" -> mlCalibrationOracle,
+
+    // one-pass sufficient statistics; HUGEINT products parsed to DOUBLE
+    // via VARCHAR (the sample_neyman conversion convention) so the one
+    // IEEE division per λ replays Spark's DECIMAL(38,0)→double cast
+    "ml_ridge" -> {
+      val lams = Seq(0L, 16L, 256L, 4096L)
+      val sel = lams.map { lam =>
+        s"""SELECT CAST($lam AS BIGINT) AS lam, CAST(n AS BIGINT) AS n, sx, sy,
+           |  CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+           |  / CAST(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+           |      + $lam * CAST(n AS HUGEINT) AS VARCHAR) AS DOUBLE) AS slope
+           |FROM st""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT (epoch_ns(ts) // 3600000000000) % 24 AS x,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+         |  FROM events),
+         |st AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x*x) AS BIGINT) AS sxx
+         |  FROM e),
+         |rl AS (
+         |$sel)
+         |SELECT lam, n, slope,
+         |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE) AS intercept
+         |FROM rl ORDER BY lam""".stripMargin
+    },
     "events_stationary" -> eventsStationaryOracle,
     "sample_neyman" -> sampleNeymanOracle,
     "ml_target_encode" ->
@@ -12086,6 +12583,42 @@ cells AS (SELECT
         |  CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e12 AS pool
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the zone table and every pruning decision replayed relationally;
+    // date bounds as epoch-day ints (DATE - DATE is integer days)
+    "layout_zonemap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey // 4096 AS f,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (SELECT
+        |    CAST(DATE '1994-01-01' - DATE '1970-01-01' AS BIGINT) AS d94lo,
+        |    CAST(DATE '1994-12-31' - DATE '1970-01-01' AS BIGINT) AS d94hi,
+        |    CAST(DATE '1993-01-01' - DATE '1970-01-01' AS BIGINT) AS d93,
+        |    CAST(DATE '1997-06-01' - DATE '1970-01-01' AS BIGINT) AS d976),
+        |z AS (
+        |  SELECT f, COUNT(*) AS rws, MIN(day) AS dmin, MAX(day) AS dmax,
+        |    MIN(cents) AS pmin, MAX(cents) AS pmax,
+        |    SUM(CASE WHEN day >= d94lo AND day <= d94hi THEN 1 ELSE 0 END) AS m1,
+        |    SUM(CASE WHEN cents >= 40000000 THEN 1 ELSE 0 END) AS m2,
+        |    SUM(CASE WHEN day < d93 THEN 1 ELSE 0 END) AS m3,
+        |    SUM(CASE WHEN day >= d976 AND cents < 5000000 THEN 1 ELSE 0 END) AS m4
+        |  FROM o, d GROUP BY f),
+        |p AS (
+        |  SELECT 1 AS pid, (dmax >= d94lo AND dmin <= d94hi) AS scanned,
+        |    rws, m1 AS m FROM z, d
+        |  UNION ALL SELECT 2, pmax >= 40000000, rws, m2 FROM z
+        |  UNION ALL SELECT 3, dmin < d93, rws, m3 FROM z, d
+        |  UNION ALL SELECT 4, (dmax >= d976 AND pmin < 5000000), rws, m4 FROM z, d)
+        |SELECT CAST(pid AS BIGINT) AS pid, COUNT(*) AS n_files,
+        |  CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+        |  CAST(SUM(CASE WHEN scanned THEN rws ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(SUM(m) AS BIGINT) AS rows_matched,
+        |  CAST(SUM(CASE WHEN NOT scanned THEN m ELSE 0 END) AS BIGINT) AS matched_in_pruned,
+        |  CAST(SUM(CASE WHEN scanned THEN rws ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(rws) AS DOUBLE) AS scan_frac
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "layout_compact" ->
       """WITH f AS (
         |  SELECT l_orderkey // 64 AS file_id, COUNT(*) AS size_rows
@@ -12815,6 +13348,64 @@ cells AS (SELECT
         |JOIN deg dv ON dv.a = v
         |LEFT JOIN es ON es.eu = u AND es.ev = v
         |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+
+    // single global window replays the banded two-phase scan exactly:
+    // band ranges are disjoint in rev, so the orders coincide
+    "orders_pareto" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT) AS rev
+        |  FROM lineitem),
+        |per AS (SELECT pk, CAST(SUM(rev) AS BIGINT) AS rev FROM li GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS trev FROM per),
+        |c AS (
+        |  SELECT pk, rev,
+        |    CAST(SUM(rev) OVER (ORDER BY rev DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM per),
+        |cl AS (
+        |  SELECT CASE WHEN cum * 5 <= trev * 4 THEN 'A'
+        |    WHEN cum * 20 <= trev * 19 THEN 'B' ELSE 'C' END AS abc_class,
+        |    rev, trev
+        |  FROM c, tot)
+        |SELECT abc_class, COUNT(*) AS n_parts, CAST(SUM(rev) AS BIGINT) AS class_rev,
+        |  CAST(SUM(rev) AS DOUBLE) / CAST(MAX(trev) AS DOUBLE) AS share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same wedge join with the fixed-point 2^20 // deg(center)
+    // weight attached BEFORE the pair agg — exact BIGINT scores
+    "graph_linkpred_ra" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |raw AS (
+        |  SELECT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('scc-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node,
+        |      ('0x' || substr(md5('scc-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base)),
+        |adj AS MATERIALIZED (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src AS a, dst AS b FROM raw
+        |    UNION ALL SELECT dst, src FROM raw)),
+        |deg AS (SELECT a, COUNT(*) AS d FROM adj GROUP BY 1),
+        |wadj AS (
+        |  SELECT adj.a, adj.b, CAST(1048576 // dg.d AS BIGINT) AS wt
+        |  FROM adj JOIN deg dg ON dg.a = adj.b),
+        |pairs AS (
+        |  SELECT w1.a AS u, w2.a AS v, COUNT(*) AS c, SUM(w1.wt) AS ra
+        |  FROM wadj w1 JOIN wadj w2 ON w1.b = w2.b AND w1.a < w2.a
+        |  GROUP BY 1, 2),
+        |es AS (SELECT a AS eu, b AS ev FROM adj WHERE a < b)
+        |SELECT u, v, CAST(c AS BIGINT) AS c, CAST(ra AS BIGINT) AS ra,
+        |  (es.eu IS NOT NULL) AS is_edge
+        |FROM pairs
+        |LEFT JOIN es ON es.eu = u AND es.ev = v
+        |ORDER BY ra DESC, u, v LIMIT 20""".stripMargin,
 
     // all three synchronous rounds unrolled with the same deterministic
     // (count desc, min label) argmax total order
@@ -13561,6 +14152,24 @@ cells AS (SELECT
         |  FROM (SELECT source, doc_id,
         |          md5(CAST(doc_id AS VARCHAR) || '|rsv1') AS h FROM documents))
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    // the plain per-class rank replays the histogram-selection plan:
+    // keep = target smallest (h, id) per class, census over the kept set
+    "sample_balanced" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    ('0x' || substr(md5('bal-' || event_id), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |t AS (SELECT MIN(cnt) AS target FROM (
+        |  SELECT COUNT(*) AS cnt FROM ev GROUP BY event_type)),
+        |r AS (
+        |  SELECT event_type, event_id, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rk
+        |  FROM ev)
+        |SELECT event_type, COUNT(*) AS n_kept,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_ids, bit_xor(h) AS xor_h
+        |FROM r, t WHERE rk <= target
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -52,6 +52,83 @@ object Auc {
       (u2.cast("double") / (lit(2L) * n1 * n0).cast("double")).as("auc"))
   }
 
+  /** Average precision (area under the precision-recall curve by the
+    * step-interpolation every ranking library reports) over the same
+    * fixed-domain contingency cells. Walking thresholds from the highest
+    * score down, AP = Σ_cuts (Δtp/n₁)·(tp/flagged) — each term is two
+    * exact-integer IEEE divisions and one multiply, and the ≤|domain|
+    * terms fold in a FIXED descending-cut order (left-associated, the
+    * events_stationary discipline) so the double hash-replays
+    * cross-engine. Same one-pass / no-rank / no-window 100 TB shape as
+    * fromBucketScores; PR-AUC is the metric that stays informative when
+    * the positive class is rare — exactly the imbalanced-corpus regime
+    * where ROC-AUC flatters (Davis & Goadrich 2006). An empty cut
+    * (flagged = 0 ⇒ Δtp = 0) contributes an exact 0 instead of a 0/0
+    * NULL. */
+  def averagePrecision(scores: DataFrame, scoreCol: String, labelCol: String,
+      domain: Seq[Long]): DataFrame = {
+    require(domain.nonEmpty && domain == domain.sorted && domain.distinct == domain)
+    def cell(v: Long, lab: Long): Column =
+      sum(when(col(scoreCol) === v && col(labelCol) === lab, 1L).otherwise(0L))
+    val aggs = domain.flatMap(v =>
+      Seq(cell(v, 1L).as(s"p$v"), cell(v, 0L).as(s"q$v")))
+    val cells = scores.agg(aggs.head, aggs.tail: _*)
+    val n1 = domain.map(v => col(s"p$v")).reduce(_ + _)
+    val n0 = domain.map(v => col(s"q$v")).reduce(_ + _)
+    val terms = domain.sorted.reverse.map { cut =>
+      val tp = domain.filter(_ >= cut).map(v => col(s"p$v")).reduce(_ + _)
+      val flagged = domain.filter(_ >= cut)
+        .flatMap(v => Seq(col(s"p$v"), col(s"q$v"))).reduce(_ + _)
+      val dtp = col(s"p$cut")
+      when(flagged === 0L, lit(0.0)).otherwise(
+        (dtp.cast("double") / n1.cast("double"))
+          * (tp.cast("double") / flagged.cast("double")))
+    }
+    val ap = terms.reduce(_ + _)
+    cells.select(n1.as("n_pos"), n0.as("n_neg"),
+      (n1.cast("double") / (n1 + n0).cast("double")).as("base_rate"),
+      ap.as("ap"))
+  }
+
+  /** Calibration / reliability table over the same cells: one row per
+    * score level v — support n, positives n_pos, the model's implied
+    * probability v/max (exact-int IEEE division), the empirical rate
+    * n_pos/n (NULL on an unattained level), and the signed gap — plus
+    * the corpus Brier score Σ[p_v·(1−v/m)² + q_v·(v/m)²]/N folded over
+    * the fixed domain in ascending order (left-associated; every term a
+    * fixed IEEE sequence on exact ints, so the double hash-replays).
+    * A model can have good AUC and terrible calibration — this is the
+    * lane that tells them apart, at the same one-pass corpus cost. */
+  def calibrationTable(scores: DataFrame, scoreCol: String, labelCol: String,
+      domain: Seq[Long]): DataFrame = {
+    require(domain.nonEmpty && domain == domain.sorted && domain.distinct == domain)
+    val m = domain.max
+    def cell(v: Long, lab: Long): Column =
+      sum(when(col(scoreCol) === v && col(labelCol) === lab, 1L).otherwise(0L))
+    val aggs = domain.flatMap(v =>
+      Seq(cell(v, 1L).as(s"p$v"), cell(v, 0L).as(s"q$v")))
+    val cells = scores.agg(aggs.head, aggs.tail: _*)
+    val n = domain.flatMap(v => Seq(col(s"p$v"), col(s"q$v"))).reduce(_ + _)
+    val brierNum = domain.map { v =>
+      val pv = lit(v).cast("double") / lit(m).cast("double")
+      col(s"p$v").cast("double") * ((lit(1.0) - pv) * (lit(1.0) - pv)) +
+        col(s"q$v").cast("double") * (pv * pv)
+    }.reduce(_ + _)
+    val rows = domain.map { v =>
+      val nv = col(s"p$v") + col(s"q$v")
+      struct(lit(v).as("score"), nv.as("n"), col(s"p$v").as("n_pos"),
+        (lit(v).cast("double") / lit(m).cast("double")).as("pred_p"),
+        when(nv === 0L, lit(null).cast("double"))
+          .otherwise(col(s"p$v").cast("double") / nv.cast("double")).as("emp_p"))
+    }
+    cells.select(explode(array(rows: _*)).as("r"),
+        (brierNum / n.cast("double")).as("brier"))
+      .select(col("r.score"), col("r.n"), col("r.n_pos"), col("r.pred_p"),
+        col("r.emp_p"), (col("r.emp_p") - col("r.pred_p")).as("gap"),
+        col("brier"))
+      .orderBy("score")
+  }
+
   /** Cumulative gains / lift table over the same contingency cells: one
     * row per candidate threshold `cut` ∈ domain — flag every example
     * with score ≥ cut, report flagged count, captured positives, recall

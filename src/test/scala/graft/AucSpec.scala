@@ -69,6 +69,61 @@ class AucSpec extends AnyFunSuite {
       row.getLong(1) == 0L && row.isNullAt(3)))
   }
 
+  test("average precision matches the per-cut brute-force step sum") {
+    import TestSpark.spark.implicits._
+    val domain = Seq(0L, 1L, 2L, 3L)
+    for (seed <- Seq(11, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(350) {
+        val s = rnd.nextInt(4).toLong
+        (s, if (rnd.nextInt(5).toLong < s) 1L else 0L)
+      }
+      val n1 = rows.count(_._2 == 1L).toLong
+      // brute AP: descending cuts, Δtp = positives AT the cut level
+      val want = domain.reverse.map { cut =>
+        val flagged = rows.count(_._1 >= cut).toLong
+        val tp = rows.count(r => r._1 >= cut && r._2 == 1L).toLong
+        val dtp = rows.count(r => r._1 == cut && r._2 == 1L).toLong
+        if (flagged == 0L) 0.0
+        else (dtp.toDouble / n1.toDouble) * (tp.toDouble / flagged.toDouble)
+      }.reduce(_ + _)
+      val got = Auc.averagePrecision(rows.toDF("v", "label"), "v", "label", domain)
+        .collect().head
+      assert(got.getDouble(3) == want, s"seed=$seed ap")
+      // perfect ranker: AP = 1; random baseline column = prevalence
+      assert(got.getDouble(2) == n1.toDouble / rows.size.toDouble)
+    }
+    val perfect = Seq.fill(5)((3L, 1L)) ++ Seq.fill(7)((0L, 0L))
+    val ap = Auc.averagePrecision(perfect.toDF("v", "label"), "v", "label", domain)
+      .collect().head.getDouble(3)
+    assert(ap == 1.0)
+  }
+
+  test("calibration table: per-level rates, NULL on unattained, exact Brier") {
+    import TestSpark.spark.implicits._
+    val domain = Seq(0L, 1L, 2L, 3L)
+    // level 2 unattained; others with known rates
+    val rows = Seq.fill(4)((0L, 0L)) ++ Seq((0L, 1L)) ++
+      Seq.fill(3)((1L, 1L)) ++ Seq.fill(3)((1L, 0L)) ++
+      Seq.fill(2)((3L, 1L))
+    val got = Auc.calibrationTable(rows.toDF("v", "label"), "v", "label", domain)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getLong(1) == 5L && got(0L).getLong(2) == 1L)
+    assert(got(0L).getDouble(4) == 0.2)
+    assert(got(1L).getDouble(4) == 0.5)
+    assert(got(2L).getLong(1) == 0L && got(2L).isNullAt(4) && got(2L).isNullAt(5))
+    assert(got(3L).getDouble(4) == 1.0)
+    // Brier replay: same fixed ascending fold as the operator
+    val n = rows.size.toDouble
+    val brier = domain.map { v =>
+      val pv = v.toDouble / 3.0
+      val p = rows.count(r => r._1 == v && r._2 == 1L).toDouble
+      val q = rows.count(r => r._1 == v && r._2 == 0L).toDouble
+      p * ((1.0 - pv) * (1.0 - pv)) + q * (pv * pv)
+    }.reduce(_ + _) / n
+    assert(got(0L).getDouble(6) == brier)
+  }
+
   test("degenerate orderings: perfect, inverted, all-tied") {
     import TestSpark.spark.implicits._
     val domain = Seq(0L, 1L, 2L, 3L)

@@ -182,7 +182,22 @@ class PlanHygieneSpec extends AnyFunSuite {
       // diameter_lb) bounds aggregate onto the 4-row per-source census —
       // the graph-lane scalar shape (its edge derivation hides behind
       // distancesMulti's eager checkpoints like bfs/scc)
-      "graph_eccentricity")
+      "graph_eccentricity",
+      // ml_pr_auc / ml_calibration ride the shared liftVotes pipeline —
+      // the same ONE-ROW (count, positives) totals broadcast onto the
+      // ≤16-row leaf-class frame as ml_auc/ml_confusion/ml_lift
+      "ml_pr_auc", "ml_calibration",
+      // orders_pareto broadcasts the ONE-ROW total-revenue scalar onto
+      // the per-part cumulative frame for the exact cross-multiplied
+      // class cuts — the select_quality_top one-row-cut shape
+      "orders_pareto",
+      // sample_balanced broadcasts the ONE-ROW minority-count target
+      // onto the (class, bucket) histogram metadata frame — the
+      // profile_drift one-row-scalar shape
+      "sample_balanced",
+      // graph_linkpred_ra derives its edge set with the graph-lane
+      // ONE-ROW node-count broadcast (the graph_linkpred shape)
+      "graph_linkpred_ra")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
