@@ -3134,6 +3134,57 @@ object SparkEntry {
         .orderBy("segment", "t_days")
     },
 
+    "survival_na" -> { (s, dir) =>
+      // Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the
+      // estimator reported beside Kaplan-Meier: where KM multiplies
+      // survival factors, NA SUMS the per-death-time hazard increments
+      // d/n, and is the better-behaved quantity when hazards are the
+      // object of interest (H(t) = Σ_{t_i ≤ t} d_i/n_i; KM ≈ exp(−H)).
+      // Same corpus shape as survival_km: ONE keyed per-customer agg,
+      // then the O(segments × distinct-durations) metadata frame; the
+      // cumulative sum folds in ascending-t left-associated order — each
+      // step ONE correctly-rounded IEEE division plus ONE addition on
+      // exact-int operands, so the curve hash-compares (the KM
+      // fixed-order-double discipline; a window SUM would NOT gate here:
+      // DuckDB's segment-tree windowed aggregation is free to
+      // re-associate the float additions). Oracle replays the recurrence
+      // via recursive CTE.
+      val cutoff = "2001-01-01"
+      val life = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment")),
+          "o_custkey")
+        .select(col("segment"), datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+          when(col("last_d") < lit(cutoff).cast("date"), 1L).otherwise(0L).as("e"))
+      val cells = life.groupBy("segment", "t")
+        .agg(sum("e").as("d"), count(lit(1)).as("tot"))
+      val wseg = Window.partitionBy("segment").orderBy("t")
+      val atRisk = cells
+        .withColumn("nseg", sum("tot").over(Window.partitionBy("segment")))
+        .withColumn("cumb", coalesce(sum("tot").over(
+          wseg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", col("nseg") - col("cumb"))
+        .where(col("d") > 0L)
+        .select("segment", "t", "d", "n")
+      atRisk.groupBy("segment")
+        .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n")))).as("xs"))
+        .select(col("segment"), explode(expr(
+          """aggregate(xs,
+            |  struct(cast(0.0 as double) as h,
+            |    cast(array() as array<struct<t:bigint,d:bigint,n:bigint,ch:double>>) as out),
+            |  (acc, x) -> struct(
+            |    acc.h + (cast(x.d as double) / cast(x.n as double)) as h,
+            |    concat(acc.out, array(struct(x.t as t, x.d as d, x.n as n,
+            |      acc.h + (cast(x.d as double) / cast(x.n as double)) as ch))) as out),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("segment"), col("r.t").as("t_days"), col("r.d").as("n_deaths"),
+          col("r.n").as("n_at_risk"), col("r.ch").as("cum_hazard"))
+        .orderBy("segment", "t_days")
+    },
+
     "customer_rfm" -> { (s, dir) =>
       // RFM segmentation census — the classic marketing scoring: each
       // customer's Recency (days from last order to the 2001-08-01 data
@@ -3816,6 +3867,50 @@ object SparkEntry {
       // over the corpus as ml_auc.
       graft.operators.Auc.calibrationTable(
         liftVotes(s, dir), "v", "label", Seq(0L, 1L, 2L, 3L))
+    },
+
+    "ml_isotonic" -> { (s, dir) =>
+      // Isotonic (monotone) calibration — the non-parametric upgrade of
+      // ml_calibration's per-level reliability table (Zadrozny & Elkan
+      // 2002; Robertson, Wright & Dykstra 1988): fit the best
+      // NON-DECREASING purchase-rate curve over the value-bucket domain
+      // in weighted least squares. The corpus collapses in ONE keyed
+      // (bucket) agg to ≤ ~dozens of (n, pos) cells; the fit uses the
+      // EXACT minimax characterization ŷ_i = max_{j≤i} min_{k≥i}
+      // mean(j..k) evaluated on the bounded metadata frame as a
+      // higher-order-function fold over prefix-sum arrays — every
+      // mean is ONE correctly-rounded IEEE division of exact BIGINT
+      // pooled sums, and max/min over bit-identical doubles select
+      // identically in both engines, so the fitted curve hash-gates with
+      // no float tolerance. O(m³) on m ≤ ~40 cells — microseconds; the
+      // production apply is a broadcast range lookup, map-side. (PAVA is
+      // the O(m) equivalent — the minimax form is chosen because it is
+      // order-free and SQL-replayable; IsotonicSpec pins the two against
+      // each other.)
+      val ev = Tables.events(s, dir).select(
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val cells = ev.groupBy("b").agg(count(lit(1)).as("n"), sum("label").as("pos"))
+      cells.agg(sort_array(collect_list(struct(col("b"), col("n"), col("pos")))).as("xs"))
+        .withColumn("wn", expr(
+          "aggregate(xs, array(0L), (acc, x) -> array_append(acc, element_at(acc, -1) + x.n))"))
+        .withColumn("wp", expr(
+          "aggregate(xs, array(0L), (acc, x) -> array_append(acc, element_at(acc, -1) + x.pos))"))
+        .withColumn("iso", expr(
+          """transform(sequence(1, size(xs)), i ->
+            |  array_max(transform(sequence(1, i), j ->
+            |    array_min(transform(sequence(i, size(xs)), k ->
+            |      cast(element_at(wp, k + 1) - element_at(wp, j) as double) /
+            |      cast(element_at(wn, k + 1) - element_at(wn, j) as double))))))""".stripMargin))
+        .select(explode(expr(
+          """transform(sequence(1, size(xs)), i -> struct(
+            |  element_at(xs, i).b as b, element_at(xs, i).n as n,
+            |  element_at(xs, i).pos as pos,
+            |  cast(element_at(xs, i).pos as double) / cast(element_at(xs, i).n as double) as rate,
+            |  element_at(iso, i) as iso_rate))""".stripMargin)).as("r"))
+        .select(col("r.b").as("b"), col("r.n").as("n"), col("r.pos").as("pos"),
+          col("r.rate").as("rate"), col("r.iso_rate").as("iso_rate"))
+        .orderBy("b")
     },
 
     "ml_gbt" -> { (s, dir) =>
@@ -4668,6 +4763,48 @@ object SparkEntry {
         .orderBy("lam")
     },
 
+    "ml_linreg2" -> { (s, dir) =>
+      // TWO-feature OLS via the normal equations — multiple regression as
+      // the same one-pass sufficient-statistic shape as ml_linreg: the
+      // keyed agg now carries the full second-moment matrix
+      // (Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y — 8 map-side-partial
+      // sums), and the fit is Cramer's rule on the CENTERED 2×2 system
+      // (the ml_logreg Newton-step convention): A₁₁ = n·Σx₁²−(Σx₁)², etc.
+      // Everything after the exact-DECIMAL sums is a fixed-order chain of
+      // IEEE +,−,*,/ on the double-cast stats, so β₁, β₂, intercept
+      // hash-compare bit-identically. At 100 TB this is still ONE keyed
+      // HashAggregate — adding a feature costs agg cells, never a pass;
+      // p features cost p(p+3)/2 cells and a driver-side p×p solve.
+      // Fit: extendedprice ~ quantity + discount, by returnflag.
+      val x1 = dec2(col("l_quantity"))
+      val x2 = dec2(col("l_discount"))
+      val y = dec2(col("l_extendedprice"))
+      val st = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x1).cast("double").as("s1"),
+          sum(x2).cast("double").as("s2"),
+          sum(y).cast("double").as("sy"),
+          sum(x1 * x1).cast("double").as("s11"),
+          sum(x2 * x2).cast("double").as("s22"),
+          sum(x1 * x2).cast("double").as("s12"),
+          sum(x1 * y).cast("double").as("s1y"),
+          sum(x2 * y).cast("double").as("s2y"))
+      val nD = col("n").cast("double")
+      val a11 = nD * col("s11") - col("s1") * col("s1")
+      val a22 = nD * col("s22") - col("s2") * col("s2")
+      val a12 = nD * col("s12") - col("s1") * col("s2")
+      val b1 = nD * col("s1y") - col("s1") * col("sy")
+      val b2 = nD * col("s2y") - col("s2") * col("sy")
+      val det = a11 * a22 - a12 * a12
+      val beta1 = (b1 * a22 - b2 * a12) / det
+      val beta2 = (b2 * a11 - b1 * a12) / det
+      st.select(col("flag"), col("n"), col("s1"), col("s2"), col("sy"),
+          beta1.as("beta1"), beta2.as("beta2"),
+          ((col("sy") - beta1 * col("s1") - beta2 * col("s2")) / nD).as("intercept"))
+        .orderBy("flag")
+    },
+
     "audit_pseudonymize" -> { (s, dir) =>
       // Deterministic pseudonymization with REFERENTIAL INTEGRITY — the
       // privacy tier's fourth member (k-anonymity audit, erasure audit,
@@ -4734,6 +4871,56 @@ object SparkEntry {
             .as("l"))
         .where(col("l") < 3)
         .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    },
+
+    "audit_tcloseness" -> { (s, dir) =>
+      // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+      // privacy gate: a class can be large (k-anonymous) and varied
+      // (l-diverse) yet still leak if its sensitive-value DISTRIBUTION
+      // diverges from the table's (skewness attack). Per equivalence
+      // class (nation, segment), the Earth Mover's Distance between the
+      // class's balance-bucket distribution and the global one over the
+      // ORDERED domain: EMD = Σᵢ|CumP_i − CumQ_i|/(m−1), which with
+      // p = c/n, q = g/N folds to the EXACT integer numerator
+      // Σᵢ|cc_i·N − cg_i·n| over denominator n·N·(m−1) — ONE IEEE
+      // division, and the t > 0.2 flag is the pure-integer
+      // cross-multiplication num·5 > n·N·(m−1) (no float threshold).
+      // Shape: one keyed (class, bucket) corpus agg + one (bucket) agg;
+      // the ≤6-row bucket domain and one-row total broadcast onto the
+      // ~125-row class frame (the profile_drift one-row-scalar shape);
+      // cumulative windows partition BY CLASS on the bounded metadata
+      // frame. Flagging is report-only here; the deployment loop widens
+      // the QI generalization until max-t clears the bound, one pass per
+      // step like audit_kanonymity.
+      val cust = Tables.customer(s, dir).select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(2000)).cast("long").as("b"))
+      val cells = cust.groupBy("c_nationkey", "c_mktsegment", "b")
+        .agg(count(lit(1)).as("c"))
+      val glob = cust.groupBy("b").agg(count(lit(1)).as("g"))
+      val tot = cust.agg(count(lit(1)).as("nn"), countDistinct("b").as("m"))
+      val classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(sum("c").as("n"))
+      val full = classes
+        .crossJoin(broadcast(glob.select(col("b").as("db"), col("g"))))
+        .join(cells,
+          col("b") === col("db") && cells("c_nationkey") === classes("c_nationkey")
+            && cells("c_mktsegment") === classes("c_mktsegment"), "left")
+        .select(classes("c_nationkey"), classes("c_mktsegment"), col("n"),
+          col("db"), col("g"), coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("db")
+      full
+        .withColumn("cc", sum("c").over(w))
+        .withColumn("cg", sum("g").over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n"), col("nn"), col("m"))
+        .agg(sum(abs(col("cc") * col("nn") - col("cg") * col("n"))).as("emd_num"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("emd_num"),
+          (col("n") * col("nn") * (col("m") - 1)).as("emd_den"),
+          (col("emd_num").cast("double") /
+            (col("n") * col("nn") * (col("m") - 1)).cast("double")).as("t"),
+          (col("emd_num") * 5 > col("n") * col("nn") * (col("m") - 1)).as("flagged"))
+        .orderBy("c_nationkey", "c_mktsegment")
     },
 
     "audit_constraints" -> { (s, dir) =>
@@ -10184,6 +10371,40 @@ FROM rl r, br b ORDER BY r.score"""
         |SELECT segment, t AS t_days, d AS n_deaths, n AS n_at_risk, s AS survival
         |FROM km ORDER BY segment, t_days""".stripMargin,
 
+    // same life/at-risk frames as survival_km; the recurrence SUMS d/n
+    // (one division + one addition per step, same fixed order)
+    "survival_na" ->
+      """WITH RECURSIVE life AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST(CAST(MAX(o.o_orderdate) AS DATE) - CAST(MIN(o.o_orderdate) AS DATE) AS BIGINT) AS t,
+        |    CASE WHEN CAST(MAX(o.o_orderdate) AS DATE) < DATE '2001-01-01'
+        |         THEN 1 ELSE 0 END AS e
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey),
+        |cells AS (
+        |  SELECT segment, t, CAST(SUM(e) AS BIGINT) AS d, COUNT(*) AS tot
+        |  FROM life GROUP BY 1, 2),
+        |atrisk AS (
+        |  SELECT segment, t, d,
+        |    CAST(SUM(tot) OVER (PARTITION BY segment)
+        |      - COALESCE(SUM(tot) OVER (PARTITION BY segment ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n
+        |  FROM cells),
+        |ranked AS (
+        |  SELECT segment, t, d, n,
+        |    row_number() OVER (PARTITION BY segment ORDER BY t) AS r
+        |  FROM atrisk WHERE d > 0),
+        |na AS (
+        |  SELECT segment, t, d, n, r,
+        |    CAST(0.0 AS DOUBLE) + (CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS h
+        |  FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.segment, x.t, x.d, x.n, x.r,
+        |    e.h + (CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))
+        |  FROM na e JOIN ranked x ON x.segment = e.segment AND x.r = e.r + 1)
+        |SELECT segment, t AS t_days, d AS n_deaths, n AS n_at_risk, h AS cum_hazard
+        |FROM na ORDER BY segment, t_days""".stripMargin,
+
     // same ntile total orders; the census is pure integer
     "customer_rfm" ->
       """WITH per AS (
@@ -10375,6 +10596,39 @@ FROM rl r, br b ORDER BY r.score"""
     "ml_lift" -> mlLiftOracle,
     "ml_pr_auc" -> mlPrAucOracle,
     "ml_calibration" -> mlCalibrationOracle,
+
+    // the exact minimax characterization replayed relationally: pooled
+    // means from inclusive prefix sums (range j..k = wp_k − wp_j + pos_j),
+    // min over k ≥ i within each j ≤ i, then max over j — identical
+    // correctly-rounded divisions, identical selections
+    "ml_isotonic" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS b,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |cells AS (SELECT b, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
+        |  FROM ev GROUP BY 1),
+        |pref AS (
+        |  SELECT b, n, pos,
+        |    CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS i,
+        |    CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS wn,
+        |    CAST(SUM(pos) OVER (ORDER BY b) AS BIGINT) AS wp
+        |  FROM cells),
+        |means AS (
+        |  SELECT p1.i AS j, p2.i AS k,
+        |    CAST(p2.wp - p1.wp + p1.pos AS DOUBLE) /
+        |    CAST(p2.wn - p1.wn + p1.n AS DOUBLE) AS m
+        |  FROM pref p1 JOIN pref p2 ON p2.i >= p1.i),
+        |mins AS (
+        |  SELECT ms.j, p.i, MIN(ms.m) AS mn
+        |  FROM means ms JOIN pref p ON ms.j <= p.i AND ms.k >= p.i
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i, MAX(mn) AS iso_rate FROM mins GROUP BY 1)
+        |SELECT p.b, p.n, p.pos,
+        |  CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS rate,
+        |  iso.iso_rate
+        |FROM pref p JOIN iso ON iso.i = p.i
+        |ORDER BY p.b""".stripMargin,
 
     // one-pass sufficient statistics; HUGEINT products parsed to DOUBLE
     // via VARCHAR (the sample_neyman conversion convention) so the one
@@ -12210,6 +12464,34 @@ FROM rl r, br b ORDER BY r.score"""
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM st ORDER BY flag""".stripMargin,
 
+    // same suffstat-then-fixed-IEEE-chain as ml_linreg, Cramer on the
+    // centered 2x2 normal equations
+    "ml_linreg2" ->
+      """WITH st AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s2y
+        |  FROM lineitem GROUP BY l_returnflag),
+        |ab AS (SELECT flag, n, s1, s2, sy,
+        |    CAST(n AS DOUBLE) * s11 - s1 * s1 AS a11,
+        |    CAST(n AS DOUBLE) * s22 - s2 * s2 AS a22,
+        |    CAST(n AS DOUBLE) * s12 - s1 * s2 AS a12,
+        |    CAST(n AS DOUBLE) * s1y - s1 * sy AS b1,
+        |    CAST(n AS DOUBLE) * s2y - s2 * sy AS b2
+        |  FROM st),
+        |fit AS (SELECT flag, n, s1, s2, sy,
+        |    (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+        |    (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS beta2
+        |  FROM ab)
+        |SELECT flag, n, s1, s2, sy, beta1, beta2,
+        |  (sy - beta1 * s1 - beta2 * s2) / CAST(n AS DOUBLE) AS intercept
+        |FROM fit ORDER BY flag""".stripMargin,
+
     // the CLEAR-key join — identical aggregates prove the tokenization
     // is injective and consistently applied across tables
     "audit_pseudonymize" ->
@@ -12235,6 +12517,42 @@ FROM rl r, br b ORDER BY r.score"""
         |GROUP BY 1, 2, 3
         |HAVING COUNT(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) < 3
         |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
+
+    // EMD numerator as the exact integer sum of cumulative cross
+    // differences; the one IEEE division and the cross-multiplied flag
+    "audit_tcloseness" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS b
+        |  FROM customer),
+        |cells AS (SELECT c_nationkey, c_mktsegment, b, COUNT(*) AS c
+        |  FROM cust GROUP BY 1, 2, 3),
+        |gtot AS (SELECT b, COUNT(*) AS g FROM cust GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT b) AS m FROM cust),
+        |classes AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |full0 AS (
+        |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.n, gl.b AS db, gl.g,
+        |    COALESCE(ce.c, 0) AS c
+        |  FROM classes cl CROSS JOIN gtot gl
+        |  LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+        |    AND ce.c_mktsegment = cl.c_mktsegment AND ce.b = gl.b),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |    CAST(SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY db) AS BIGINT) AS cc,
+        |    CAST(SUM(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY db) AS BIGINT) AS cg
+        |  FROM full0)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  CAST(SUM(ABS(cc * nn - cg * n)) AS BIGINT) AS emd_num,
+        |  CAST(n * nn * (m - 1) AS BIGINT) AS emd_den,
+        |  CAST(CAST(SUM(ABS(cc * nn - cg * n)) AS BIGINT) AS DOUBLE)
+        |    / CAST(n * nn * (m - 1) AS DOUBLE) AS t,
+        |  SUM(ABS(cc * nn - cg * n)) * 5 > n * nn * (m - 1) AS flagged
+        |FROM cum, tot
+        |GROUP BY c_nationkey, c_mktsegment, n, nn, m
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "audit_constraints" ->
       """WITH li AS (

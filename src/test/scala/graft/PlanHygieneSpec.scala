@@ -197,7 +197,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       "sample_balanced",
       // graph_linkpred_ra derives its edge set with the graph-lane
       // ONE-ROW node-count broadcast (the graph_linkpred shape)
-      "graph_linkpred_ra")
+      "graph_linkpred_ra",
+      // audit_tcloseness broadcasts the ≤6-row bucket DOMAIN (every class
+      // needs every ordered bucket for the cumulative EMD walk) and the
+      // ONE-ROW (N, m) totals onto the ~125-row class frame — both
+      // bounded-metadata broadcasts, never corpus-sized
+      "audit_tcloseness")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
