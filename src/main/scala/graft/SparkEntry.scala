@@ -3324,6 +3324,43 @@ object SparkEntry {
         .orderBy("abc_class")
     },
 
+    "orders_itemsim" -> { (s, dir) =>
+      // Item-item co-occurrence similarity over order baskets — the
+      // recommender-system primitive ("customers who bought X also
+      // bought Y"): part pairs scored by cosine cooc/√(f_a·f_b) and lift
+      // cooc·N/(f_a·f_b). The 100 TB shape is the whole point: the
+      // self-join keys on ORDER (candidate pairs bounded by basket size²
+      // per order — linear in the corpus), never on part — the all-pairs
+      // part×part frame is never materialized, exactly the
+      // dedup_allpairs discipline. (orderkey, partkey) dedups first so a
+      // part listed on two lines of one order counts once; cooc/freqs
+      // are exact BIGINT, cosine finishes in profile_correlation's
+      // pinned IEEE order double(cooc)/(sqrt(fa)·sqrt(fb)), lift's
+      // numerator/denominator products stay int64 (cooc·N ≤ ~1e14 at
+      // sf10). Top-20 by (cooc desc, pa, pb) total order.
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val freq = op.groupBy("pk").agg(count(lit(1)).as("f"))
+      val nOrders = op.agg(countDistinct("ok").as("n_orders"))
+      val a = op.select(col("ok"), col("pk").as("pa"))
+      val b = op.select(col("ok"), col("pk").as("pb"))
+      val cooc = a.join(b, Seq("ok")).where(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cooc"))
+      cooc
+        .join(freq.select(col("pk").as("pa"), col("f").as("fa")), Seq("pa"))
+        .join(freq.select(col("pk").as("pb"), col("f").as("fb")), Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("cooc"), col("fa"), col("fb"),
+          (col("cooc").cast("double") /
+            (sqrt(col("fa").cast("double")) * sqrt(col("fb").cast("double"))))
+            .as("cosine"),
+          ((col("cooc") * col("n_orders")).cast("double") /
+            (col("fa") * col("fb")).cast("double")).as("lift"))
+        .orderBy(col("cooc").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+
     "orders_cohort_ltv" -> { (s, dir) =>
       // Cohort lifetime-value triangle — the classic LTV report: revenue
       // and active-customer counts by (acquisition month × months since
@@ -3867,6 +3904,47 @@ object SparkEntry {
       // over the corpus as ml_auc.
       graft.operators.Auc.calibrationTable(
         liftVotes(s, dir), "v", "label", Seq(0L, 1L, 2L, 3L))
+    },
+
+    "ml_chi2_select" -> { (s, dir) =>
+      // Chi-square feature selection — the univariate filter every
+      // ML-prep pipeline runs before training (scikit's chi2 /
+      // SelectKBest): score each candidate feature's association with
+      // the label and rank. For feature F with buckets b:
+      // χ² = N·(Σ_b [o_pos²/(n_b·P) + o_neg²/(n_b·Q)] − 1) — the
+      // contingency identity that needs NO expected-count subtraction
+      // per cell. All counts are exact BIGINT from ONE conditional-sum
+      // corpus pass per feature (three features = three keyed aggs over
+      // the same scan lineage); each feature's bucket terms fold over
+      // its ≤~dozens-cell metadata frame in ASCENDING bucket order via
+      // an aggregate HOF (left-associated — the survival_km fixed-order
+      // double discipline), products n_b·P ≤ ~1e12 at sf10 inside
+      // int64. Output per feature: cells, N, P, χ², ranked — the
+      // decision "train on cents_b, drop dow" an imbalanced-corpus
+      // pipeline reads off directly.
+      val ev = Tables.events(s, dir).select(
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val feats = Seq("cents_b", "hour", "dow")
+      val perFeat = feats.map { f =>
+        ev.groupBy(col(f).as("b"))
+          .agg(count(lit(1)).as("nb"), sum("label").as("op"))
+          .agg(sort_array(collect_list(struct(col("b"), col("nb"), col("op")))).as("xs"),
+            sum("nb").as("n"), sum("op").as("p"))
+          .select(lit(f).as("feature"), col("xs"), col("n"), col("p"))
+      }
+      perFeat.reduce(_ unionByName _)
+        .withColumn("q", col("n") - col("p"))
+        .withColumn("t", expr(
+          """aggregate(xs, cast(0.0 as double), (acc, x) -> acc +
+            |  (cast(x.op * x.op as double) / cast(x.nb * p as double)
+            |   + cast((x.nb - x.op) * (x.nb - x.op) as double) / cast(x.nb * q as double)))""".stripMargin))
+        .select(col("feature"), size(col("xs")).cast("long").as("n_buckets"),
+          col("n"), col("p"),
+          (col("n").cast("double") * col("t") - col("n").cast("double")).as("chi2"))
+        .orderBy(col("chi2").desc, col("feature"))
     },
 
     "ml_isotonic" -> { (s, dir) =>
@@ -6753,6 +6831,138 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "events_kruskal" -> { (s, dir) =>
+      // Kruskal-Wallis H test (Kruskal & Wallis 1952) — the k-sample
+      // extension of events_mannwhitney: do THREE variants (user_id % 3)
+      // draw from the same value distribution? Same no-corpus-sort rank
+      // machinery: bounded-cardinality cents collapse to a per-(type,
+      // value) histogram carrying all three variants' counts, midranks
+      // come from the cumulative walk DOUBLED to stay integer under ties
+      // (midrank2 = 2·cum_before + c + 1), and the per-group rank sums
+      // R2_g are exact BIGINT (≤ 2N², inside 2⁶³ to ~sf10⁴). H finishes
+      // in a FIXED left-associated IEEE chain on the double-cast exact
+      // stats — with doubled ranks H = 3·(ΣR2_g²/n_g)/(N(N+1)) − 3(N+1)
+      // — and the tie correction 1 − Σ(c³−c)/(N³−N) rides DECIMAL(38,0)
+      // numerators (c³ leaves int64 when one value dominates), the
+      // decimal→double cast replaying DuckDB's HUGEINT→VARCHAR→DOUBLE
+      // parse (the benford convention). The oracle builds midranks by a
+      // DIFFERENT construction — per-row 2·RANK() + tie-count − 1 — so
+      // the histogram walk itself is what the gate checks.
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("cents"),
+        (col("user_id") % 3).as("g"))
+      val hist = ev.groupBy("event_type", "cents")
+        .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === 2, 1L).otherwise(0L)).as("c2"),
+          count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+        .withColumn("midrank2", lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val agg = cum.groupBy("event_type").agg(
+        sum("c0").as("n0"), sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c0") * col("midrank2")).as("r20"),
+        sum(col("c1") * col("midrank2")).as("r21"),
+        sum(col("c2") * col("midrank2")).as("r22"),
+        sum(d19(col("c")) * d19(col("c") * col("c") - 1)).as("tt"))
+      val n = col("n0") + col("n1") + col("n2")
+      def d(c: Column) = c.cast("double")
+      val t = d(col("r20")) * d(col("r20")) / d(col("n0")) +
+        d(col("r21")) * d(col("r21")) / d(col("n1")) +
+        d(col("r22")) * d(col("r22")) / d(col("n2"))
+      val h = lit(3.0) * t / d(n * (n + 1)) - lit(3.0) * d(n + 1)
+      val nnn = d19(n) * d19(n) * d19(n) - d19(n)
+      agg.select(col("event_type"), col("n0"), col("n1"), col("n2"),
+          col("r20"), col("r21"), col("r22"), h.as("h"),
+          when(col("tt") < nnn,
+            h / (lit(1.0) - d(col("tt")) / d(nnn))).as("h_tie_adj"))
+        .orderBy("event_type")
+    },
+
+    "events_anova" -> { (s, dir) =>
+      // One-way ANOVA (Fisher) — the PARAMETRIC k-sample companion to
+      // events_kruskal on the same three variants: decompose total
+      // variance into between/within. The corpus collapses in ONE keyed
+      // conditional-sum agg to exact BIGINT sufficient statistics per
+      // type (n_g, Σx_g, pooled Σx² — ≤ ~2.4e16 at sf10, inside int64);
+      // SSB/SSW/F/η² finish in a FIXED left-associated IEEE chain on the
+      // double-cast stats (the ml_linreg discipline: sums exact and
+      // order-independent, the finish a deterministic rounding
+      // sequence). Empty variant groups guard to NULL identically in
+      // both engines rather than tripping a double Inf/NaN.
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").as("cents"),
+        (col("user_id") % 3).as("g"))
+      val agg = ev.groupBy("event_type").agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === 0, col("cents")).otherwise(0L)).as("s0"),
+        sum(when(col("g") === 1, col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("g") === 2, col("cents")).otherwise(0L)).as("s2"),
+        sum(col("cents") * col("cents")).as("ss"))
+      def d(c: Column) = c.cast("double")
+      val n = col("n0") + col("n1") + col("n2")
+      val sTot = col("s0") + col("s1") + col("s2")
+      val t = d(col("s0")) * d(col("s0")) / d(col("n0")) +
+        d(col("s1")) * d(col("s1")) / d(col("n1")) +
+        d(col("s2")) * d(col("s2")) / d(col("n2"))
+      val ssb = t - d(sTot) * d(sTot) / d(n)
+      val ssw = d(col("ss")) - t
+      val sst = d(col("ss")) - d(sTot) * d(sTot) / d(n)
+      val ok = col("n0") > 0 && col("n1") > 0 && col("n2") > 0 && n > 3
+      agg.select(col("event_type"), n.as("n"),
+          col("n0"), col("n1"), col("n2"),
+          col("s0"), col("s1"), col("s2"),
+          when(ok, ssb).as("ssb"), when(ok, ssw).as("ssw"),
+          when(ok, (ssb / lit(2.0)) / (ssw / d(n - 3))).as("f_stat"),
+          when(ok, ssb / sst).as("eta2"))
+        .orderBy("event_type")
+    },
+
+    "events_spearman" -> { (s, dir) =>
+      // Spearman rank-correlation matrix between event types' daily
+      // count series — the monotone-association companion to
+      // profile_correlation's Pearson (robust to outlier days and any
+      // monotone rescaling). The corpus collapses in ONE keyed (type,
+      // day) agg; every pair of types inner-joins on day over the
+      // O(types × days) metadata frame, ranks are computed WITHIN the
+      // paired sample per side as doubled midranks (2·rank + tiecount −
+      // 1, integer under ties) via windows partitioned by pair — never a
+      // corpus rank; ρ is Pearson on the midrank2 columns with ALL
+      // sufficient statistics exact int64 (ranks ≤ 2·days), finishing in
+      // profile_correlation's pinned IEEE order: double(num) /
+      // (sqrt(double(vx)) · sqrt(double(vy))) — two correctly-rounded
+      // sqrts, one multiply, one divide.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("event_type").as("ta"), col("day"), col("cnt").as("xa"))
+      val b = daily.select(col("event_type").as("tb"), col("day"), col("cnt").as("xb"))
+      val pairs = a.join(b, Seq("day")).where(col("ta") < col("tb"))
+      def mr2(v: String) = {
+        val wr = Window.partitionBy(col("ta"), col("tb")).orderBy(col(v))
+        val wt = Window.partitionBy(col("ta"), col("tb"), col(v))
+        lit(2L) * rank().over(wr) + count(lit(1)).over(wt) - lit(1L)
+      }
+      val ranked = pairs
+        .withColumn("ra", mr2("xa")).withColumn("rb", mr2("xb"))
+      val st = ranked.groupBy("ta", "tb").agg(count(lit(1)).as("m"),
+        sum("ra").as("sx"), sum("rb").as("sy"),
+        sum(col("ra") * col("rb")).as("sxy"),
+        sum(col("ra") * col("ra")).as("sxx"),
+        sum(col("rb") * col("rb")).as("syy"))
+      val num = col("m") * col("sxy") - col("sx") * col("sy")
+      val vx = col("m") * col("sxx") - col("sx") * col("sx")
+      val vy = col("m") * col("syy") - col("sy") * col("sy")
+      st.select(col("ta"), col("tb"), col("m"), num.as("num"),
+          when(vx > 0 && vy > 0, num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))).as("rho"))
+        .orderBy("ta", "tb")
+    },
+
     "events_winsorize" -> { (s, dir) =>
       // Winsorized robust aggregation (clip at exact p5/p95 before the
       // mean — the outlier-hardening every metrics pipeline applies).
@@ -7070,6 +7280,54 @@ object SparkEntry {
         .distinct()
       graft.operators.PageRank.ranks(cust, edges, rounds = 3)
         .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+    },
+
+    "graph_hits" -> { (s, dir) =>
+      // HITS hubs & authorities (Kleinberg 1999) — the bipartite-role
+      // centrality beside graph_pagerank: authorities are pointed AT by
+      // good hubs, hubs point TO good authorities. Two full mutual-
+      // reinforcement rounds, EXACT: the iteration runs UNNORMALIZED in
+      // BIGINT (init h = 1 — so round-1 authority IS in-degree), because
+      // normalization only rescales a power iteration and can never
+      // change the ranking the lane reports, while dropping it removes
+      // every division and makes the scores pure integer path counts
+      // (a_k(i) = #paths alternating in/out of length 2k−1 into i).
+      // Growth is bounded by DEGREE moments, not corpus size — scores
+      // ≤ maxdeg⁴ on the Poisson-thin hash graph, inside int64 at ANY
+      // node count. Per half-round ONE keyed join + keyed agg (the
+      // PageRank shape, partitioned by node id); top-20 by (authority
+      // desc, hub desc, node) total order. Own 'hits-' hash digraph
+      // instance; the oracle unrolls the same four keyed aggs in SQL.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("hits-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("hits-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .distinct()
+        .localCheckpoint()
+      var hub = cust.select(col("node"), lit(1L).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        val aRaw = edges.join(hub.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node")).agg(sum("h").as("ain"))
+        auth = cust.join(aRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("ain"), lit(0L)).as("a"))
+          .localCheckpoint()
+        val hRaw = edges.join(auth.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node")).agg(sum("a").as("hout"))
+        hub = cust.join(hRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hout"), lit(0L)).as("h"))
+          .localCheckpoint()
+      }
+      auth.join(hub, "node")
+        .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+        .orderBy(col("authority").desc, col("hub").desc, col("node"))
         .limit(20)
     },
 
@@ -7902,6 +8160,38 @@ object SparkEntry {
           Sampling.assignSplit(col("cluster_id"),
             Seq(("train", 80), ("valid", 90), ("test", 100))).as("split"))
         .orderBy("doc_id")
+    },
+
+    "sample_pps" -> { (s, dir) =>
+      // Systematic probability-proportional-to-size sampling (Madow
+      // 1949) — the weighted-sampling member of the sampling tier: k
+      // ticks evenly spaced along the cumulative weight axis, row i
+      // selected iff its weight interval (cum−w, cum] contains a tick —
+      // P(select) ∝ weight, ≤ k rows out (a row heavier than W/k spans
+      // several ticks and appears once), fully deterministic (no
+      // RNG, no float: the crossing test is the pure-integer
+      // cum·k div W > (cum−w)·k div W with cum·k ≤ ~2e16 at sf10, inside
+      // int64 to ~sf10³). The global cumulative weight uses NO
+      // unpartitioned window: operators/PrefixSum's two-phase bucket
+      // scan (keyed agg → metadata-scale bucket prefix driver-side →
+      // broadcast offsets → window PARTITIONED by bucket). Weights =
+      // order totalprice cents over the orderkey total order; output =
+      // the k selected rows with their tick indexes, hash-gated
+      // row-for-row (the oracle computes the same crossing from a plain
+      // window cumsum — a different prefix-sum construction, so the
+      // bucket decomposition itself is what the gate checks).
+      val k = 200L
+      val w = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("ok"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("wt"))
+      val cum = graft.operators.PrefixSum.inclusive(w, "ok", "wt", 65536L)
+      val tot = cum.agg(max("cum").as("tw"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("tick_hi", expr(s"(cum * $k) div tw"))
+        .withColumn("tick_lo", expr(s"((cum - wt) * $k) div tw"))
+        .where(col("tick_hi") > col("tick_lo"))
+        .select(col("ok"), col("wt"), col("cum"), col("tick_hi").as("tick"))
+        .orderBy("ok")
     },
 
     "sample_neyman" -> { (s, dir) =>
@@ -10457,6 +10747,22 @@ FROM rl r, br b ORDER BY r.score"""
         |FROM terms, chi ORDER BY digit""".stripMargin,
 
     // same triangle: MIN-month cohort join + one (cohort, age) keyed agg
+    // same order-keyed pair join; cosine/lift with the pinned sqrt finish
+    "orders_itemsim" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |freq AS (SELECT pk, COUNT(*) AS f FROM op GROUP BY 1),
+        |no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+        |co AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS cooc
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, cooc, fa.f AS fa, fb.f AS fb,
+        |  CAST(cooc AS DOUBLE)
+        |    / (sqrt(CAST(fa.f AS DOUBLE)) * sqrt(CAST(fb.f AS DOUBLE))) AS cosine,
+        |  CAST(cooc * n_orders AS DOUBLE) / CAST(fa.f * fb.f AS DOUBLE) AS lift
+        |FROM co JOIN freq fa ON fa.pk = co.pa JOIN freq fb ON fb.pk = co.pb, no
+        |ORDER BY cooc DESC, pa, pb LIMIT 20""".stripMargin,
+
     "orders_cohort_ltv" ->
       """WITH om AS (
         |  SELECT o_custkey,
@@ -10597,6 +10903,46 @@ FROM rl r, br b ORDER BY r.score"""
     "ml_pr_auc" -> mlPrAucOracle,
     "ml_calibration" -> mlCalibrationOracle,
 
+    // same contingency identity; the per-feature walk is a recursive CTE
+    // adding bucket terms in the same ascending order
+    "ml_chi2_select" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS cents_b,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |cells AS (
+        |  SELECT 'cents_b' AS feature, cents_b AS b, COUNT(*) AS nb,
+        |    CAST(SUM(label) AS BIGINT) AS op FROM ev GROUP BY 2
+        |  UNION ALL SELECT 'hour', hour, COUNT(*), CAST(SUM(label) AS BIGINT)
+        |    FROM ev GROUP BY 2
+        |  UNION ALL SELECT 'dow', dow, COUNT(*), CAST(SUM(label) AS BIGINT)
+        |    FROM ev GROUP BY 2),
+        |tot AS (
+        |  SELECT feature, CAST(SUM(nb) AS BIGINT) AS n,
+        |    CAST(SUM(op) AS BIGINT) AS p, COUNT(*) AS nbuckets
+        |  FROM cells GROUP BY 1),
+        |ranked AS (
+        |  SELECT c.feature, c.nb, c.op, t.n, t.p, t.n - t.p AS q, t.nbuckets,
+        |    row_number() OVER (PARTITION BY c.feature ORDER BY c.b) AS r
+        |  FROM cells c JOIN tot t USING (feature)),
+        |walk AS (
+        |  SELECT feature, r, n, p, nbuckets,
+        |    0.0 + (CAST(op * op AS DOUBLE) / CAST(nb * p AS DOUBLE)
+        |      + CAST((nb - op) * (nb - op) AS DOUBLE) / CAST(nb * q AS DOUBLE)) AS t
+        |  FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.feature, x.r, x.n, x.p, x.nbuckets,
+        |    e.t + (CAST(x.op * x.op AS DOUBLE) / CAST(x.nb * x.p AS DOUBLE)
+        |      + CAST((x.nb - x.op) * (x.nb - x.op) AS DOUBLE)
+        |        / CAST(x.nb * x.q AS DOUBLE))
+        |  FROM walk e JOIN ranked x ON x.feature = e.feature AND x.r = e.r + 1)
+        |SELECT feature, nbuckets AS n_buckets, n, p,
+        |  CAST(n AS DOUBLE) * t - CAST(n AS DOUBLE) AS chi2
+        |FROM walk w WHERE r = nbuckets
+        |ORDER BY chi2 DESC, feature""".stripMargin,
+
     // the exact minimax characterization replayed relationally: pooled
     // means from inclusive prefix sums (range j..k = wp_k − wp_j + pos_j),
     // min over k ≥ i within each j ≤ i, then max over j — identical
@@ -10658,6 +11004,22 @@ FROM rl r, br b ORDER BY r.score"""
     },
     "events_stationary" -> eventsStationaryOracle,
     "sample_neyman" -> sampleNeymanOracle,
+
+    // DIFFERENT prefix-sum construction (plain unpartitioned window
+    // cumsum) feeding the same integer tick-crossing test
+    "sample_pps" ->
+      """WITH w AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS ok,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS wt
+        |  FROM orders),
+        |cum AS (
+        |  SELECT ok, wt, CAST(SUM(wt) OVER (ORDER BY ok) AS BIGINT) AS cum
+        |  FROM w),
+        |tot AS (SELECT MAX(cum) AS tw FROM cum)
+        |SELECT ok, wt, cum, CAST((cum * 200) // tw AS BIGINT) AS tick
+        |FROM cum, tot
+        |WHERE (cum * 200) // tw > ((cum - wt) * 200) // tw
+        |ORDER BY ok""".stripMargin,
     "ml_target_encode" ->
       """WITH e AS (SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
@@ -13578,6 +13940,118 @@ FROM rl r, br b ORDER BY r.score"""
         |  (r2a - n_a * (n_a + 1)) > n_a * n_b AS a_shifted_high
         |FROM agg ORDER BY event_type""".stripMargin,
 
+    // DIFFERENT midrank construction: per-row 2*RANK() + tiecount - 1
+    // instead of the engine's histogram walk; H chain textually parallel
+    "events_kruskal" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    user_id % 3 AS g
+        |  FROM events),
+        |mr AS (
+        |  SELECT event_type, g,
+        |    2 * RANK() OVER (PARTITION BY event_type ORDER BY cents)
+        |      + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS m2
+        |  FROM ev),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN g = 0 THEN m2 ELSE 0 END) AS BIGINT) AS r20,
+        |    CAST(SUM(CASE WHEN g = 1 THEN m2 ELSE 0 END) AS BIGINT) AS r21,
+        |    CAST(SUM(CASE WHEN g = 2 THEN m2 ELSE 0 END) AS BIGINT) AS r22
+        |  FROM mr GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, SUM(CAST(c AS HUGEINT) * (c * c - 1)) AS tt
+        |  FROM (SELECT event_type, cents, COUNT(*) AS c FROM ev GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT a.event_type, n0, n1, n2, r20, r21, r22, tt,
+        |    n0 + n1 + n2 AS n,
+        |    CAST(r20 AS DOUBLE) * CAST(r20 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      + CAST(r21 AS DOUBLE) * CAST(r21 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(r22 AS DOUBLE) * CAST(r22 AS DOUBLE) / CAST(n2 AS DOUBLE) AS t
+        |  FROM agg a JOIN ties USING (event_type)),
+        |fin2 AS (
+        |  SELECT *, 3.0 * t / CAST(n * (n + 1) AS DOUBLE)
+        |      - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+        |    CAST(n AS HUGEINT) * n * n - n AS nnn
+        |  FROM fin)
+        |SELECT event_type, n0, n1, n2, r20, r21, r22, h,
+        |  CASE WHEN tt < nnn THEN
+        |    h / (1.0 - CAST(CAST(tt AS VARCHAR) AS DOUBLE)
+        |           / CAST(CAST(nnn AS VARCHAR) AS DOUBLE))
+        |  ELSE NULL END AS h_tie_adj
+        |FROM fin2 ORDER BY event_type""".stripMargin,
+
+    // same exact conditional-sum suffstats, textually parallel chain
+    "events_anova" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    user_id % 3 AS g
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN g = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN g = 2 THEN cents ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(SUM(cents * cents) AS BIGINT) AS ss
+        |  FROM ev GROUP BY 1),
+        |fin AS (
+        |  SELECT *, n0 + n1 + n2 AS n, s0 + s1 + s2 AS st,
+        |    CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS t,
+        |    n0 > 0 AND n1 > 0 AND n2 > 0 AND n0 + n1 + n2 > 3 AS ok
+        |  FROM agg),
+        |fin2 AS (
+        |  SELECT *,
+        |    t - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(ss AS DOUBLE) - t AS ssw,
+        |    CAST(ss AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+        |  FROM fin)
+        |SELECT event_type, n, n0, n1, n2, s0, s1, s2,
+        |  CASE WHEN ok THEN ssb END AS ssb,
+        |  CASE WHEN ok THEN ssw END AS ssw,
+        |  CASE WHEN ok THEN (ssb / 2.0) / (ssw / CAST(n - 3 AS DOUBLE)) END AS f_stat,
+        |  CASE WHEN ok THEN ssb / sst END AS eta2
+        |FROM fin2 ORDER BY event_type""".stripMargin,
+
+    // same paired-sample doubled midranks and pinned sqrt finish
+    "events_spearman" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+        |    a.cnt AS xa, b.cnt AS xb
+        |  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type),
+        |ranked AS (
+        |  SELECT ta, tb,
+        |    2 * RANK() OVER (PARTITION BY ta, tb ORDER BY xa)
+        |      + COUNT(*) OVER (PARTITION BY ta, tb, xa) - 1 AS ra,
+        |    2 * RANK() OVER (PARTITION BY ta, tb ORDER BY xb)
+        |      + COUNT(*) OVER (PARTITION BY ta, tb, xb) - 1 AS rb
+        |  FROM pairs),
+        |st AS (
+        |  SELECT ta, tb, COUNT(*) AS m,
+        |    CAST(SUM(ra) AS BIGINT) AS sx, CAST(SUM(rb) AS BIGINT) AS sy,
+        |    CAST(SUM(ra * rb) AS BIGINT) AS sxy,
+        |    CAST(SUM(ra * ra) AS BIGINT) AS sxx,
+        |    CAST(SUM(rb * rb) AS BIGINT) AS syy
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT ta, tb, m, CAST(m * sxy - sx * sy AS BIGINT) AS num,
+        |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+        |    CAST(m * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+        |  END AS rho
+        |FROM st ORDER BY ta, tb""".stripMargin,
+
     // same integer ceil-rank percentile over the value histogram
     "events_winsorize" ->
       """WITH ev AS (
@@ -13937,6 +14411,42 @@ FROM rl r, br b ORDER BY r.score"""
         |p3 AS (SELECT b.node, CAST(150000000 + COALESCE(c.c, 0) AS BIGINT) AS pr
         |  FROM base b LEFT JOIN c3 c ON c.dst = b.node)
         |SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
+    // same 'hits-' digraph; the four keyed half-round aggs unrolled,
+    // all pure-integer path counts (unnormalized — rescale-free ranking)
+    "graph_hits" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('hits-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node,
+        |      ('0x' || substr(md5('hits-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base)),
+        |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM base),
+        |a1r AS (SELECT e.dst, CAST(SUM(p.h) AS BIGINT) AS a
+        |  FROM edges e JOIN h0 p ON p.node = e.src GROUP BY e.dst),
+        |a1 AS (SELECT b.node, CAST(COALESCE(r.a, 0) AS BIGINT) AS a
+        |  FROM base b LEFT JOIN a1r r ON r.dst = b.node),
+        |h1r AS (SELECT e.src, CAST(SUM(p.a) AS BIGINT) AS h
+        |  FROM edges e JOIN a1 p ON p.node = e.dst GROUP BY e.src),
+        |h1 AS (SELECT b.node, CAST(COALESCE(r.h, 0) AS BIGINT) AS h
+        |  FROM base b LEFT JOIN h1r r ON r.src = b.node),
+        |a2r AS (SELECT e.dst, CAST(SUM(p.h) AS BIGINT) AS a
+        |  FROM edges e JOIN h1 p ON p.node = e.src GROUP BY e.dst),
+        |a2 AS (SELECT b.node, CAST(COALESCE(r.a, 0) AS BIGINT) AS a
+        |  FROM base b LEFT JOIN a2r r ON r.dst = b.node),
+        |h2r AS (SELECT e.src, CAST(SUM(p.a) AS BIGINT) AS h
+        |  FROM edges e JOIN a2 p ON p.node = e.dst GROUP BY e.src),
+        |h2 AS (SELECT b.node, CAST(COALESCE(r.h, 0) AS BIGINT) AS h
+        |  FROM base b LEFT JOIN h2r r ON r.src = b.node)
+        |SELECT a2.node, a2.a AS authority, h2.h AS hub
+        |FROM a2 JOIN h2 ON h2.node = a2.node
+        |ORDER BY authority DESC, hub DESC, a2.node LIMIT 20""".stripMargin,
 
     // same per-file counts; the DV cardinality must equal the
     // anti-join's per-file row loss

@@ -202,7 +202,16 @@ class PlanHygieneSpec extends AnyFunSuite {
       // needs every ordered bucket for the cumulative EMD walk) and the
       // ONE-ROW (N, m) totals onto the ~125-row class frame — both
       // bounded-metadata broadcasts, never corpus-sized
-      "audit_tcloseness")
+      "audit_tcloseness",
+      // graph_hits derives its edge set with the graph-lane ONE-ROW
+      // node-count broadcast (the graph_pagerank shape)
+      "graph_hits",
+      // sample_pps broadcasts the ONE-ROW total-weight scalar onto the
+      // cumulative frame for the integer tick-crossing test
+      "sample_pps",
+      // orders_itemsim broadcasts the ONE-ROW order-count scalar onto
+      // the bounded pair frame for the lift denominator
+      "orders_itemsim")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
