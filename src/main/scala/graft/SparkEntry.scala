@@ -1743,7 +1743,13 @@ object SparkEntry {
       // scale. grouping() flags (cast to BIGINT in both engines)
       // disambiguate subtotal NULLs from genuine NULL keys; the ORDER BY
       // pins NULLS FIRST explicitly because Spark and DuckDB default
-      // opposite null orderings.
+      // opposite null orderings. The quantity sum accumulates as BIGINT
+      // hundredths, not DECIMAL (a decimal SUM runs on boxed BigDecimals
+      // — the profile_correlation 10× lesson, amplified here by the 3×
+      // Expand fan-out); /100.0 at the end is the same correctly-rounded
+      // double as the oracle's DECIMAL-sum→double cast because the cent
+      // total is exact in double (< 2⁵³) and one IEEE division rounds
+      // once to the true quotient.
       Tables.lineitem(s, dir)
         .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
         .createOrReplaceTempView("li_gsets")
@@ -1753,7 +1759,8 @@ object SparkEntry {
           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
           CAST(grouping(ship_year) AS BIGINT) AS g_sy,
           COUNT(*) AS n_rows,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+          CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_qty
         FROM li_gsets
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
         ORDER BY g_rf, g_ls, g_sy,
@@ -2650,6 +2657,56 @@ object SparkEntry {
       stage(t1, 1, "view").unionByName(stage(t2, 2, "click"))
         .unionByName(stage(t3, 3, "purchase"))
         .orderBy("stage")
+    },
+
+    "events_funnel_time" -> { (s, dir) =>
+      // Time-to-convert distribution between funnel stages — the
+      // question product analytics asks right after events_funnel's
+      // "how many": how LONG from view to click, click to purchase.
+      // Same three keyed min-agg stage frames (no per-user event
+      // buffering); stage gaps quantize to MINUTES so each pair's gap
+      // distribution is a bounded-cardinality histogram, and p50/p90
+      // are EXACT ceil-rank order statistics from the cumulative walk
+      // over that metadata frame (the events_winsorize discipline — no
+      // corpus sort, no float percentile); the mean is one IEEE
+      // division of exact int64 sums. Same 1-in-13 subsample as
+      // events_funnel so the funnel has real drop-off.
+      val ev = Tables.events(s, dir)
+        .where(col("event_id") % 13 === 0)
+        .select(col("user_id"), col("event_type"), col("ts_ns"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ns").as("t1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, "user_id").where(col("ts_ns") > col("t1"))
+        .groupBy("user_id").agg(min("ts_ns").as("t2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, "user_id").where(col("ts_ns") > col("t2"))
+        .groupBy("user_id").agg(min("ts_ns").as("t3"))
+      val g12 = t2.join(t1, "user_id")
+        .select(lit("view_to_click").as("stage_pair"),
+          expr("(t2 - t1) div 60000000000").as("gap_min"))
+      val g23 = t3.join(t2, "user_id")
+        .select(lit("click_to_purchase").as("stage_pair"),
+          expr("(t3 - t2) div 60000000000").as("gap_min"))
+      val gaps = g12.unionByName(g23)
+      val hist = gaps.groupBy("stage_pair", "gap_min").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("stage_pair").orderBy("gap_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+      val tot = gaps.groupBy("stage_pair").agg(count(lit(1)).as("n"),
+        sum("gap_min").as("sg"))
+      val j = cum.join(tot, "stage_pair")
+        .withColumn("r50", expr("(50 * n + 99) div 100"))
+        .withColumn("r90", expr("(90 * n + 99) div 100"))
+      val p50 = j.where(col("cum") >= col("r50"))
+        .groupBy("stage_pair").agg(min("gap_min").as("p50_min"))
+      val p90 = j.where(col("cum") >= col("r90"))
+        .groupBy("stage_pair").agg(min("gap_min").as("p90_min"))
+      tot.join(p50, "stage_pair").join(p90, "stage_pair")
+        .select(col("stage_pair"), col("n"),
+          (col("sg").cast("double") / col("n").cast("double")).as("mean_min"),
+          col("p50_min"), col("p90_min"))
+        .orderBy("stage_pair")
     },
 
     "events_attribution" -> { (s, dir) =>
@@ -4804,6 +4861,42 @@ object SparkEntry {
         .orderBy("flag")
     },
 
+    "ml_regression_eval" -> { (s, dir) =>
+      // Regression evaluation (SSE / RMSE / R²) — closing the
+      // train→evaluate loop for the regression tier the way ml_auc/
+      // ml_confusion closed it for classification. The insight that
+      // makes it ONE pass at 100 TB: SSE needs no residual scan —
+      // SSE = Σy² − 2bΣxy − 2aΣy + b²Σx² + 2abΣx + na² is a closed form
+      // over the SAME sufficient statistics the fit used (one extra
+      // Σy² cell), where a per-row Σ(y−ŷ)² would be an order-dependent
+      // double sum that could never hash-gate. Everything after the
+      // exact-DECIMAL sums is a fixed left-associated IEEE chain; RMSE's
+      // sqrt is correctly rounded in both engines
+      // (profile_correlation's convention).
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      val fit = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+      val nD = col("n").cast("double")
+      val b = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      val a = (col("sy") - b * col("sx")) / nD
+      val sse = col("syy") - lit(2.0) * b * col("sxy") - lit(2.0) * a * col("sy") +
+        b * b * col("sxx") + lit(2.0) * a * b * col("sx") + nD * a * a
+      val sst = col("syy") - col("sy") * col("sy") / nD
+      fit.select(col("flag"), col("n"), b.as("slope"), a.as("intercept"),
+          sse.as("sse"), sst.as("sst"),
+          sqrt(sse / nD).as("rmse"),
+          (lit(1.0) - sse / sst).as("r2"))
+        .orderBy("flag")
+    },
+
     "ml_ridge" -> { (s, dir) =>
       // Ridge regression path via the SAME sufficient statistics as
       // ml_linreg (Hoerl & Kennard 1970): for a 1-feature fit the
@@ -5192,6 +5285,92 @@ object SparkEntry {
           col("n_rows"), col("n_keys"), col("hhi_num"))
       val top = cnts.orderBy(col("cnt").desc, col("key")).limit(10)
       top.crossJoin(broadcast(glob)).orderBy(col("cnt").desc, col("key"))
+    },
+
+    "profile_fd" -> { (s, dir) =>
+      // Functional-dependency audit (the Metanome/data-profiling
+      // classic): does column A determine column B? For each candidate
+      // FD, ONE keyed agg groups by the LHS and counts groups whose RHS
+      // has more than one distinct value — violations = Σ(distinct−1),
+      // holds ⟺ zero. Candidates chosen to span outcomes: the PK FD
+      // (orderkey → custkey, holds by construction), an FK-chained FD
+      // over a join (customer's nationkey → nation's regionkey — the
+      // cross-table dependency discovery a schema-inference pass
+      // reports), and two plausible-but-FALSE value FDs the report must
+      // refute (partkey does NOT determine unit price in this generator
+      // — 49 distinct unit prices on one part). Each candidate is one keyed agg with
+      // map-side partial distinct; output is the 4-row audit table. At
+      // 100 TB the lattice search runs this same agg per candidate,
+      // pruning supersets of holding FDs.
+      def fd(df: DataFrame, name: String, lhs: Column, rhs: Column) =
+        df.select(lhs.as("l"), rhs.as("r"))
+          .groupBy("l").agg(countDistinct("r").as("d"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+            sum(col("d") - 1).as("n_extra_values"),
+            max("d").as("max_rhs_distinct"))
+          .select(lit(name).as("fd"), col("n_groups"), col("n_violating_groups"),
+            col("n_extra_values"), col("max_rhs_distinct"),
+            (col("n_violating_groups") === 0L).as("holds"))
+      val ord = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      fd(ord, "orderkey->custkey", col("o_orderkey"), col("o_custkey"))
+        .unionByName(fd(ord, "custkey->orderpriority",
+          col("o_custkey"), col("o_orderpriority")))
+        .unionByName(fd(li, "partkey->unitprice", col("l_partkey"),
+          expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div cast(l_quantity as bigint)")))
+        .unionByName(fd(
+          Tables.customer(s, dir).join(
+            Tables.nation(s, dir),
+            col("c_nationkey") === col("n_nationkey")),
+          "nationkey->regionkey", col("c_nationkey"), col("n_regionkey")))
+        .orderBy("fd")
+    },
+
+    "profile_outliers" -> { (s, dir) =>
+      // IQR-fence outlier census per numeric column (the Tukey boxplot
+      // rule every profiler reports): per column, exact Q1/Q3 via the
+      // ceil-rank cumulative walk over the bounded value histogram (the
+      // events_winsorize discipline — no corpus sort, no float
+      // percentile), then fences at 1.5·IQR evaluated in DOUBLED
+      // integer form (2x < 2·Q1 − 3·IQR, 2x > 2·Q3 + 3·IQR — no
+      // halving, no float). Two passes per column: histogram agg +
+      // conditional fence count, each column-pruned to its own field.
+      // Columns span outcomes: the right-skewed event value (a real
+      // outlier tail) and two near-uniform lineitem columns whose ZERO
+      // counts are themselves the gated finding. Output: per-column n,
+      // q1, q3, fence outlier counts, extremes.
+      def colCensus(name: String, src: DataFrame, v: Column) = {
+        val vals = src.select(v.cast("long").as("x"))
+        val hist = vals.groupBy("x").agg(count(lit(1)).as("c"))
+        // global cumulative over the value histogram WITHOUT an
+        // unpartitioned window: operators/PrefixSum's two-phase bucket
+        // scan (the sample_pps machinery)
+        val cum = graft.operators.PrefixSum.inclusive(hist, "x", "c", 4096L)
+        val tot = vals.agg(count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
+        val j = cum.crossJoin(broadcast(tot))
+        val q1 = j.where(col("cum") >= expr("(25 * n + 99) div 100"))
+          .agg(min("x").as("q1"))
+        val q3 = j.where(col("cum") >= expr("(75 * n + 99) div 100"))
+          .agg(min("x").as("q3"))
+        val fenced = vals.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
+          .agg(sum(when(col("x") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3,
+              1L).otherwise(0L)).as("n_out_low"),
+            sum(when(col("x") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3,
+              1L).otherwise(0L)).as("n_out_high"),
+            first("q1").as("q1"), first("q3").as("q3"))
+        fenced.crossJoin(broadcast(tot))
+          .select(lit(name).as("column"), col("n"), col("mn").as("min_v"),
+            col("mx").as("max_v"), col("q1"), col("q3"),
+            col("n_out_low"), col("n_out_high"))
+      }
+      val li = Tables.lineitem(s, dir)
+      colCensus("quantity", li, col("l_quantity"))
+        .unionByName(colCensus("extendedprice_cents", li,
+          expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")))
+        .unionByName(colCensus("event_value_cents", Tables.events(s, dir),
+          expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")))
+        .orderBy("column")
     },
 
     "profile_correlation" -> { (s, dir) =>
@@ -6295,6 +6474,66 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     },
 
+    "ann_filtered" -> { (s, dir) =>
+      // FILTERED vector search — the operation every production vector
+      // store actually serves ("nearest neighbors WHERE tenant = X"),
+      // and the pre-filter vs post-filter design question behind it:
+      // post-filtering a global top-k loses recall when the predicate is
+      // selective (the true filtered neighbors may sit below the global
+      // cut), pre-filtering scans only matching rows and is exact. This
+      // lane reports BOTH: the exact pre-filtered top-5 per query
+      // (predicate pushed into the scan — at 100 TB the filter prunes
+      // before any distance math), each row flagged with whether a
+      // post-filter of the global top-15 (3k overfetch, the common
+      // heuristic) would have recovered it — the measured recall cost of
+      // the lazy strategy, hash-gated. Deterministic total order
+      // (cos desc, nid) everywhere; the 10-query side broadcasts (the
+      // ann_topk shape).
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val pred = col("vec_id") % 3 === 1
+      val q = emb.where(col("vec_id") < 10)
+      val pre = Ann.bruteForceTopK(emb.where(pred), q, "vec_id", "embedding", 5)
+      val post = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 15)
+        .where(col("nid") % 3 === 1)
+      val postTop = post
+        .withColumn("prank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("rank"))))
+        .where(col("prank") <= 5)
+        .select(col("qid").as("pqid"), col("nid").as("pnid"))
+      pre.join(postTop,
+          col("qid") === col("pqid") && col("nid") === col("pnid"), "left")
+        .select(col("qid").as("query_id"), col("rank").as("rnk"),
+          col("nid").as("neighbor_id"),
+          col("pnid").isNotNull.as("post_filter_found"))
+        .orderBy("query_id", "rnk")
+    },
+
+    "ml_knn_classify" -> { (s, dir) =>
+      // k-NN classification over embeddings — the serve-side consumer of
+      // the ANN tier (label a new vector by its neighbors' majority):
+      // 5 nearest by cosine among LABELED corpus vectors (label =
+      // vec_id % 4, deterministic), prediction = majority vote with
+      // smallest-label tie-break — both pure integer decisions on the
+      // deterministic neighbor set, so the classification hash-gates
+      // end-to-end. Same broadcast-queries brute-force shape as
+      // ann_topk; at scale the neighbor source swaps to the IVF/LSH
+      // lanes unchanged — the vote is the same keyed agg either way.
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val nn = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .withColumn("nlabel", col("nid") % 4)
+      val votes = nn.groupBy("qid", "nlabel").agg(count(lit(1)).as("v"))
+      val best = votes
+        .withColumn("r", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("v").desc, col("nlabel"))))
+        .where(col("r") === 1)
+        .select(col("qid").as("query_id"), col("nlabel").as("predicted_label"),
+          col("v").as("votes"))
+      best.orderBy("query_id")
+    },
+
     "ann_lsh" -> { (s, dir) =>
       // SELF-verifying: the approximate top-k is judged against the exact
       // brute-force top-k INSIDE the query. Output rows are the claims the
@@ -6829,6 +7068,34 @@ object SparkEntry {
           (col("u2").cast("double") / lit(2.0)).as("u"),
           (col("u2") > col("n_a") * col("n_b")).as("a_shifted_high"))
         .orderBy("event_type")
+    },
+
+    "events_uplift" -> { (s, dir) =>
+      // Uplift / heterogeneous-treatment-effect table (the two-model
+      // difference every experimentation platform reports per segment:
+      // WHERE does the treatment work, not just whether): treatment =
+      // user parity, outcome = purchase, segments = hour-of-day buckets.
+      // ONE conditional-sum corpus pass to exact per-segment
+      // (n_t, c_t, n_c, c_c); uplift = c_t/n_t − c_c/n_c as two
+      // exact-int IEEE divisions and one subtraction, and the
+      // SIGN/ranking decision is the pure-integer cross-multiplication
+      // c_t·n_c vs c_c·n_t (no float threshold — the events_abtest
+      // discipline per segment, shipped as the gated positive_uplift
+      // flag). Ordered by segment.
+      val ev = Tables.events(s, dir).select(
+        expr("(ts_ns div 3600000000000) % 24 div 4").as("seg"),
+        (col("user_id") % 2 === 0).as("treated"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      ev.groupBy("seg").agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("treated"), col("y")).otherwise(0L)).as("c_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(!col("treated"), col("y")).otherwise(0L)).as("c_c"))
+        .select(col("seg"), col("n_t"), col("c_t"), col("n_c"), col("c_c"),
+          (col("c_t").cast("double") / col("n_t").cast("double")
+            - col("c_c").cast("double") / col("n_c").cast("double")).as("uplift"),
+          (col("c_t") * col("n_c") > col("c_c") * col("n_t")).as("positive_uplift"))
+        .orderBy("seg")
     },
 
     "events_kruskal" -> { (s, dir) =>
@@ -10889,6 +11156,74 @@ FROM rl r, br b ORDER BY r.score"""
     "ml_gbt" -> mlGbtOracle,
     "profile_correlation" -> profileCorrelationOracle,
 
+    // one keyed agg per candidate FD; violations = Σ(distinct−1)
+    "profile_fd" ->
+      """WITH f1 AS (
+        |  SELECT 'orderkey->custkey' AS fd, COUNT(*) AS n_groups,
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |    CAST(SUM(d - 1) AS BIGINT) AS n_extra_values,
+        |    CAST(MAX(d) AS BIGINT) AS max_rhs_distinct
+        |  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS d
+        |        FROM orders GROUP BY 1)),
+        |f2 AS (
+        |  SELECT 'custkey->orderpriority', COUNT(*),
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(d - 1) AS BIGINT), CAST(MAX(d) AS BIGINT)
+        |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d
+        |        FROM orders GROUP BY 1)),
+        |f3 AS (
+        |  SELECT 'partkey->unitprice', COUNT(*),
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(d - 1) AS BIGINT), CAST(MAX(d) AS BIGINT)
+        |  FROM (SELECT l_partkey, COUNT(DISTINCT
+        |          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |            // CAST(l_quantity AS BIGINT)) AS d
+        |        FROM lineitem GROUP BY 1)),
+        |f4 AS (
+        |  SELECT 'nationkey->regionkey', COUNT(*),
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(d - 1) AS BIGINT), CAST(MAX(d) AS BIGINT)
+        |  FROM (SELECT c_nationkey, COUNT(DISTINCT n_regionkey) AS d
+        |        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |        GROUP BY 1)),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+        |SELECT fd, n_groups, n_violating_groups, n_extra_values,
+        |  max_rhs_distinct, n_violating_groups = 0 AS holds
+        |FROM u ORDER BY fd""".stripMargin,
+
+    // same ceil-rank Q1/Q3 from a plain window cumsum over the value
+    // histogram, same doubled-integer Tukey fences
+    "profile_outliers" ->
+      """WITH cols AS (
+        |  SELECT 'quantity' AS col0, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+        |  UNION ALL SELECT 'extendedprice_cents',
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'event_value_cents',
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) FROM events),
+        |hist AS (SELECT col0, x, COUNT(*) AS c FROM cols GROUP BY 1, 2),
+        |cum AS (SELECT col0, x, c,
+        |    CAST(SUM(c) OVER (PARTITION BY col0 ORDER BY x) AS BIGINT) AS cum
+        |  FROM hist),
+        |tot AS (SELECT col0, COUNT(*) AS n, MIN(x) AS mn, MAX(x) AS mx
+        |  FROM cols GROUP BY 1),
+        |q1 AS (SELECT c.col0, MIN(c.x) AS q1 FROM cum c JOIN tot t USING (col0)
+        |  WHERE c.cum >= (25 * t.n + 99) // 100 GROUP BY 1),
+        |q3 AS (SELECT c.col0, MIN(c.x) AS q3 FROM cum c JOIN tot t USING (col0)
+        |  WHERE c.cum >= (75 * t.n + 99) // 100 GROUP BY 1),
+        |fen AS (
+        |  SELECT cols.col0,
+        |    CAST(SUM(CASE WHEN x * 2 < q1.q1 * 2 - (q3.q3 - q1.q1) * 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_out_low,
+        |    CAST(SUM(CASE WHEN x * 2 > q3.q3 * 2 + (q3.q3 - q1.q1) * 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_out_high
+        |  FROM cols JOIN q1 USING (col0) JOIN q3 USING (col0) GROUP BY 1)
+        |SELECT t.col0 AS "column", t.n, t.mn AS min_v, t.mx AS max_v,
+        |  q1.q1, q3.q3, fen.n_out_low, fen.n_out_high
+        |FROM tot t JOIN q1 USING (col0) JOIN q3 USING (col0)
+        |JOIN fen USING (col0)
+        |ORDER BY t.col0""".stripMargin,
+
     // the tree key threaded through two unrolled stump levels; bag
     // membership replayed from the same md5 arithmetic
     "ml_forest" -> mlForestOracle,
@@ -12164,6 +12499,40 @@ FROM rl r, br b ORDER BY r.score"""
         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
         |ORDER BY stage""".stripMargin,
 
+    // same stage frames; minute-quantized gap histogram + ceil-rank walk
+    "events_funnel_time" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 13 = 0),
+        |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+        |gaps AS (
+        |  SELECT 'view_to_click' AS stage_pair,
+        |    (epoch_ns(t2.t2) - epoch_ns(t1.t1)) // 60000000000 AS gap_min
+        |  FROM t2 JOIN t1 ON t1.user_id = t2.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |    (epoch_ns(t3.t3) - epoch_ns(t2.t2)) // 60000000000
+        |  FROM t3 JOIN t2 ON t2.user_id = t3.user_id),
+        |hist AS (SELECT stage_pair, gap_min, COUNT(*) AS c FROM gaps GROUP BY 1, 2),
+        |cum AS (SELECT stage_pair, gap_min, c,
+        |    CAST(SUM(c) OVER (PARTITION BY stage_pair ORDER BY gap_min) AS BIGINT) AS cum
+        |  FROM hist),
+        |tot AS (SELECT stage_pair, COUNT(*) AS n, CAST(SUM(gap_min) AS BIGINT) AS sg
+        |  FROM gaps GROUP BY 1),
+        |p50 AS (SELECT c.stage_pair, MIN(c.gap_min) AS p50_min
+        |  FROM cum c JOIN tot t USING (stage_pair)
+        |  WHERE c.cum >= (50 * t.n + 99) // 100 GROUP BY 1),
+        |p90 AS (SELECT c.stage_pair, MIN(c.gap_min) AS p90_min
+        |  FROM cum c JOIN tot t USING (stage_pair)
+        |  WHERE c.cum >= (90 * t.n + 99) // 100 GROUP BY 1)
+        |SELECT t.stage_pair, t.n,
+        |  CAST(t.sg AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_min,
+        |  p50.p50_min, p90.p90_min
+        |FROM tot t JOIN p50 USING (stage_pair) JOIN p90 USING (stage_pair)
+        |ORDER BY t.stage_pair""".stripMargin,
+
     // same journey segmentation by definition: running purchase count,
     // keyed (user, journey) match, row_number first/last per journey
     "events_attribution" ->
@@ -12825,6 +13194,29 @@ FROM rl r, br b ORDER BY r.score"""
         |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM st ORDER BY flag""".stripMargin,
+
+    // same suffstats + closed-form SSE chain, textually parallel
+    "ml_regression_eval" ->
+      """WITH st AS (SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |ab AS (SELECT flag, n, sx, sy, sxy, sxx, syy,
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b
+        |  FROM st),
+        |ab2 AS (SELECT *, (sy - b * sx) / CAST(n AS DOUBLE) AS a FROM ab),
+        |fin AS (SELECT flag, n, b, a,
+        |    syy - 2.0 * b * sxy - 2.0 * a * sy + b * b * sxx
+        |      + 2.0 * a * b * sx + CAST(n AS DOUBLE) * a * a AS sse,
+        |    syy - sy * sy / CAST(n AS DOUBLE) AS sst
+        |  FROM ab2)
+        |SELECT flag, n, b AS slope, a AS intercept, sse, sst,
+        |  sqrt(sse / CAST(n AS DOUBLE)) AS rmse, 1.0 - sse / sst AS r2
+        |FROM fin ORDER BY flag""".stripMargin,
 
     // same suffstat-then-fixed-IEEE-chain as ml_linreg, Cramer on the
     // centered 2x2 normal equations
@@ -13533,6 +13925,50 @@ FROM rl r, br b ORDER BY r.score"""
         |      FROM s)
         |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // same pre-filter truth and post-filter overfetch emulation
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |pre AS (
+        |  SELECT qid, nid,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(cv, qv) DESC, nid) AS BIGINT) AS rnk
+        |  FROM c, q WHERE nid != qid AND nid % 3 = 1),
+        |post AS (
+        |  SELECT qid, nid,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(cv, qv) DESC, nid) AS BIGINT) AS rnk
+        |  FROM c, q WHERE nid != qid),
+        |postf AS (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rnk) AS prank
+        |  FROM post WHERE rnk <= 15 AND nid % 3 = 1)
+        |SELECT p.qid AS query_id, p.rnk, p.nid AS neighbor_id,
+        |  pf.nid IS NOT NULL AS post_filter_found
+        |FROM pre p LEFT JOIN (SELECT qid, nid FROM postf WHERE prank <= 5) pf
+        |  ON pf.qid = p.qid AND pf.nid = p.nid
+        |WHERE p.rnk <= 5
+        |ORDER BY query_id, p.rnk""".stripMargin,
+
+    // same deterministic neighbor set + integer majority vote
+    "ml_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |nn AS (
+        |  SELECT qid, nid, nid % 4 AS nlabel,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(cv, qv) DESC, nid) AS BIGINT) AS rnk
+        |  FROM c, q WHERE nid != qid),
+        |votes AS (SELECT qid, nlabel, COUNT(*) AS v FROM nn WHERE rnk <= 5
+        |  GROUP BY 1, 2),
+        |best AS (SELECT qid, nlabel, v,
+        |    row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel) AS r
+        |  FROM votes)
+        |SELECT qid AS query_id, nlabel AS predicted_label, v AS votes
+        |FROM best WHERE r = 1 ORDER BY query_id""".stripMargin,
+
     // ann_lsh / ann_ivf emit self-verification claims (per-query rank
     // structure + overall recall-vs-exact bound, judged inside the Spark
     // query) — the oracle asserts every claim came out true.
@@ -13939,6 +14375,28 @@ FROM rl r, br b ORDER BY r.score"""
         |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u,
         |  (r2a - n_a * (n_a + 1)) > n_a * n_b AS a_shifted_high
         |FROM agg ORDER BY event_type""".stripMargin,
+
+    // same conditional sums; uplift sign via integer cross-multiplication
+    "events_uplift" ->
+      """WITH ev AS (
+        |  SELECT ((epoch_ns(ts) // 3600000000000) % 24) // 4 AS seg,
+        |    user_id % 2 = 0 AS treated,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events)
+        |SELECT seg,
+        |  CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |  CAST(SUM(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT) AS c_t,
+        |  CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |  CAST(SUM(CASE WHEN NOT treated THEN y ELSE 0 END) AS BIGINT) AS c_c,
+        |  CAST(SUM(CASE WHEN treated THEN y ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS DOUBLE)
+        |  - CAST(SUM(CASE WHEN NOT treated THEN y ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS DOUBLE) AS uplift,
+        |  SUM(CASE WHEN treated THEN y ELSE 0 END)
+        |    * SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+        |  > SUM(CASE WHEN NOT treated THEN y ELSE 0 END)
+        |    * SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS positive_uplift
+        |FROM ev GROUP BY seg ORDER BY seg""".stripMargin,
 
     // DIFFERENT midrank construction: per-row 2*RANK() + tiecount - 1
     // instead of the engine's histogram walk; H chain textually parallel

@@ -211,7 +211,15 @@ class PlanHygieneSpec extends AnyFunSuite {
       "sample_pps",
       // orders_itemsim broadcasts the ONE-ROW order-count scalar onto
       // the bounded pair frame for the lift denominator
-      "orders_itemsim")
+      "orders_itemsim",
+      // profile_outliers broadcasts the ONE-ROW totals and ONE-ROW
+      // q1/q3 scalars onto the per-column scan for the fence counts
+      "profile_outliers",
+      // ann_filtered runs two brute-force passes with the same tiny
+      // broadcast query set as ann_topk (deliberate BNLJ, map-side)
+      "ann_filtered",
+      // ml_knn_classify scores with the same broadcast query set
+      "ml_knn_classify")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
