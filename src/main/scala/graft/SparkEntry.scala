@@ -3418,6 +3418,44 @@ object SparkEntry {
         .limit(20)
     },
 
+    "orders_order_gap" -> { (s, dir) =>
+      // Inter-purchase cadence per market segment (the replenishment
+      // metric retention teams set reminder/winback timers from): days
+      // between a customer's consecutive orders via ONE lag window
+      // partitioned BY CUSTOMER over (date, orderkey) — O(orders), never
+      // a per-customer range join — then gaps collapse to a bounded
+      // per-(segment, days) histogram where p50/p90 are EXACT ceil-rank
+      // order statistics from the cumulative walk (the
+      // events_funnel_time discipline) and the mean is one IEEE division
+      // of exact int64 sums.
+      val ord = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment")),
+          "o_custkey")
+        .select(col("segment"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("d"), col("o_orderkey"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+      val gaps = ord
+        .withColumn("prev_d", lag("d", 1).over(w))
+        .where(col("prev_d").isNotNull)
+        .select(col("segment"), datediff(col("d"), col("prev_d")).cast("long").as("gap_d"))
+      val hist = gaps.groupBy("segment", "gap_d").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("segment").orderBy("gap_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+      val tot = gaps.groupBy("segment").agg(count(lit(1)).as("n"), sum("gap_d").as("sg"))
+      val j = cum.join(tot, "segment")
+      val p50 = j.where(col("cum") >= expr("(50 * n + 99) div 100"))
+        .groupBy("segment").agg(min("gap_d").as("p50_days"))
+      val p90 = j.where(col("cum") >= expr("(90 * n + 99) div 100"))
+        .groupBy("segment").agg(min("gap_d").as("p90_days"))
+      tot.join(p50, "segment").join(p90, "segment")
+        .select(col("segment"), col("n"),
+          (col("sg").cast("double") / col("n").cast("double")).as("mean_days"),
+          col("p50_days"), col("p90_days"))
+        .orderBy("segment")
+    },
+
     "orders_cohort_ltv" -> { (s, dir) =>
       // Cohort lifetime-value triangle — the classic LTV report: revenue
       // and active-customer counts by (acquisition month × months since
@@ -7550,6 +7588,37 @@ object SparkEntry {
         .limit(20)
     },
 
+    "graph_reciprocity" -> { (s, dir) =>
+      // Directed-graph reciprocity (Newman: what fraction of edges are
+      // returned?) plus the mutual-pair census — the dyad-level summary
+      // beside assortativity's degree-level one. ONE self-join of the
+      // edge set on the reversed key (keyed equi-join, partitioned by
+      // (src, dst) — never a node-pair enumeration) + one aggregate;
+      // the coefficient is one IEEE division of exact BIGINT counts.
+      // Same 'pr-' hash digraph instance as pagerank so the two reports
+      // describe one graph.
+      val cust = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("node"))
+      val stats = cust.agg(count(lit(1)).as("n"))
+      val edges = cust.crossJoin(broadcast(stats))
+        .where(col("node") % 7 =!= 0)
+        .select(col("node").as("src"), explode(array(
+          pmod(Tf.hash60(concat(lit("pr-a-"), col("node").cast("string"))), col("n")),
+          pmod(Tf.hash60(concat(lit("pr-b-"), col("node").cast("string"))), col("n"))))
+          .as("dst"))
+        .where(col("src") =!= col("dst"))
+        .join(cust.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .distinct()
+      val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+        lit(1L).as("has_rev"))
+      edges.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("has_rev"), lit(0L))).as("n_reciprocated"))
+        .select(col("n_edges"), col("n_reciprocated"),
+          expr("n_reciprocated div 2").as("n_mutual_dyads"),
+          (col("n_reciprocated").cast("double") / col("n_edges").cast("double"))
+            .as("reciprocity"))
+    },
+
     "graph_hits" -> { (s, dir) =>
       // HITS hubs & authorities (Kleinberg 1999) — the bipartite-role
       // centrality beside graph_pagerank: authorities are pointed AT by
@@ -11014,6 +11083,35 @@ FROM rl r, br b ORDER BY r.score"""
         |FROM terms, chi ORDER BY digit""".stripMargin,
 
     // same triangle: MIN-month cohort join + one (cohort, age) keyed agg
+    // same lag-per-customer gaps and ceil-rank walk
+    "orders_order_gap" ->
+      """WITH ord AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_custkey,
+        |    CAST(o.o_orderdate AS DATE) AS d, o.o_orderkey
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |gaps AS (
+        |  SELECT segment,
+        |    CAST(d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+        |      AS BIGINT) AS gap_d
+        |  FROM ord QUALIFY gap_d IS NOT NULL),
+        |hist AS (SELECT segment, gap_d, COUNT(*) AS c FROM gaps GROUP BY 1, 2),
+        |cum AS (SELECT segment, gap_d, c,
+        |    CAST(SUM(c) OVER (PARTITION BY segment ORDER BY gap_d) AS BIGINT) AS cum
+        |  FROM hist),
+        |tot AS (SELECT segment, COUNT(*) AS n, CAST(SUM(gap_d) AS BIGINT) AS sg
+        |  FROM gaps GROUP BY 1),
+        |p50 AS (SELECT c.segment, MIN(c.gap_d) AS p50_days
+        |  FROM cum c JOIN tot t USING (segment)
+        |  WHERE c.cum >= (50 * t.n + 99) // 100 GROUP BY 1),
+        |p90 AS (SELECT c.segment, MIN(c.gap_d) AS p90_days
+        |  FROM cum c JOIN tot t USING (segment)
+        |  WHERE c.cum >= (90 * t.n + 99) // 100 GROUP BY 1)
+        |SELECT t.segment, t.n,
+        |  CAST(t.sg AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_days,
+        |  p50.p50_days, p90.p90_days
+        |FROM tot t JOIN p50 USING (segment) JOIN p90 USING (segment)
+        |ORDER BY t.segment""".stripMargin,
+
     // same order-keyed pair join; cosine/lift with the pinned sqrt finish
     "orders_itemsim" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -14869,6 +14967,29 @@ FROM rl r, br b ORDER BY r.score"""
         |p3 AS (SELECT b.node, CAST(150000000 + COALESCE(c.c, 0) AS BIGINT) AS pr
         |  FROM base b LEFT JOIN c3 c ON c.dst = b.node)
         |SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
+    // same 'pr-' digraph; reversed-key self-join census
+    "graph_reciprocity" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+        |base AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT node AS src,
+        |      ('0x' || substr(md5('pr-a-' || node), 1, 15))::BIGINT % nn.n AS dst
+        |    FROM base, nn WHERE node % 7 <> 0
+        |    UNION ALL
+        |    SELECT node,
+        |      ('0x' || substr(md5('pr-b-' || node), 1, 15))::BIGINT % nn.n
+        |    FROM base, nn WHERE node % 7 <> 0)
+        |  WHERE src <> dst AND dst IN (SELECT node FROM base))
+        |SELECT COUNT(*) AS n_edges,
+        |  CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_reciprocated,
+        |  CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) // 2 AS BIGINT)
+        |    AS n_mutual_dyads,
+        |  CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS reciprocity
+        |FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src""".stripMargin,
 
     // same 'hits-' digraph; the four keyed half-round aggs unrolled,
     // all pure-integer path counts (unnormalized — rescale-free ranking)

@@ -219,7 +219,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // broadcast query set as ann_topk (deliberate BNLJ, map-side)
       "ann_filtered",
       // ml_knn_classify scores with the same broadcast query set
-      "ml_knn_classify")
+      "ml_knn_classify",
+      // graph_reciprocity derives its edge set with the graph-lane
+      // ONE-ROW node-count broadcast (the graph_pagerank shape)
+      "graph_reciprocity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val s = fn(spark, Sf).queryExecution.executedPlan.toString
       if (s.contains("CartesianProduct") ||
