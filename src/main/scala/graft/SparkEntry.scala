@@ -3395,6 +3395,13 @@ object SparkEntry {
       // pinned IEEE order double(cooc)/(sqrt(fa)·sqrt(fb)), lift's
       // numerator/denominator products stay int64 (cooc·N ≤ ~1e14 at
       // sf10). Top-20 by (cooc desc, pa, pb) total order.
+      // the deduped (order, part) incidence feeds four consumers (both
+      // self-join sides, the part frequencies, the order count).
+      // MEASURED NEGATIVE at sf10: persisting it (the Dedup
+      // signature-table pattern) is 48.2 s vs 45.7 s recomputed —
+      // columnar parquet rescans + map-side-partial distincts are
+      // cheaper than materializing and re-reading 60M cached rows, and
+      // the basket pair join dominates either way. Left recomputed.
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
