@@ -3043,13 +3043,17 @@ object SparkEntry {
         .groupBy("event_type", "lag")
         .agg(sum(col("x") * col("xk")).as("sxy"),
           sum("x").as("hx"), sum("xk").as("tx"), count(lit(1)).as("m"))
-      val nk = pairs.join(totals, "event_type")
-        .withColumn("num", col("n") * col("n") * col("sxy") -
-          col("n") * col("s") * (col("hx") + col("tx")) +
-          col("m") * col("s") * col("s"))
-        .withColumn("den", col("n") * col("n") * col("sxx") -
-          col("n") * col("s") * col("s"))
+      // the INTEGER FORMS ride the d19 DECIMAL promotion from the start
+      // (not just the phi22 products): the middle term n·s·(hx+tx) is
+      // within ~2× of int64 max at sf10, so a denser generator would
+      // overflow plain BIGINT before the documented DECIMAL stage
       def d19(c: Column) = c.cast("decimal(19,0)")
+      val nk = pairs.join(totals, "event_type")
+        .withColumn("num", d19(col("n")) * d19(col("n")) * d19(col("sxy")) -
+          d19(col("n")) * d19(col("s")) * (d19(col("hx")) + d19(col("tx"))) +
+          d19(col("m")) * d19(col("s")) * d19(col("s")))
+        .withColumn("den", d19(col("n")) * d19(col("n")) * d19(col("sxx")) -
+          d19(col("n")) * d19(col("s")) * d19(col("s")))
       val wide = nk.groupBy("event_type")
         .agg(max("n").as("n_days"),
           max(when(col("lag") === 1L, col("num"))).as("n1"),
@@ -3058,11 +3062,11 @@ object SparkEntry {
       wide.select(col("event_type"), col("n_days"),
           (col("n1").cast("double") / col("d").cast("double")).as("r1"),
           (col("n2").cast("double") / col("d").cast("double")).as("r2"),
-          when(d19(col("d")) * d19(col("d")) - d19(col("n1")) * d19(col("n1")) === 0,
+          when(col("d") * col("d") - col("n1") * col("n1") === 0,
             lit(null).cast("double"))
             .otherwise(
-              (d19(col("n2")) * d19(col("d")) - d19(col("n1")) * d19(col("n1"))).cast("double")
-                / (d19(col("d")) * d19(col("d")) - d19(col("n1")) * d19(col("n1"))).cast("double"))
+              (col("n2") * col("d") - col("n1") * col("n1")).cast("double")
+                / (col("d") * col("d") - col("n1") * col("n1")).cast("double"))
             .as("phi22"))
         .orderBy("event_type")
     },
@@ -3763,33 +3767,7 @@ object SparkEntry {
       // margins exact BIGINT, auc the single IEEE division
       // u2 / (2·n_pos·n_neg). AucSpec pins u2 against a brute-force
       // all-pairs count.
-      val ev = Tables.events(s, dir).select(
-        col("event_id"),
-        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
-        expr("(ts_ns div 3600000000000) % 24").as("hour"),
-        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
-      val bagged = ev
-        .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
-        .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
-          lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
-        .drop("event_id")
-      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
-        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
-      val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("np_tot"))
-      val classes = assigned.groupBy("tree", "node")
-        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
-        .crossJoin(broadcast(tot))
-        .select(col("tree"), col("node"),
-          (col("cp") * col("n_tot") > col("cn") * col("np_tot")).as("leaf_pred"))
-      val scoreRows = ev.withColumn("tree",
-        explode(array(lit(0L), lit(1L), lit(2L))))
-      val routed = graft.operators.DecisionTree.applySplits(
-        scoreRows, splits, Seq("cents_b", "hour", "dow"), depth = 2)
-      val votes = routed.join(broadcast(classes), Seq("tree", "node"), "left")
-        .withColumn("p",
-          when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
-        .groupBy("event_id", "label").agg(sum("p").as("v"))
+      val votes = liftVotes(s, dir)
       graft.operators.Auc.fromBucketScores(votes, "v", "label", Seq(0L, 1L, 2L, 3L))
     },
 
@@ -3807,33 +3785,7 @@ object SparkEntry {
       // one rounding per metric, hash-replayable. All-negative or
       // all-positive degenerate predictions yield NULL precision/recall
       // identically in both engines (0/0).
-      val ev = Tables.events(s, dir).select(
-        col("event_id"),
-        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
-        expr("(ts_ns div 3600000000000) % 24").as("hour"),
-        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
-      val bagged = ev
-        .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
-        .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
-          lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
-        .drop("event_id")
-      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
-        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
-      val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("np_tot"))
-      val classes = assigned.groupBy("tree", "node")
-        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
-        .crossJoin(broadcast(tot))
-        .select(col("tree"), col("node"),
-          (col("cp") * col("n_tot") > col("cn") * col("np_tot")).as("leaf_pred"))
-      val scoreRows = ev.withColumn("tree",
-        explode(array(lit(0L), lit(1L), lit(2L))))
-      val routed = graft.operators.DecisionTree.applySplits(
-        scoreRows, splits, Seq("cents_b", "hour", "dow"), depth = 2)
-      val votes = routed.join(broadcast(classes), Seq("tree", "node"), "left")
-        .withColumn("p",
-          when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
-        .groupBy("event_id", "label").agg(sum("p").as("v"))
+      val votes = liftVotes(s, dir)
       votes
         .select(col("label"), when(col("v") >= 2, 1L).otherwise(0L).as("pred"))
         .agg(
@@ -3865,33 +3817,7 @@ object SparkEntry {
       // fixed score domain's contingency cells (no window, no sort —
       // the ml_auc one-pass shape), so the "how deep to crawl/label"
       // decision costs one conditional-sum agg at any corpus size.
-      val ev = Tables.events(s, dir).select(
-        col("event_id"),
-        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
-        expr("(ts_ns div 3600000000000) % 24").as("hour"),
-        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
-      val bagged = ev
-        .withColumn("tree", explode(array(lit(0L), lit(1L), lit(2L))))
-        .where(pmod(Tf.hash60(concat(lit("bag-"), col("tree").cast("string"),
-          lit("-"), col("event_id").cast("string"))), lit(3L)) =!= 0)
-        .drop("event_id")
-      val (splits, assigned) = graft.operators.DecisionTree.fitBagged(
-        bagged, Seq("cents_b", "hour", "dow"), "label", depth = 2)
-      val tot = ev.agg(count(lit(1)).as("n_tot"), sum("label").as("np_tot"))
-      val classes = assigned.groupBy("tree", "node")
-        .agg(count(lit(1)).as("cn"), sum("label").as("cp"))
-        .crossJoin(broadcast(tot))
-        .select(col("tree"), col("node"),
-          (col("cp") * col("n_tot") > col("cn") * col("np_tot")).as("leaf_pred"))
-      val scoreRows = ev.withColumn("tree",
-        explode(array(lit(0L), lit(1L), lit(2L))))
-      val routed = graft.operators.DecisionTree.applySplits(
-        scoreRows, splits, Seq("cents_b", "hour", "dow"), depth = 2)
-      val votes = routed.join(broadcast(classes), Seq("tree", "node"), "left")
-        .withColumn("p",
-          when(coalesce(col("leaf_pred"), lit(false)), 1L).otherwise(0L))
-        .groupBy("event_id", "label").agg(sum("p").as("v"))
+      val votes = liftVotes(s, dir)
       graft.operators.Auc.liftTable(votes, "v", "label", Seq(0L, 1L, 2L, 3L))
     },
 
@@ -7837,9 +7763,10 @@ object SparkEntry {
       // frames (the distancesMulti compound-key amortization): forward
       // fuses BFS with exact BIGINT σ path counting, backward
       // accumulates δ = Σ σ_v/σ_w·(1+δ_w) level by level. δ is DOUBLE
-      // yet hash-replays: σ_v/σ_w is one exact-int IEEE division, and
-      // the per-node sum has ≤ 2 terms on this out-degree-≤2 graph
-      // (2-term IEEE addition is commutative). Betweenness = Σ_s δ_s(v),
+      // yet hash-replays AT ANY OUT-DEGREE: σ_v/σ_w is one exact-int
+      // IEEE division and the per-node sum folds in successor order
+      // (sort_array+aggregate ↔ DuckDB SUM ORDER BY — both sequential
+      // IEEE folds). Betweenness = Σ_s δ_s(v),
       // summed in FIXED source order via a 4-way pivot so the rounding
       // sequence replays. Output: top-20 critical nodes. Oracle unrolls
       // both passes level-by-level (recursive-CTE distances, one σ and
@@ -9877,10 +9804,14 @@ FROM rl r, br b ORDER BY r.score"""
 
   /** graph_betweenness oracle: recursive-CTE distances capped at the
     * radius, one σ CTE per forward level (sum of predecessor σ's — exact
-    * BIGINT), one δ CTE per backward level (σ_v/σ_w·(1+δ_w) summed over
-    * the ≤2 same-source successors; 2-term IEEE addition is commutative
-    * so the DOUBLE replays Spark's), then the fixed-order 4-source pivot
-    * sum — mirrors operators/Betweenness.sampled level by level. */
+    * BIGINT), one δ CTE per backward level — σ_v/σ_w·(1+δ_w) folded in
+    * SUCCESSOR order via SUM(... ORDER BY e.dst), which DuckDB evaluates
+    * as a sequential IEEE fold bit-identical to the operator's
+    * sort_array+aggregate fold at ANY out-degree — then the fixed-order
+    * 4-source pivot sum. The edges CTE is DISTINCT, mirroring the
+    * operator's edges.distinct(): the 'scc-' hash construction collides
+    * a few (src, dst) pairs per decade and a duplicated edge would
+    * double-count σ and δ. */
   private val graphBetweennessOracle: String = {
     val h = BetweennessHopCap
     val srcVals =
@@ -9890,7 +9821,7 @@ FROM rl r, br b ORDER BY r.score"""
       s"""WITH nn AS (SELECT COUNT(*) AS n FROM customer),
          |base AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer),
          |edges AS MATERIALIZED (
-         |  SELECT u AS src, dst FROM (
+         |  SELECT DISTINCT u AS src, dst FROM (
          |    SELECT u, ('0x' || substr(md5('scc-a-' || u), 1, 15))::BIGINT % nn.n AS dst
          |    FROM base, nn WHERE u % 7 <> 0
          |    UNION ALL
@@ -9926,7 +9857,7 @@ FROM rl r, br b ORDER BY r.score"""
          |  LEFT JOIN (
          |    SELECT sv.s, e.src AS node,
          |      SUM(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE)
-         |          * (1.0 + dw.delta)) AS dsum
+         |          * (1.0 + dw.delta) ORDER BY e.dst) AS dsum
          |    FROM sig$d sv JOIN edges e ON e.src = sv.node
          |    JOIN del${d + 1} dw ON dw.s = sv.s AND dw.node = e.dst
          |    JOIN sig${d + 1} sw ON sw.s = sv.s AND sw.node = e.dst
@@ -10769,9 +10700,11 @@ FROM rl r, br b ORDER BY r.score"""
         |FROM agg a JOIN tot t USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
 
-    // the autocorr integer forms N1, N2, D pivoted wide; φ22's ~1e28
-    // products ride HUGEINT, parsed to DOUBLE via VARCHAR to replay
-    // Spark's DECIMAL(38,0)→double cast (sample_neyman convention)
+    // the autocorr integer forms N1, N2, D themselves ride HUGEINT
+    // (mirroring Spark's d19 DECIMAL promotion — the middle term
+    // n·s·(hx+tx) sits within ~2× of int64 at sf10); every
+    // HUGEINT→DOUBLE goes via VARCHAR to replay Spark's
+    // DECIMAL(38,0)→double cast (sample_neyman convention)
     "events_pacf" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x
@@ -10794,8 +10727,9 @@ FROM rl r, br b ORDER BY r.score"""
         |  FROM pairs GROUP BY 1, 2),
         |nk AS (
         |  SELECT a.event_type, a.lag, t.n,
-        |    CAST(n*n*sxy - n*s*(hx+tx) + m*s*s AS BIGINT) AS num,
-        |    CAST(n*n*sxx - n*s*s AS BIGINT) AS den
+        |    CAST(n AS HUGEINT)*n*sxy - CAST(n AS HUGEINT)*s*(hx+tx)
+        |      + CAST(m AS HUGEINT)*s*s AS num,
+        |    CAST(n AS HUGEINT)*n*sxx - CAST(n AS HUGEINT)*s*s AS den
         |  FROM agg a JOIN tot t USING (event_type)),
         |wide AS (
         |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
@@ -10804,12 +10738,12 @@ FROM rl r, br b ORDER BY r.score"""
         |    MAX(den) AS d
         |  FROM nk GROUP BY 1)
         |SELECT event_type, n_days,
-        |  CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE) AS r1,
-        |  CAST(n2 AS DOUBLE) / CAST(d AS DOUBLE) AS r2,
-        |  CASE WHEN CAST(d AS HUGEINT) * d - CAST(n1 AS HUGEINT) * n1 = 0
+        |  CAST(CAST(n1 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r1,
+        |  CAST(CAST(n2 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r2,
+        |  CASE WHEN d * d - n1 * n1 = 0
         |    THEN CAST(NULL AS DOUBLE)
-        |    ELSE CAST(CAST(CAST(n2 AS HUGEINT) * d - CAST(n1 AS HUGEINT) * n1 AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(CAST(d AS HUGEINT) * d - CAST(n1 AS HUGEINT) * n1 AS VARCHAR) AS DOUBLE)
+        |    ELSE CAST(CAST(n2 * d - n1 * n1 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(d * d - n1 * n1 AS VARCHAR) AS DOUBLE)
         |  END AS phi22
         |FROM wide ORDER BY event_type""".stripMargin,
 

@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions._
   *  - BACKWARD walks levels maxHop-1 … 0 accumulating Brandes
   *    dependencies δ(v) = Σ_{w ∈ succ(v), dist(w)=dist(v)+1}
   *    σ_v/σ_w · (1 + δ(w)). δ is DOUBLE but every value replays
-  *    bit-identically across engines: σ_v/σ_w is one exact-integer IEEE
-  *    division, the product/add sequence is fixed per edge, and the
-  *    per-node sum has at most TWO terms on any out-degree ≤ 2 graph
-  *    (IEEE addition is commutative, so a 2-term SUM is order-free; the
-  *    caller must not feed graphs with higher out-degree if hash-replay
-  *    is required — `requireOutDeg2` guards it).
+  *    bit-identically across engines ON ANY OUT-DEGREE: each term's
+  *    op sequence is fixed (one exact-integer IEEE division, one add,
+  *    one multiply), and the per-node sum is a SUCCESSOR-ORDERED
+  *    left-to-right fold — sort_array(collect_list(struct(w, t))) then
+  *    aggregate() — which DuckDB replays with SUM(t ORDER BY w): both
+  *    engines' ordered sums are sequential IEEE folds (measured: DuckDB
+  *    SUM(x ORDER BY k) is bit-identical to a left-to-right loop on
+  *    order-sensitive magnitudes, stable under threads). This replaces
+  *    the r13/r14 out-degree ≤ 2 commutativity precondition — no degree
+  *    restriction remains.
   *
   * Cost: 2·maxHop keyed joins over frames of ≤ |sources|·|V| rows — no
   * corpus-sized shuffle anywhere; the edge table is deduped and
@@ -41,8 +45,8 @@ import org.apache.spark.sql.functions._
   * @param nodes  (node: long) real vertex ids; phantom hash targets may
   *               appear mid-walk (same semantics as Bfs: they relay paths)
   *               but are dropped from the OUTPUT
-  * @param edges  (src, dst: long) directed edges, out-degree ≤ 2 per src
-  *               for bit-replayable δ (see above)
+  * @param edges  (src, dst: long) directed edges, any out-degree (δ is
+  *               successor-order folded — see above)
   * @param sources sampled BFS roots
   * @param maxHop  dependency radius (levels unrolled — keep small)
   * @return (s, node, dist, sigma, delta) for every node within maxHop of
@@ -81,8 +85,9 @@ object Betweenness {
     val lev: Array[DataFrame] = levels.reverse.toArray
 
     // BACKWARD: δ = 0 at the radius; each earlier level accumulates from
-    // its successors one level deeper. Per-(s, v) the aggregated SUM has
-    // ≤ 2 terms (out-degree bound) — commutative, so bit-replayable.
+    // its successors one level deeper. Per-(s, v) the terms fold in
+    // successor-node order (sort_array + aggregate), so the IEEE
+    // rounding sequence is fixed and replayable at any out-degree.
     var delta = lev(maxHop).select(col("s"), col("node"))
       .withColumn("delta", lit(0.0)).localCheckpoint(true)
     var acc = lev(maxHop)
@@ -97,10 +102,14 @@ object Betweenness {
         .select(col("s"), col("node").as("u"), col("sigma").as("sig_v"))
         .join(es, Seq("u"))
         .join(succ, Seq("s", "v"))
-        .select(col("s"), col("u").as("node"),
+        .select(col("s"), col("u").as("node"), col("v"),
           (col("sig_v").cast("double") / col("sig_w").cast("double")
             * (lit(1.0) + col("del_w"))).as("t"))
-        .groupBy("s", "node").agg(sum("t").as("dsum"))
+        .groupBy("s", "node")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("v"), col("t")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("dsum"))
       delta = cur.select("s", "node")
         .join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"),

@@ -7,9 +7,12 @@ import graft.operators.Betweenness
   * reference that runs the textbook per-source algorithm (queue BFS, σ by
   * level order, δ by reverse level order, truncated at the radius) — on
   * shapes exercising multiple shortest paths (σ > 1), ties, phantom edge
-  * targets, and radius truncation. σ and dist must match exactly; δ to
-  * 1e-9 (the reference sums in arbitrary order; the operator's own
-  * bit-replay claim vs DuckDB is carried by the oracle hash gate). */
+  * targets, radius truncation, and UNBOUNDED out-degree (the r15 ordered-
+  * fold upgrade: δ folds in successor order, so the old out-degree ≤ 2
+  * precondition is gone). The reference folds δ in the SAME successor
+  * order with the SAME per-term op sequence, so dist, σ AND δ must all
+  * match EXACTLY (bitwise for δ) — the order contract the DuckDB
+  * SUM(ORDER BY) oracle replays is pinned here first. */
 class BetweennessSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -38,7 +41,8 @@ class BetweennessSpec extends AnyFunSuite {
       for (d <- (h - 1) to 0 by -1) {
         for (v <- dist.keys if dist(v) == d) {
           var acc = 0.0
-          for (w <- adj.getOrElse(v, Nil)
+          // successor-ASC fold: the operator's sort_array+aggregate order
+          for (w <- adj.getOrElse(v, Nil).sorted
                if dist.get(w).contains(d + 1L))
             acc += sigma(v).toDouble / sigma(w).toDouble *
               (1.0 + delta.getOrElse(w, 0.0))
@@ -64,24 +68,30 @@ class BetweennessSpec extends AnyFunSuite {
       .toMap
   }
 
-  test("matches textbook Brandes on diamond, chain, random and phantom shapes") {
-    val rnd = new scala.util.Random(97)
-    // every generator keeps out-degree ≤ 2 (the operator's replay contract)
-    def rand2(n: Int, seed: Int): Seq[(Int, Int)] = {
+  test("matches textbook Brandes on diamond, chain, random, hub and phantom shapes") {
+    def randK(n: Int, k: Int, seed: Int): Seq[(Int, Int)] = {
       val r = new scala.util.Random(seed)
       (0 until n).flatMap { v =>
-        Seq((v, r.nextInt(n)), (v, r.nextInt(n))).filter(e => e._1 != e._2)
+        Seq.fill(k)((v, r.nextInt(n))).filter(e => e._1 != e._2)
       }.distinct
     }
     val diamond = Seq((0, 1), (0, 2), (1, 3), (2, 3), (3, 4)) // σ(0→3)=2, σ(0→4)=2
     val chain = (0 until 12).map(i => (i, i + 1)) // radius truncation at h<11
+    // hub: node 1 fans out to FIVE successors at the same level — the
+    // δ(1) sum has 5 order-sensitive terms; kills any commutativity-only
+    // replay argument
+    val hub = Seq((0, 1)) ++ (2 to 6).map(w => (1, w)) ++
+      (2 to 6).map(w => (w, 7))
     val shapes: Seq[(Int, Seq[(Int, Int)], Seq[Int], Int)] = Seq(
       (5, diamond, Seq(0), 4),
       (13, chain, Seq(0, 3), 6),
-      (40, rand2(40, 11), Seq(1, 2, 3), 8),
-      (30, rand2(30, 23), Seq(0, 7), 5),
+      (8, hub, Seq(0), 4),
+      (40, randK(40, 2, 11), Seq(1, 2, 3), 8),
+      (30, randK(30, 2, 23), Seq(0, 7), 5),
+      // unbounded out-degree: 5 random out-edges per node
+      (25, randK(25, 5, 47), Seq(0, 3), 5),
       // phantom targets: edges from real nodes into ids ≥ n relay paths
-      (10, rand2(10, 31) ++ Seq((1, 12), (12, 4), (2, 12)), Seq(0, 1), 6))
+      (10, randK(10, 2, 31) ++ Seq((1, 12), (12, 4), (2, 12)), Seq(0, 1), 6))
     for ((n, edges, sources, h) <- shapes) {
       val exp = reference(n, edges, sources, h)
       val got = run(n, edges, sources, h)
@@ -90,8 +100,11 @@ class BetweennessSpec extends AnyFunSuite {
       for ((k, (d, sg, dl)) <- exp) {
         val (gd, gsg, gdl) = got(k)
         assert(gd == d && gsg == sg, s"n=$n $k dist/sigma: got ($gd,$gsg) want ($d,$sg)")
-        assert(math.abs(gdl - dl) <= 1e-9 * math.max(1.0, math.abs(dl)),
-          s"n=$n $k delta: got $gdl want $dl")
+        // EXACT: the operator's ordered fold must replay the reference's
+        // successor-ASC fold bit for bit
+        assert(java.lang.Double.doubleToLongBits(gdl) ==
+            java.lang.Double.doubleToLongBits(dl),
+          s"n=$n $k delta: got $gdl want $dl (bitwise)")
       }
     }
   }

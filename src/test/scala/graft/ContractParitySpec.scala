@@ -38,7 +38,10 @@ class ContractParitySpec extends AnyFunSuite {
       "distinct", "case", "when", "then", "else", "end", "cast",
       "between", "exists", "collate", "lateral", "primary", "foreign",
       "constraint", "default", "create", "insert", "update", "delete")
-    val cte = """(?m)(?:WITH(?:\s+RECURSIVE)?\s+|,\s*\n?\s*\|?)([a-zA-Z_][a-zA-Z0-9_]*)\s+AS(?:\s+MATERIALIZED)?\s*\(""".r
+    // the optional (col, ...) group covers recursive CTEs with column
+    // lists — `WITH RECURSIVE w(s, node, d) AS (` — which the first
+    // regex draft skipped (the name-then-AS form only)
+    val cte = """(?m)(?:WITH(?:\s+RECURSIVE)?\s+|,\s*\n?\s*\|?)([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\)\s*)?AS(?:\s+MATERIALIZED)?\s*\(""".r
     val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
       cte.findAllMatchIn(sql).map(_.group(1).toLowerCase)
         .filter(banned.contains).map(k => s"$name: CTE `$k`")
