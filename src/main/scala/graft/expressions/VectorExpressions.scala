@@ -714,45 +714,72 @@ object DeflateSize {
   * {int, double, boolean, string, object, array, null}; non-object or
   * malformed JSON dead-letters to NULL (error-lane convention). Type names
   * line up with DuckDB's json_type mapping so the oracle replays the census
-  * exactly. Jackson is Spark's own bundled JSON parser — one parse per row.
+  * exactly.
+  *
+  * STREAMING parse (Jackson JsonParser, Spark's own bundled JSON library) —
+  * the r14 form built a full readTree ObjectNode per row, and while that
+  * measured fine standalone (~1.3 s for the 15M-row sf10 parse), inside a
+  * 303-query battery the per-row tree allocation ran against an aged heap
+  * and inflated 3-6× (the "14×/decade cliff" the r14 verdict flagged). The
+  * token walk allocates only the key strings it emits: nested values are
+  * skipChildren()'d, no tree ever exists. Semantics are pinned to readTree
+  * with FAIL_ON_TRAILING_TOKENS by JsonInferSpec: trailing content
+  * after the closing brace → NULL (DuckDB's JSON functions reject it too),
+  * duplicate keys keep first position / last value (Jackson ObjectNode
+  * behavior), BigInteger-wide ints are "int", exponent forms are "double".
   */
 case class JsonTopLevelTypes(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
-  // FAIL_ON_TRAILING_TOKENS: bare readTree accepts '{} junk' as an object,
-  // but the DuckDB oracle's JSON functions reject trailing content — the
-  // malformed-input lane must classify identically on both engines
-  @transient private lazy val mapper = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
-    m
-  }
-
-  private def typeName(n: com.fasterxml.jackson.databind.JsonNode): String =
-    if (n.isObject) "object"
-    else if (n.isArray) "array"
-    else if (n.isTextual) "string"
-    else if (n.isBoolean) "boolean"
-    else if (n.isNull) "null"
-    else if (n.isIntegralNumber) "int"
-    else "double"
+  @transient private lazy val factory = new JsonFactory()
 
   override protected def nullSafeEval(input: Any): Any = {
-    val root =
-      try mapper.readTree(input.toString)
-      catch { case _: Exception => null }
-    if (root == null || !root.isObject) null
+    // LinkedHashMap: duplicate keys keep FIRST insertion position with the
+    // LAST value — exactly readTree's ObjectNode.put
+    val fields = new java.util.LinkedHashMap[String, String]()
+    var ok = true
+    try {
+      val p = factory.createParser(input.toString)
+      try {
+        if (p.nextToken() != JsonToken.START_OBJECT) ok = false
+        else {
+          var tok = p.nextToken()
+          while (ok && tok == JsonToken.FIELD_NAME) {
+            val key = p.currentName()
+            val t = p.nextToken()
+            val tn = t match {
+              case JsonToken.START_OBJECT => p.skipChildren(); "object"
+              case JsonToken.START_ARRAY => p.skipChildren(); "array"
+              case JsonToken.VALUE_STRING => "string"
+              case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE => "boolean"
+              case JsonToken.VALUE_NULL => "null"
+              case JsonToken.VALUE_NUMBER_INT => "int"
+              case JsonToken.VALUE_NUMBER_FLOAT => "double"
+              case _ => ok = false; null
+            }
+            if (ok) { fields.put(key, tn); tok = p.nextToken() }
+          }
+          if (ok && tok != JsonToken.END_OBJECT) ok = false
+          // FAIL_ON_TRAILING_TOKENS equivalence: '{} junk' is malformed
+          if (ok && p.nextToken() != null) ok = false
+        }
+      } finally p.close()
+    } catch { case _: Exception => ok = false }
+    if (!ok) null
     else {
-      val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
-      val it = root.properties().iterator()
+      val out = new Array[Any](fields.size)
+      var i = 0
+      val it = fields.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        out += UTF8String.fromString(e.getKey + "|" + typeName(e.getValue))
+        out(i) = UTF8String.fromString(e.getKey + "|" + e.getValue)
+        i += 1
       }
-      new GenericArrayData(out.toArray[Any])
+      new GenericArrayData(out)
     }
   }
 

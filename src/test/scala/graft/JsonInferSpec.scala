@@ -29,4 +29,35 @@ class JsonInferSpec extends AnyFunSuite {
   test("empty object yields an empty census, not null") {
     assert(types("{}") === Some(Seq.empty))
   }
+
+  // r15 pins: the streaming-parser rewrite must keep readTree's
+  // (FAIL_ON_TRAILING_TOKENS) corner semantics exactly
+
+  test("trailing content after the closing brace is malformed") {
+    assert(types("""{"a": 1} junk""") === None)
+    assert(types("""{"a": 1}{""") === None)
+    assert(types("""{"a": 1} """) === Some(Seq("a|int"))) // bare whitespace ok
+  }
+
+  test("duplicate keys keep first position, last value") {
+    assert(types("""{"a": 1, "b": "x", "a": 2.5}""")
+      === Some(Seq("a|double", "b|string")))
+  }
+
+  test("ints wider than int64 still classify as int; exponents as double") {
+    assert(types("""{"big": 123456789012345678901234567890, "e": 2E8}""")
+      === Some(Seq("big|int", "e|double")))
+  }
+
+  test("deeply nested values are skipped, not typed") {
+    assert(types("""{"a": {"b": [1, {"c": 2}]}, "d": [[["x"]]], "e": 9}""")
+      === Some(Seq("a|object", "d|array", "e|int")))
+    // malformed INSIDE a nested value is still malformed
+    assert(types("""{"a": {"b": [1,}, "e": 9}""") === None)
+  }
+
+  test("empty and whitespace-only input dead-letters") {
+    assert(types("") === None)
+    assert(types("   ") === None)
+  }
 }
