@@ -7,10 +7,9 @@ import org.apache.spark.sql.functions._
   * reachability/shortest-hop member of the graph tier (undirected CC,
   * incremental CC, triangles, TextRank, SCC). Frontier-form BSP: each
   * round expands only from the nodes discovered LAST round, anti-joined
-  * against the accumulated visited set (a narrow union of checkpointed
-  * deltas, never re-shuffled) — per-round work tracks the frontier's
-  * edges, not the visited set, the same discipline as Scc's backward
-  * pass.
+  * against the accumulated visited set — per-round work tracks the
+  * frontier's edges, not the visited set, the same discipline as Scc's
+  * backward pass.
   *
   * DOUBLE-STEPPED like both Scc fixpoints (measured finding there: on
   * diameter-many metadata-scale shuffles the per-round fixed overhead —
@@ -20,6 +19,19 @@ import org.apache.spark.sql.functions._
   * d+1, which is in this round's hop-1 delta (new nodes only — expanding
   * hop 2 from already-visited hop-1 hits would mislabel, so hop 1 is
   * anti-joined BEFORE the second expansion).
+  *
+  * VISITED is ONE checkpointed frame kept HASH-PARTITIONED AND SORTED on
+  * the anti-join key (r15 measured finding, reversing the r14 lazy-union
+  * form): LogicalRDD preserves outputPartitioning/outputOrdering through
+  * localCheckpoint, so both per-round anti-joins see a clustered, sorted
+  * right side and shuffle/sort NOTHING — the lazy union of deltas
+  * re-shuffled the whole visited set TWICE per round (every anti-join),
+  * which is why late rounds got slower as visited grew (0.45 → 1.0 s/hop
+  * at sf1). One repartition+sort+checkpoint of visited per round replaces
+  * the two anti-join shuffles: 35.2/29.3 → 20.8/19.8 s at sf1 and
+  * 85.9/79.3 → 60.0/55.3 s at sf10 on the 4-source 'scc-' digraph loop
+  * (cold/warm, exclusive runs). Rounds no longer slow down as visited
+  * grows; the remaining floor is the per-hop edge-table probe scan.
   */
 object Bfs {
 
@@ -40,7 +52,11 @@ object Bfs {
     import spark.implicits._
     val es = edges.select(col("src").as("u"), col("dst").as("v"))
       .distinct().localCheckpoint(true)
+    // partitioned+sorted on the anti-join key and kept that way every
+    // round — see the class doc's r15 measurement
     var visited = sources.map(s => (s, s, 0L)).toDF("s", "node", "dist")
+      .repartition(col("s"), col("node"))
+      .sortWithinPartitions("s", "node")
       .localCheckpoint(true)
     var frontier = visited.select("s", "node")
     var d = 0L
@@ -60,6 +76,9 @@ object Bfs {
       val grown = h1.withColumn("dist", lit(d + 1L))
         .union(h2.withColumn("dist", lit(d + 2L)))
       visited = visited.union(grown)
+        .repartition(col("s"), col("node"))
+        .sortWithinPartitions("s", "node")
+        .localCheckpoint(true)
       frontier = h2
       frontierCount = h2.count()
       d += 2
@@ -83,7 +102,9 @@ object Bfs {
     val spark = edges.sparkSession
     val es = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     var visited = spark.range(1)
-      .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint(true)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .repartition(col("node")).sortWithinPartitions("node")
+      .localCheckpoint(true)
     var frontier = visited.select("node")
     var d = 0L
     var frontierCount = 1L
@@ -103,6 +124,8 @@ object Bfs {
       val grown = h1.withColumn("dist", lit(d + 1L))
         .union(h2.withColumn("dist", lit(d + 2L)))
       visited = visited.union(grown)
+        .repartition(col("node")).sortWithinPartitions("node")
+        .localCheckpoint(true)
       frontier = h2
       frontierCount = h2.count()
       d += 2

@@ -69,67 +69,116 @@ object Scc {
     var remainingCount = remaining.count()
     while (remainingCount > localFinishBelow && phase < maxPhases) {
       // ---- 1. trim fixpoint: no-in or no-out nodes are singleton SCCs.
-      // One checkpointed flag frame per round; keep/peel are cheap filters
-      // of it rather than separate semi/anti join jobs.
-      var trimmed = true
+      // DELTA-PEELED (r15): degrees are computed ONCE, then each round
+      // only decrements the neighbors of the nodes peeled that round —
+      // total trim shuffle volume is O(E) across ALL rounds instead of
+      // the previous O(E × rounds) (two full-edge distincts plus two
+      // full-edge semi-join re-checkpoints per round). The edge table is
+      // physically trimmed ONCE, after the fixpoint. Both edge
+      // orientations are pre-partitioned + sorted and the degree frame
+      // stays hash-partitioned on node (LogicalRDD preserves both
+      // through localCheckpoint), so per-round shuffles carry only the
+      // peeled delta and its adjacent edges.
+      val esBySrc = es.repartition(col("src")).sortWithinPartitions("src")
+        .localCheckpoint(true)
+      val esByDst = es.repartition(col("dst")).sortWithinPartitions("dst")
+        .localCheckpoint(true)
+      var degrees = remaining
+        .join(es.groupBy(col("src").as("node")).agg(count(lit(1)).as("outd")),
+          Seq("node"), "left")
+        .join(es.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ind")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("outd"), lit(0L)).as("outd"),
+          coalesce(col("ind"), lit(0L)).as("ind"))
+        .repartition(col("node")).sortWithinPartitions("node")
+        .localCheckpoint(true)
       var titer = 0
-      while (trimmed && remainingCount > 0) {
-        val hasOut = es.select(col("src").as("node")).distinct()
-          .withColumn("has_out", lit(true))
-        val hasIn = es.select(col("dst").as("node")).distinct()
-          .withColumn("has_in", lit(true))
-        val flagged = remaining
-          .join(hasOut, Seq("node"), "left")
-          .join(hasIn, Seq("node"), "left")
-          .select(col("node"),
-            (coalesce(col("has_out"), lit(false)) &&
-              coalesce(col("has_in"), lit(false))).as("keep"))
-          .localCheckpoint(true)
-        val keepCount = flagged.where(col("keep")).count()
-        if (keepCount < remainingCount) {
-          done += flagged.where(!col("keep"))
-            .select(col("node"), col("node").as("pivot"))
+      var peeledCount = 1L
+      while (peeledCount > 0 && remainingCount > 0) {
+        // a filter-scan of the checkpointed degree frame — no checkpoint
+        // of its own: every use (count, done, decrements, anti-join)
+        // re-scans cached blocks, which is cheaper than a per-round
+        // materialization job
+        val peeled = degrees.where(col("outd") === 0 || col("ind") === 0)
+          .select("node")
+        peeledCount = peeled.count()
+        if (peeledCount > 0) {
+          // lazy over the ROUND's checkpointed degrees RDD — stays valid
+          // after `degrees` is reassigned (RDDs are immutable)
+          done += peeled.select(col("node"), col("node").as("pivot"))
+          remainingCount -= peeledCount
+          // an edge decrements src's out-degree when its DST is peeled
+          // and dst's in-degree when its SRC is peeled — each edge fires
+          // each direction at most once, since a node peels exactly once
+          val decOut = esByDst
+            .join(peeled.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .groupBy(col("src").as("node")).agg(count(lit(1)).as("dout"))
+          val decIn = esBySrc
+            .join(peeled.select(col("node").as("src")), Seq("src"), "left_semi")
+            .groupBy(col("dst").as("node")).agg(count(lit(1)).as("din"))
+          degrees = degrees
+            .join(peeled, Seq("node"), "left_anti")
+            .join(decOut, Seq("node"), "left")
+            .join(decIn, Seq("node"), "left")
+            .select(col("node"),
+              (col("outd") - coalesce(col("dout"), lit(0L))).as("outd"),
+              (col("ind") - coalesce(col("din"), lit(0L))).as("ind"))
             .localCheckpoint(true)
-          remaining = flagged.where(col("keep")).select("node")
-          remainingCount = keepCount
-          es = es
-            .join(remaining.select(col("node").as("src")), Seq("src"), "left_semi")
-            .join(remaining.select(col("node").as("dst")), Seq("dst"), "left_semi")
-            .localCheckpoint(true)
-        } else trimmed = false
+        }
         titer += 1
         require(titer < maxIters, s"trim did not stabilize in $maxIters rounds")
+      }
+      remaining = degrees.select("node")
+      if (remainingCount > 0) {
+        es = es
+          .join(remaining.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(remaining.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
       }
       if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
         System.err.println(s"[scc] phase ${phase + 1}: trim $titer rounds, remaining=$remainingCount at ${System.nanoTime() / 1000000}ms")
       if (remainingCount > 0) {
         // ---- 2. forward max-color fixpoint (propagate along edges).
-        // DOUBLE-STEPPED: two propagation joins per checkpoint +
-        // convergence check — the fixpoint's cost is dominated by the
-        // per-round fixed overhead (materialization, count job, task
-        // scheduling) on diameter-many tiny shuffles, so halving the
-        // round count nearly halves wall time; the previous color rides
-        // inside the checkpointed frame, so change detection is a
-        // filter-count of it — no second join job.
-        // push one step, preserving the round's starting color in `old`
-        def pushColors(c: DataFrame): DataFrame = {
-          val pushed = es.join(c.select(col("node").as("src"), col("color")), Seq("src"))
-            .groupBy(col("dst").as("node")).agg(max("color").as("pcolor"))
+        // DELTA-PROPAGATED (r15) and still DOUBLE-STEPPED: max is
+        // monotone and idempotent, so a node's outgoing contribution
+        // needs re-pushing only in the round AFTER its color changed —
+        // each round pushes only the changed set's colors one hop (twice)
+        // and folds them into the full color frame with a left join. The
+        // trimmed edge table is pre-partitioned + sorted on src and the
+        // color frame stays hash-partitioned + sorted on node (preserved
+        // through localCheckpoint), so the per-round shuffle volume is
+        // the changed delta and its out-edges, not O(V + E) as the
+        // previous full-frame push paid; the fold's SMJ scans colors in
+        // place. Convergence: two-step rounds where step 2 changes
+        // nothing are a true fixpoint (step 1's changes are in the folded
+        // frame and their push produced no further change).
+        val esCBySrc = es.repartition(col("src")).sortWithinPartitions("src")
+          .localCheckpoint(true)
+        // one delta step: (full colors, changed) -> folded (node, color, chg)
+        def deltaStep(c: DataFrame, ch: DataFrame): DataFrame = {
+          val pushed = esCBySrc
+            .join(ch.select(col("node").as("src"), col("color").as("pc")), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(max("pc").as("pc"))
           c.join(pushed, Seq("node"), "left")
-            .select(col("node"), col("old"),
-              greatest(col("color"), coalesce(col("pcolor"), col("color"))).as("color"))
+            .select(col("node"),
+              greatest(col("color"), coalesce(col("pc"), col("color"))).as("color"),
+              (coalesce(col("pc"), col("color")) > col("color")).as("chg"))
         }
         var colors = remaining.select(col("node"), col("node").as("color"))
+          .repartition(col("node")).sortWithinPartitions("node")
           .localCheckpoint(true)
-        var converged = false
+        var changed = colors
+        var changedCount = remainingCount
         var citer = 0
-        while (!converged) {
-          val next = pushColors(pushColors(
-              colors.select(col("node"), col("color").as("old"), col("color"))))
+        while (changedCount > 0) {
+          val f1 = deltaStep(colors, changed)
+          val f2 = deltaStep(
+              f1.select(col("node"), col("color")),
+              f1.where(col("chg")).select(col("node"), col("color")))
             .localCheckpoint(true)
-          val changed = next.where(col("color") > col("old")).count()
-          colors = next.select("node", "color")
-          converged = changed == 0
+          colors = f2.select("node", "color")
+          changed = f2.where(col("chg")).select(col("node"), col("color"))
+          changedCount = changed.count()
           citer += 1
           require(citer < maxIters, s"coloring did not converge in $maxIters rounds")
         }
@@ -139,19 +188,36 @@ object Scc {
         // form: each round expands only from the nodes marked LAST round
         // (BFS against edge direction), anti-joined against the
         // accumulated marked set; per-round work tracks the frontier's
-        // edges, not the full marked set, and the accumulated set is a
-        // narrow union of checkpointed deltas (never re-shuffled).
-        // marked rows: (node, color); seed = pivots.
-        // one backward step: in-class predecessors of `f`
-        def expandBack(f: DataFrame): DataFrame = {
-          val viaEdge = es
-            .join(f.select(col("node").as("dst"), col("color").as("mcolor")), Seq("dst"))
-            .select(col("src").as("node"), col("mcolor")).distinct()
-          colors.join(viaEdge, Seq("node"))
-            .where(col("color") === col("mcolor"))
-            .select(col("node"), col("color"))
+        // edges, not the full marked set. The marked set is ONE
+        // checkpointed frame kept hash-partitioned + sorted on `node`
+        // (the r15 Bfs measurement: LogicalRDD preserves partitioning/
+        // ordering through localCheckpoint, so the per-round anti-join
+        // stops re-shuffling the whole marked set — the previous lazy
+        // union of deltas paid that shuffle EVERY round and late rounds
+        // slowed as marked grew). marked rows: (node, color); seed =
+        // pivots.
+        // INTRA-CLASS edges are annotated ONCE per phase (r15): the
+        // backward walk only ever crosses edges whose endpoints share a
+        // color, and for such an edge the class label IS the edge's
+        // color — so each hop is one semi-join into the pre-partitioned
+        // intra-class edge table, with NO per-hop colors join at all
+        // (the previous form joined the full color frame every hop).
+        val esIntra = {
+          val cs = colors.select(col("node").as("src"), col("color").as("scolor"))
+          val cd = colors.select(col("node").as("dst"), col("color").as("dcolor"))
+          es.join(cs, Seq("src")).join(cd, Seq("dst"))
+            .where(col("scolor") === col("dcolor"))
+            .select(col("src"), col("dst"), col("scolor").as("ecolor"))
+            .repartition(col("dst")).sortWithinPartitions("dst")
+            .localCheckpoint(true)
         }
+        // one backward step: in-class predecessors of `f` — dst ∈ f and
+        // color(src) = color(dst) = the edge's class label by construction
+        def expandBack(f: DataFrame): DataFrame =
+          esIntra.join(f.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src").as("node"), col("ecolor").as("color")).distinct()
         var marked = colors.where(col("node") === col("color"))
+          .repartition(col("node")).sortWithinPartitions("node")
           .localCheckpoint(true)
         var frontier = marked
         var frontierCount = frontier.count()
@@ -166,6 +232,8 @@ object Scc {
             .localCheckpoint(true)
           frontierCount = grown.count()
           if (frontierCount > 0) marked = marked.union(grown)
+            .repartition(col("node")).sortWithinPartitions("node")
+            .localCheckpoint(true)
           frontier = grown
           miter += 1
           require(miter < maxIters, s"backward mark did not converge in $maxIters rounds")
