@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(args(0), intArg(args(1), "n"),
           word = args.length < 3 || intArg(args(2), "word") != 0)))
 
+    // Math.log (glibc-bit-identical), NOT Spark ln's StrictMath.log — see
+    // the MathLn scaladoc; required by any ln-carrying hash-gated lane
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ln"),
+      new ExpressionInfo(classOf[MathLn].getName, "graft_ln"),
+      (args: Seq[Expression]) => MathLn(args(0))))
+
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),

@@ -3071,6 +3071,82 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "events_ar_fit" -> { (s, dir) =>
+      // AR(3) model fit via Yule-Walker solved by Durbin-Levinson — the
+      // lane the diagnostics point at: events_autocorr reads off the ACF,
+      // events_pacf the AR order, this FITS the model (Box & Jenkins'
+      // identification → estimation step). The Toeplitz solve unrolls to
+      // a FIXED chain of IEEE ops over r1, r2, r3 (each rk = N_k/D, ONE
+      // division of exact cross-multiplied integer autocovariances — the
+      // autocorr/pacf integer forms on the d19 DECIMAL promotion):
+      //   φ11 = r1,            φ22 = (r2 − r1²)/(1 − r1²)
+      //   φ21 = φ11 − φ22·φ11
+      //   φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2)
+      //   a1 = φ21 − φ33·φ22,  a2 = φ22 − φ33·φ21,  a3 = φ33
+      //   var_ratio = (1−φ11²)(1−φ22²)(1−φ33²)   (innovation σ²/γ₀)
+      // Every intermediate is a deterministic double expression tree
+      // replayed verbatim by the oracle — no sum whose order an engine
+      // could pick. Degenerate series (|r1| = 1 or a zero D-L
+      // denominator) yield NULL coefficients identically. Shape: corpus
+      // → ONE keyed daily agg; lags ride 3 lead() columns over the
+      // O(types×days) metadata frame (the autocorr discipline).
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily
+        .withColumn("x1", lead("x", 1).over(w))
+        .withColumn("x2", lead("x", 2).over(w))
+        .withColumn("x3", lead("x", 3).over(w))
+      val totals = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("sxx"))
+      val pairs = lagged.selectExpr("event_type", "x",
+          "stack(3, 1L, x1, 2L, x2, 3L, x3) as (lag, xk)")
+        .where(col("xk").isNotNull)
+        .groupBy("event_type", "lag")
+        .agg(sum(col("x") * col("xk")).as("sxy"),
+          sum("x").as("hx"), sum("xk").as("tx"), count(lit(1)).as("m"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val nk = pairs.join(totals, "event_type")
+        .withColumn("num", d19(col("n")) * d19(col("n")) * d19(col("sxy")) -
+          d19(col("n")) * d19(col("s")) * (d19(col("hx")) + d19(col("tx"))) +
+          d19(col("m")) * d19(col("s")) * d19(col("s")))
+        .withColumn("den", d19(col("n")) * d19(col("n")) * d19(col("sxx")) -
+          d19(col("n")) * d19(col("s")) * d19(col("s")))
+      val wide = nk.groupBy("event_type")
+        .agg(max("n").as("n_days"),
+          max(when(col("lag") === 1L, col("num"))).as("n1"),
+          max(when(col("lag") === 2L, col("num"))).as("n2"),
+          max(when(col("lag") === 3L, col("num"))).as("n3"),
+          max("den").as("d"))
+      val rs = wide.select(col("event_type"), col("n_days"),
+        (col("n1").cast("double") / col("d").cast("double")).as("r1"),
+        (col("n2").cast("double") / col("d").cast("double")).as("r2"),
+        (col("n3").cast("double") / col("d").cast("double")).as("r3"))
+      rs
+        .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
+        .withColumn("phi22",
+          when(col("v1") === 0.0, lit(null).cast("double"))
+            .otherwise((col("r2") - col("r1") * col("r1")) / col("v1")))
+        .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+        .withColumn("den3",
+          lit(1.0) - col("phi21") * col("r1") - col("phi22") * col("r2"))
+        .withColumn("phi33",
+          when(col("den3") === 0.0, lit(null).cast("double"))
+            .otherwise((col("r3") - col("phi21") * col("r2")
+              - col("phi22") * col("r1")) / col("den3")))
+        .select(col("event_type"), col("n_days"),
+          col("r1"), col("r2"), col("r3"),
+          (col("phi21") - col("phi33") * col("phi22")).as("a1"),
+          (col("phi22") - col("phi33") * col("phi21")).as("a2"),
+          col("phi33").as("a3"),
+          ((lit(1.0) - col("r1") * col("r1"))
+            * (lit(1.0) - col("phi22") * col("phi22"))
+            * (lit(1.0) - col("phi33") * col("phi33"))).as("var_ratio"))
+        .orderBy("event_type")
+    },
+
     "events_trend" -> { (s, dir) =>
       // Mann-Kendall trend test + Theil-Sen slope per event type — the
       // nonparametric trend member beside the smoothing/forecast tier
@@ -3973,6 +4049,80 @@ object SparkEntry {
           col("n"), col("p"),
           (col("n").cast("double") * col("t") - col("n").cast("double")).as("chi2"))
         .orderBy(col("chi2").desc, col("feature"))
+    },
+
+    "ml_mi_select" -> { (s, dir) =>
+      // Mutual-information feature selection — the information-theoretic
+      // half of the univariate-filter pair beside ml_chi2_select (the two
+      // rankings practitioners actually compare: χ² tests deviation from
+      // independence, MI measures the dependence itself in nats).
+      // I(F;Y) = Σ_cells (c/N)·ln(N·c / (n_b·N_y)) over the SAME exact
+      // BIGINT contingency cells as chi2 — zero cells contribute 0 (the
+      // 0·ln 0 limit), so every ln argument is a ratio of POSITIVE exact
+      // integers (c > 0 ⇒ the marginals are ≥ c > 0), cast once and
+      // divided once. Per bucket the pos and neg terms combine FIRST,
+      // then fold in ascending bucket order (acc + (pos + neg), the chi2
+      // aggregate-HOF discipline), so the IEEE rounding sequence is fixed
+      // and the oracle's recursive-CTE walk replays it term for term;
+      // ln itself is bit-identical cross-engine (measured: Java
+      // Math.log == DuckDB ln on order-sensitive ratios incl. 1±1e-10).
+      // Products c·N ≤ ~4.5e15 at sf10, inside int64 with 2e3 headroom.
+      // Shape: three keyed aggs over one scan lineage; everything after
+      // runs on ≤~dozens-cell metadata frames.
+      val ev = Tables.events(s, dir).select(
+        expr("cast(cast(value as decimal(12,2)) * 100 as bigint) div 5000").as("cents_b"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"),
+        expr("((ts_ns div 86400000000000) + 4) % 7").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val feats = Seq("cents_b", "hour", "dow")
+      val perFeat = feats.map { f =>
+        ev.groupBy(col(f).as("b"))
+          .agg(count(lit(1)).as("nb"), sum("label").as("op"))
+          .agg(sort_array(collect_list(struct(col("b"), col("nb"), col("op")))).as("xs"),
+            sum("nb").as("n"), sum("op").as("p"))
+          .select(lit(f).as("feature"), col("xs"), col("n"), col("p"))
+      }
+      perFeat.reduce(_ unionByName _)
+        .withColumn("q", col("n") - col("p"))
+        .withColumn("mi", expr(
+          """aggregate(xs, cast(0.0 as double), (acc, x) -> acc +
+            |  ((case when x.op > 0 then cast(x.op as double) / cast(n as double)
+            |      * graft_ln(cast(x.op * n as double) / cast(x.nb * p as double))
+            |    else cast(0.0 as double) end)
+            |   + (case when x.nb - x.op > 0
+            |      then cast(x.nb - x.op as double) / cast(n as double)
+            |        * graft_ln(cast((x.nb - x.op) * n as double) / cast(x.nb * q as double))
+            |    else cast(0.0 as double) end)))""".stripMargin))
+        .select(col("feature"), size(col("xs")).cast("long").as("n_buckets"),
+          col("n"), col("p"), col("mi"))
+        .orderBy(col("mi").desc, col("feature"))
+    },
+
+    "ml_dbscan" -> { (s, dir) =>
+      // DBSCAN density clustering (Ester et al. 1996) on the shared
+      // spatial grid — the second clustering lane beside ml_kmeans
+      // (centroid-based needs k; density-based finds cluster COUNT and
+      // noise itself). eps = 2000 (grid cell = eps, ~1.9 expected
+      // neighbors at the density-normalized layout — every SF sees the
+      // same regime), minPts = 4 (core ⇔ ≥ 3 neighbors + self). The
+      // 100 TB shape end to end: ε-pairs from SpatialGrid.pairsWithin's
+      // half-neighborhood grid equi-join (never all-pairs), core flags
+      // from ONE keyed neighbor count, clusters = the existing
+      // large/small-star CC closure over CORE-CORE pairs only (the
+      // vanishing-fraction pair graph, O(log d) rounds), border points
+      // assigned to their MIN core-neighbor's cluster (the deterministic
+      // tie-break DBSCAN leaves unspecified), everything exact integers.
+      // Output: per-cluster census (n_core, n_border, n_total) plus the
+      // noise row as cluster_id = -1 — what a curation pipeline reads to
+      // decide "how many dense regions, how much scatter". Oracle:
+      // definitional all-pairs ε-join + recursive-CTE reachability
+      // closure over core-core edges (algorithm vs definition, the
+      // graph-lane convention).
+      import graft.operators.{Dbscan, SpatialGrid}
+      val eps = 2000L
+      val pts = SpatialGrid.points(Tables.customer(s, dir), "c_custkey", eps)
+        .localCheckpoint(true)
+      Dbscan.census(pts, eps, minPts = 4)
     },
 
     "ml_isotonic" -> { (s, dir) =>
@@ -10213,6 +10363,52 @@ FROM rl r, br b ORDER BY r.score"""
         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 250000
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // definitional DBSCAN: brute-force eps-pairs, HAVING-count cores,
+    // recursive-CTE reachability closure over core-core edges with
+    // MIN-label canonicalization (= the star-CC cluster id), min-cluster
+    // border assignment, census + the -1 noise row
+    "ml_dbscan" ->
+      """WITH RECURSIVE c AS (SELECT COUNT(*) AS n FROM customer),
+        |pts AS (
+        |  SELECT id, h60 % side AS x, (h60 // side) % side AS y FROM (
+        |    SELECT c_custkey AS id,
+        |      ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h60,
+        |      2582 * CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS side
+        |    FROM customer, c) q),
+        |eps_pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM pts a JOIN pts b ON a.id < b.id
+        |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000),
+        |und AS (SELECT a_id AS id, b_id AS nb FROM eps_pairs
+        |  UNION ALL SELECT b_id, a_id FROM eps_pairs),
+        |core AS (SELECT id FROM und GROUP BY 1 HAVING COUNT(*) >= 3),
+        |ce AS (
+        |  SELECT u.id AS ea, u.nb AS eb FROM und u
+        |  JOIN core c1 ON c1.id = u.id JOIN core c2 ON c2.id = u.nb),
+        |reach(ra, rb) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT r.ra, e.eb FROM reach r JOIN ce e ON e.ea = r.rb),
+        |corelab AS (SELECT ra AS id, MIN(rb) AS cluster FROM reach GROUP BY 1),
+        |borderlab AS (
+        |  SELECT u.id, MIN(cl.cluster) AS cluster
+        |  FROM und u JOIN corelab cl ON cl.id = u.nb
+        |  WHERE u.id NOT IN (SELECT id FROM core)
+        |  GROUP BY 1),
+        |lab AS (SELECT id, cluster, TRUE AS is_core FROM corelab
+        |  UNION ALL SELECT id, cluster, FALSE FROM borderlab),
+        |clus AS (
+        |  SELECT CAST(cluster AS BIGINT) AS cluster_id,
+        |    CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+        |    CAST(SUM(CASE WHEN is_core THEN 0 ELSE 1 END) AS BIGINT) AS n_border,
+        |    COUNT(*) AS n_total
+        |  FROM lab GROUP BY 1),
+        |noi AS (
+        |  SELECT CAST(-1 AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_core,
+        |    CAST(0 AS BIGINT) AS n_border,
+        |    (SELECT COUNT(*) FROM pts WHERE id NOT IN (SELECT id FROM lab)) AS n_total)
+        |SELECT * FROM clus UNION ALL SELECT * FROM noi ORDER BY cluster_id""".stripMargin,
+
     // brute-force within-radius pairs, symmetrized, same deterministic
     // (dist2, nb) window tie-break
     "join_spatial_knn" ->
@@ -10746,6 +10942,62 @@ FROM rl r, br b ORDER BY r.score"""
         |      / CAST(CAST(d * d - n1 * n1 AS VARCHAR) AS DOUBLE)
         |  END AS phi22
         |FROM wide ORDER BY event_type""".stripMargin,
+
+    // the pacf integer machinery extended to lag 3; the Durbin-Levinson
+    // chain is the SAME deterministic double expression tree Spark
+    // evaluates — left-associated subtractions, one division per
+    // reflection coefficient, no order-choosable sum anywhere
+    "events_ar_fit" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type, CAST(l.k AS BIGINT) AS lag, a.x AS x, b.x AS xk
+        |  FROM ranked a
+        |  JOIN (VALUES (1),(2),(3)) l(k) ON TRUE
+        |  JOIN ranked b ON b.event_type = a.event_type AND b.r = a.r + l.k),
+        |agg AS (
+        |  SELECT event_type, lag, SUM(x*xk) AS sxy, SUM(x) AS hx,
+        |    SUM(xk) AS tx, COUNT(*) AS m
+        |  FROM pairs GROUP BY 1, 2),
+        |nk AS (
+        |  SELECT a.event_type, a.lag, t.n,
+        |    CAST(n AS HUGEINT)*n*sxy - CAST(n AS HUGEINT)*s*(hx+tx)
+        |      + CAST(m AS HUGEINT)*s*s AS num,
+        |    CAST(n AS HUGEINT)*n*sxx - CAST(n AS HUGEINT)*s*s AS den
+        |  FROM agg a JOIN tot t USING (event_type)),
+        |wide AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |    MAX(CASE WHEN lag = 1 THEN num END) AS n1,
+        |    MAX(CASE WHEN lag = 2 THEN num END) AS n2,
+        |    MAX(CASE WHEN lag = 3 THEN num END) AS n3,
+        |    MAX(den) AS d
+        |  FROM nk GROUP BY 1),
+        |rs AS (
+        |  SELECT event_type, n_days,
+        |    CAST(CAST(n1 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r1,
+        |    CAST(CAST(n2 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r2,
+        |    CAST(CAST(n3 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r3
+        |  FROM wide),
+        |p2 AS (SELECT *, CASE WHEN 1.0 - r1*r1 = 0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE (r2 - r1*r1) / (1.0 - r1*r1) END AS phi22 FROM rs),
+        |p21 AS (SELECT *, r1 - phi22*r1 AS phi21 FROM p2),
+        |p3 AS (SELECT *, 1.0 - phi21*r1 - phi22*r2 AS den3 FROM p21),
+        |p33 AS (SELECT *, CASE WHEN den3 = 0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE (r3 - phi21*r2 - phi22*r1) / den3 END AS phi33 FROM p3)
+        |SELECT event_type, n_days, r1, r2, r3,
+        |  phi21 - phi33*phi22 AS a1,
+        |  phi22 - phi33*phi21 AS a2,
+        |  phi33 AS a3,
+        |  (1.0 - r1*r1) * (1.0 - phi22*phi22) * (1.0 - phi33*phi33) AS var_ratio
+        |FROM p33 ORDER BY event_type""".stripMargin,
 
     // same pairwise frame; the Theil-Sen median replays via the identical
     // IEEE-double slope ordering with (d1, d2) tie-break and ceil-median
@@ -11316,6 +11568,56 @@ FROM rl r, br b ORDER BY r.score"""
         |  CAST(n AS DOUBLE) * t - CAST(n AS DOUBLE) AS chi2
         |FROM walk w WHERE r = nbuckets
         |ORDER BY chi2 DESC, feature""".stripMargin,
+
+    // same contingency cells as chi2; the MI walk adds each bucket's
+    // combined (pos + neg) term in the same ascending-bucket recursive
+    // CTE, and ln is bit-identical cross-engine (Java Math.log vs DuckDB
+    // ln, measured on order-sensitive ratios)
+    "ml_mi_select" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000 AS cents_b,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |cells AS (
+        |  SELECT 'cents_b' AS feature, cents_b AS b, COUNT(*) AS nb,
+        |    CAST(SUM(label) AS BIGINT) AS op FROM ev GROUP BY 2
+        |  UNION ALL SELECT 'hour', hour, COUNT(*), CAST(SUM(label) AS BIGINT)
+        |    FROM ev GROUP BY 2
+        |  UNION ALL SELECT 'dow', dow, COUNT(*), CAST(SUM(label) AS BIGINT)
+        |    FROM ev GROUP BY 2),
+        |tot AS (
+        |  SELECT feature, CAST(SUM(nb) AS BIGINT) AS n,
+        |    CAST(SUM(op) AS BIGINT) AS p, COUNT(*) AS nbuckets
+        |  FROM cells GROUP BY 1),
+        |ranked AS (
+        |  SELECT c.feature, c.nb, c.op, t.n, t.p, t.n - t.p AS q, t.nbuckets,
+        |    row_number() OVER (PARTITION BY c.feature ORDER BY c.b) AS r
+        |  FROM cells c JOIN tot t USING (feature)),
+        |walk AS (
+        |  SELECT feature, r, n, p, nbuckets,
+        |    0.0 + ((CASE WHEN op > 0 THEN CAST(op AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(op * n AS DOUBLE) / CAST(nb * p AS DOUBLE))
+        |      ELSE 0.0 END)
+        |      + (CASE WHEN nb - op > 0
+        |        THEN CAST(nb - op AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * ln(CAST((nb - op) * n AS DOUBLE) / CAST(nb * q AS DOUBLE))
+        |      ELSE 0.0 END)) AS t
+        |  FROM ranked WHERE r = 1
+        |  UNION ALL
+        |  SELECT x.feature, x.r, x.n, x.p, x.nbuckets,
+        |    e.t + ((CASE WHEN x.op > 0 THEN CAST(x.op AS DOUBLE) / CAST(x.n AS DOUBLE)
+        |        * ln(CAST(x.op * x.n AS DOUBLE) / CAST(x.nb * x.p AS DOUBLE))
+        |      ELSE 0.0 END)
+        |      + (CASE WHEN x.nb - x.op > 0
+        |        THEN CAST(x.nb - x.op AS DOUBLE) / CAST(x.n AS DOUBLE)
+        |          * ln(CAST((x.nb - x.op) * x.n AS DOUBLE) / CAST(x.nb * x.q AS DOUBLE))
+        |      ELSE 0.0 END))
+        |  FROM walk e JOIN ranked x ON x.feature = e.feature AND x.r = e.r + 1)
+        |SELECT feature, nbuckets AS n_buckets, n, p, t AS mi
+        |FROM walk WHERE r = nbuckets
+        |ORDER BY mi DESC, feature""".stripMargin,
 
     // the exact minimax characterization replayed relationally: pooled
     // means from inclusive prefix sums (range j..k = wp_k − wp_j + pos_j),

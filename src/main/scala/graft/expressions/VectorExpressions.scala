@@ -787,3 +787,28 @@ case class JsonTopLevelTypes(child: Expression)
     copy(child = newChild)
   override def prettyName: String = "json_top_level_types"
 }
+
+/** Natural log via java.lang.Math.log — NOT Spark's built-in ln, which
+  * calls StrictMath.log (fdlibm). Measured on the ml_mi_select contingency
+  * ratios: StrictMath differs from glibc's correctly-rounded log (what
+  * DuckDB's ln uses) in the last ulp on 3 of 79 real inputs, while
+  * Math.log (the HotSpot intrinsic) is bit-identical to glibc on every
+  * input tested — so cross-engine hash-gated lanes that need a logarithm
+  * must use this kernel. Codegen-ed: stays inside whole-stage codegen in
+  * scalar position (HOF lambdas interpret either way, calling the same
+  * Math.log).
+  */
+case class MathLn(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Math.log(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MathLn =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ln"
+}
