@@ -35,12 +35,23 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
 
+  /** @param maxBucketSize optional candidate-volume guard: an LSH band
+    *   bucket holding B docs yields B(B−1)/2 candidate pairs, and ONE
+    *   pathological bucket (boilerplate, empty-ish docs, adversarial
+    *   spam) can dominate the whole join with no cap on B. When set,
+    *   buckets LARGER than the cap are dropped before the self-join —
+    *   recall loss is confined to pairs whose every shared band is a
+    *   mega-bucket (on real corpora: exactly the boilerplate one wants
+    *   gone) and the drop is OBSERVABLE via [[lshBucketCensus]], never
+    *   silent. Default None: existing outputs are byte-identical. */
   final case class MinHashConfig(
       numPerm: Int = 128,
       bands: Int = 32,
       shingleSize: Int = 5,
-      threshold: Double = 0.9) {
+      threshold: Double = 0.9,
+      maxBucketSize: Option[Int] = None) {
     require(numPerm % bands == 0, "bands must divide numPerm")
+    require(maxBucketSize.forall(_ >= 2), "a cap below 2 drops every pair")
     def rowsPerBand: Int = numPerm / bands
   }
 
@@ -66,6 +77,37 @@ object Dedup {
     nearDupPairs(docs, idCol,
       Sketch.column(ShingleHashes(Sketch.expr(col(textCol)), cfg.shingleSize, word = true)),
       cfg, None)
+
+  /** Bucket-cap observability census for [[MinHashConfig.maxBucketSize]]:
+    * ONE row — (n_buckets, n_buckets_dropped, n_rows_dropped,
+    * n_pairs_dropped), where n_pairs_dropped = Σ B·(B−1)/2 over the
+    * dropped buckets: the EXACT candidate-pair mass the cap removed from
+    * the self-join. The guard is never silent — a capping pipeline
+    * surfaces this row next to its output (the no-silent-caps rule). */
+  def lshBucketCensus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig): DataFrame = {
+    val cap = cfg.maxBucketSize.getOrElse(
+      throw new IllegalArgumentException("census is for a capped config"))
+    val buckets = docs
+      .select(col(idCol).as("id"),
+        Sketch.column(ShingleHashes(Sketch.expr(col(textCol)), cfg.shingleSize,
+          word = true)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", Sketch.column(MinHashSig(Sketch.expr(col("sh")), cfg.numPerm)))
+      .withColumn("bands", lshBandHashes(col("sig"), cfg.bands, cfg.rowsPerBand))
+      .select(col("id"), posexplode(col("bands")))
+      .groupBy(col("pos").as("band_id"), col("col").as("band_hash"))
+      .agg(count(lit(1)).as("bsz"))
+    buckets.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("bsz") > cap, 1L).otherwise(0L)).as("n_buckets_dropped"),
+      sum(when(col("bsz") > cap, col("bsz")).otherwise(0L)).as("n_rows_dropped"),
+      sum(when(col("bsz") > cap, expr("bsz * (bsz - 1) div 2"))
+        .otherwise(0L)).as("n_pairs_dropped"))
+  }
 
   /** Same machinery over character n-gram sets (catches reorder-heavy edits
     * word shingles miss). `blockCol`, when set, restricts pairs to the same
@@ -108,10 +150,23 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandCols = Seq(col("id"), posexplode(col("bands"))) ++ blockCol.map(col)
-    val bandTable = withSig
+    val bandTableRaw = withSig
       .select(bandCols: _*)
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
+    // candidate-volume guard (see MinHashConfig.maxBucketSize): one keyed
+    // count + one semi-join — buckets above the cap never reach the
+    // self-join, bounding per-key fan-out at cap² instead of unbounded
+    val bandTable = cfg.maxBucketSize match {
+      case None => bandTableRaw
+      case Some(cap) =>
+        val keyCols = Seq("band_id", "band_hash") ++ blockCol
+        val small = bandTableRaw.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") <= cap)
+          .select(keyCols.map(col): _*)
+        bandTableRaw.join(small, keyCols, "left_semi")
+    }
 
     // The shared-band COUNT is itself a similarity estimator (the banding
     // twin of the numPerm-position estimate below): a pair at exactly
