@@ -125,6 +125,66 @@ object SparkEntry {
       .groupBy("event_id", "label").agg(sum("p").as("v"))
   }
 
+  /** Shared AR-tier sufficient statistics (events_ar_fit /
+    * events_ar_backtest): per event type, the day count, Σx, and the
+    * lag-1..3 autocorrelations r_k = N_k/D — each ONE IEEE division of
+    * exact cross-multiplied integer autocovariances on the d19 DECIMAL
+    * promotion (the events_autocorr/pacf integer forms). */
+  private def arStats(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .withColumn("day", expr("ts_ns div 86400000000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("x1", lead("x", 1).over(w))
+      .withColumn("x2", lead("x", 2).over(w))
+      .withColumn("x3", lead("x", 3).over(w))
+    val totals = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val pairs = lagged.selectExpr("event_type", "x",
+        "stack(3, 1L, x1, 2L, x2, 3L, x3) as (lag, xk)")
+      .where(col("xk").isNotNull)
+      .groupBy("event_type", "lag")
+      .agg(sum(col("x") * col("xk")).as("sxy"),
+        sum("x").as("hx"), sum("xk").as("tx"), count(lit(1)).as("m"))
+    val nk = pairs.join(totals, "event_type")
+      .withColumn("num", d19(col("n")) * d19(col("n")) * d19(col("sxy")) -
+        d19(col("n")) * d19(col("sx")) * (d19(col("hx")) + d19(col("tx"))) +
+        d19(col("m")) * d19(col("sx")) * d19(col("sx")))
+      .withColumn("den", d19(col("n")) * d19(col("n")) * d19(col("sxx")) -
+        d19(col("n")) * d19(col("sx")) * d19(col("sx")))
+    nk.groupBy("event_type")
+      .agg(max("n").as("n_days"), max("sx").as("sum_x"),
+        max(when(col("lag") === 1L, col("num"))).as("n1"),
+        max(when(col("lag") === 2L, col("num"))).as("n2"),
+        max(when(col("lag") === 3L, col("num"))).as("n3"),
+        max("den").as("d"))
+      .select(col("event_type"), col("n_days"), col("sum_x"),
+        (col("n1").cast("double") / col("d").cast("double")).as("r1"),
+        (col("n2").cast("double") / col("d").cast("double")).as("r2"),
+        (col("n3").cast("double") / col("d").cast("double")).as("r3"))
+  }
+
+  /** The Durbin-Levinson AR(3) chain over [[arStats]]'s r1..r3 — a fixed
+    * IEEE expression tree (see events_ar_fit); adds mu, a1, a2, a3. */
+  private def arCoefs(s: SparkSession, dir: String): DataFrame =
+    arStats(s, dir)
+      .withColumn("mu",
+        col("sum_x").cast("double") / col("n_days").cast("double"))
+      .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("phi22",
+        when(col("v1") === 0.0, lit(null).cast("double"))
+          .otherwise((col("r2") - col("r1") * col("r1")) / col("v1")))
+      .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+      .withColumn("den3",
+        lit(1.0) - col("phi21") * col("r1") - col("phi22") * col("r2"))
+      .withColumn("phi33",
+        when(col("den3") === 0.0, lit(null).cast("double"))
+          .otherwise((col("r3") - col("phi21") * col("r2")
+            - col("phi22") * col("r1")) / col("den3")))
+
   private def workDir(kind: String, sfDir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -3090,52 +3150,7 @@ object SparkEntry {
       // denominator) yield NULL coefficients identically. Shape: corpus
       // → ONE keyed daily agg; lags ride 3 lead() columns over the
       // O(types×days) metadata frame (the autocorr discipline).
-      val daily = Tables.events(s, dir)
-        .withColumn("day", expr("ts_ns div 86400000000000"))
-        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      val lagged = daily
-        .withColumn("x1", lead("x", 1).over(w))
-        .withColumn("x2", lead("x", 2).over(w))
-        .withColumn("x3", lead("x", 3).over(w))
-      val totals = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("s"),
-          sum(col("x") * col("x")).as("sxx"))
-      val pairs = lagged.selectExpr("event_type", "x",
-          "stack(3, 1L, x1, 2L, x2, 3L, x3) as (lag, xk)")
-        .where(col("xk").isNotNull)
-        .groupBy("event_type", "lag")
-        .agg(sum(col("x") * col("xk")).as("sxy"),
-          sum("x").as("hx"), sum("xk").as("tx"), count(lit(1)).as("m"))
-      def d19(c: Column) = c.cast("decimal(19,0)")
-      val nk = pairs.join(totals, "event_type")
-        .withColumn("num", d19(col("n")) * d19(col("n")) * d19(col("sxy")) -
-          d19(col("n")) * d19(col("s")) * (d19(col("hx")) + d19(col("tx"))) +
-          d19(col("m")) * d19(col("s")) * d19(col("s")))
-        .withColumn("den", d19(col("n")) * d19(col("n")) * d19(col("sxx")) -
-          d19(col("n")) * d19(col("s")) * d19(col("s")))
-      val wide = nk.groupBy("event_type")
-        .agg(max("n").as("n_days"),
-          max(when(col("lag") === 1L, col("num"))).as("n1"),
-          max(when(col("lag") === 2L, col("num"))).as("n2"),
-          max(when(col("lag") === 3L, col("num"))).as("n3"),
-          max("den").as("d"))
-      val rs = wide.select(col("event_type"), col("n_days"),
-        (col("n1").cast("double") / col("d").cast("double")).as("r1"),
-        (col("n2").cast("double") / col("d").cast("double")).as("r2"),
-        (col("n3").cast("double") / col("d").cast("double")).as("r3"))
-      rs
-        .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
-        .withColumn("phi22",
-          when(col("v1") === 0.0, lit(null).cast("double"))
-            .otherwise((col("r2") - col("r1") * col("r1")) / col("v1")))
-        .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
-        .withColumn("den3",
-          lit(1.0) - col("phi21") * col("r1") - col("phi22") * col("r2"))
-        .withColumn("phi33",
-          when(col("den3") === 0.0, lit(null).cast("double"))
-            .otherwise((col("r3") - col("phi21") * col("r2")
-              - col("phi22") * col("r1")) / col("den3")))
+      arCoefs(s, dir)
         .select(col("event_type"), col("n_days"),
           col("r1"), col("r2"), col("r3"),
           (col("phi21") - col("phi33") * col("phi22")).as("a1"),
@@ -3144,6 +3159,109 @@ object SparkEntry {
           ((lit(1.0) - col("r1") * col("r1"))
             * (lit(1.0) - col("phi22") * col("phi22"))
             * (lit(1.0) - col("phi33") * col("phi33"))).as("var_ratio"))
+        .orderBy("event_type")
+    },
+
+    "events_ljungbox" -> { (s, dir) =>
+      // Ljung-Box portmanteau white-noise test (Ljung & Box 1978) at
+      // lags 1..7 — the residual-diagnostic that closes the
+      // identify → fit → CHECK loop of the Box-Jenkins tier:
+      // Q = n(n+2)·Σ_k r_k²/(n−k), reject H₀(white noise) when Q exceeds
+      // the χ²(7) 95% critical value 14.067140449340169 (a LITERAL both
+      // engines compare against — no quantile function needed). Each r_k
+      // is the autocorr lane's exact integer form N_k/D (d19 DECIMAL
+      // promotion), and the 7-term sum is unrolled STATICALLY in fixed k
+      // order — ((((((t1+t2)+t3)+t4)+t5)+t6)+t7), no order-choosable
+      // aggregation anywhere. Shape: corpus → ONE keyed daily agg;
+      // everything else on the O(types×days) metadata frame.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"x$k", lead("x", k).over(w))
+      }
+      val totals = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("sxx"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val pairs = lagged.selectExpr("event_type", "x",
+          "stack(7, 1L, x1, 2L, x2, 3L, x3, 4L, x4, 5L, x5, 6L, x6, 7L, x7) as (lag, xk)")
+        .where(col("xk").isNotNull)
+        .groupBy("event_type", "lag")
+        .agg(sum(col("x") * col("xk")).as("sxy"),
+          sum("x").as("hx"), sum("xk").as("tx"), count(lit(1)).as("m"))
+      val nk = pairs.join(totals, "event_type")
+        .withColumn("num", d19(col("n")) * d19(col("n")) * d19(col("sxy")) -
+          d19(col("n")) * d19(col("s")) * (d19(col("hx")) + d19(col("tx"))) +
+          d19(col("m")) * d19(col("s")) * d19(col("s")))
+        .withColumn("den", d19(col("n")) * d19(col("n")) * d19(col("sxx")) -
+          d19(col("n")) * d19(col("s")) * d19(col("s")))
+      val wide = nk.groupBy("event_type")
+        .agg(max("n").as("n_days"),
+          (1 to 7).map(k =>
+            max(when(col("lag") === k.toLong, col("num"))).as(s"n$k"))
+            :+ max("den").as("d"): _*)
+      val rk = (1 to 7).map(k =>
+        (col(s"n$k").cast("double") / col("d").cast("double")).as(s"r$k"))
+      val withR = wide.select(Seq(col("event_type"), col("n_days")) ++ rk: _*)
+      val terms = (1 to 7).map(k =>
+        col(s"r$k") * col(s"r$k")
+          / (col("n_days") - lit(k.toLong)).cast("double"))
+      val qsum = terms.reduce(_ + _) // left fold: fixed k order
+      withR.select(col("event_type"), col("n_days"),
+          (col("n_days").cast("double") * (col("n_days") + 2L).cast("double")
+            * qsum).as("q_lb"))
+        .withColumn("df", lit(7L))
+        .withColumn("reject_white_noise", col("q_lb") > lit(14.067140449340169))
+        .orderBy("event_type")
+    },
+
+    "events_ar_backtest" -> { (s, dir) =>
+      // One-step-ahead IN-SAMPLE backtest of the AR(3) fit against the
+      // naive lag-1 forecast — the "did fitting buy anything" check that
+      // closes fit → CHECK beside events_ljungbox's residual test. Per
+      // type: x̂_t = μ + a1(x_{t−1}−μ) + a2(x_{t−2}−μ) + a3(x_{t−3}−μ)
+      // on the rows with all 3 lags present (coefficients from the
+      // shared arCoefs chain, a 5-ROW broadcast join), AR SSE folded in
+      // DAY order (sort_array + aggregate ↔ the oracle's SUM(sq ORDER BY
+      // day) — both sequential IEEE folds, the betweenness-δ machinery),
+      // while the NAIVE SSE Σ(x_t − x_{t−1})² is exact BIGINT (~1.5e12
+      // at sf10). A degenerate type (NULL coefficients) yields NULL
+      // sse_ar identically: Spark's fold hits acc + null, DuckDB's SUM
+      // sees an all-NULL group. Shape: corpus → ONE keyed daily agg;
+      // scoring is a window + broadcast join on the O(types×days) frame.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily
+        .withColumn("xm1", lag("x", 1).over(w))
+        .withColumn("xm2", lag("x", 2).over(w))
+        .withColumn("xm3", lag("x", 3).over(w))
+        .where(col("xm3").isNotNull)
+      val coefs = arCoefs(s, dir).select(col("event_type"), col("mu"),
+        (col("phi21") - col("phi33") * col("phi22")).as("a1"),
+        (col("phi22") - col("phi33") * col("phi21")).as("a2"),
+        col("phi33").as("a3"))
+      lagged.join(broadcast(coefs), "event_type")
+        .withColumn("pred",
+          col("mu")
+            + col("a1") * (col("xm1").cast("double") - col("mu"))
+            + col("a2") * (col("xm2").cast("double") - col("mu"))
+            + col("a3") * (col("xm3").cast("double") - col("mu")))
+        .withColumn("sq",
+          (col("pred") - col("x").cast("double"))
+            * (col("pred") - col("x").cast("double")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pred"),
+          aggregate(
+            sort_array(collect_list(struct(col("day"), col("sq")))),
+            lit(0.0),
+            (acc, t) => acc + t.getField("sq")).as("sse_ar"),
+          sum((col("x") - col("xm1")) * (col("x") - col("xm1")))
+            .as("sse_naive"))
+        .withColumn("improved", col("sse_ar") < col("sse_naive").cast("double"))
         .orderBy("event_type")
     },
 
@@ -6896,6 +7014,33 @@ object SparkEntry {
           // incompressible multibyte text can deflate to more than its
           // CHARACTER count (chars would flip this claim on CJK docs)
           (col("c1") > 0 && col("c1") <= octet_length(col("text")) + 64).as("ok_size_sane"))
+        .orderBy("doc_id")
+    },
+
+    "text_char_entropy" -> { (s, dir) =>
+      // Per-document code-point Shannon entropy (nats) — the cheap
+      // information-density quality signal beside text_compress's
+      // Deflate ratio (entropy is the zero-order bound Deflate chases):
+      // low-entropy docs are repeated boilerplate/padding, ultra-high
+      // entropy flags base64/binary spill. ONE map-only kernel pass
+      // (expressions/CharEntropyStats): per doc, the code-point histogram
+      // folds p·ln(p) in ASCENDING code-point order with ln =
+      // java.lang.Math.log — so DuckDB replays the exact IEEE sequence
+      // with −SUM(p·ln p ORDER BY ch) over a per-char GROUP BY (binary
+      // UTF-8 collation = code-point order; the graft_ln convention for
+      // why NOT Spark's StrictMath ln). Single-code-point docs give −0.0
+      // on both engines, empty docs +0.0 (oracle guards DuckDB's
+      // string_split('','') = [''] artifact with text <> ''). No float
+      // ever crosses rows: the only aggregation is per-document, inside
+      // the kernel.
+      import graft.expressions.{CharEntropyStats, Sketch}
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Sketch.column(CharEntropyStats(Sketch.expr(col("text")))).as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).cast("long").as("n_cp"),
+          element_at(col("st"), 2).cast("long").as("n_distinct"),
+          element_at(col("st"), 3).as("h_nats"))
         .orderBy("doc_id")
     },
 
@@ -10999,6 +11144,149 @@ FROM rl r, br b ORDER BY r.score"""
         |  (1.0 - r1*r1) * (1.0 - phi22*phi22) * (1.0 - phi33*phi33) AS var_ratio
         |FROM p33 ORDER BY event_type""".stripMargin,
 
+    // the autocorr integer machinery at lags 1..7; the 7-term Q sum is
+    // written out left-associated in fixed k order, the chi-square
+    // critical value is a shared literal
+    "events_ljungbox" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type, CAST(l.k AS BIGINT) AS lag, a.x AS x, b.x AS xk
+        |  FROM ranked a
+        |  JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) l(k) ON TRUE
+        |  JOIN ranked b ON b.event_type = a.event_type AND b.r = a.r + l.k),
+        |agg AS (
+        |  SELECT event_type, lag, SUM(x*xk) AS sxy, SUM(x) AS hx,
+        |    SUM(xk) AS tx, COUNT(*) AS m
+        |  FROM pairs GROUP BY 1, 2),
+        |nk AS (
+        |  SELECT a.event_type, a.lag, t.n,
+        |    CAST(n AS HUGEINT)*n*sxy - CAST(n AS HUGEINT)*s*(hx+tx)
+        |      + CAST(m AS HUGEINT)*s*s AS num,
+        |    CAST(n AS HUGEINT)*n*sxx - CAST(n AS HUGEINT)*s*s AS den
+        |  FROM agg a JOIN tot t USING (event_type)),
+        |wide AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |    MAX(CASE WHEN lag = 1 THEN num END) AS n1,
+        |    MAX(CASE WHEN lag = 2 THEN num END) AS n2,
+        |    MAX(CASE WHEN lag = 3 THEN num END) AS n3,
+        |    MAX(CASE WHEN lag = 4 THEN num END) AS n4,
+        |    MAX(CASE WHEN lag = 5 THEN num END) AS n5,
+        |    MAX(CASE WHEN lag = 6 THEN num END) AS n6,
+        |    MAX(CASE WHEN lag = 7 THEN num END) AS n7,
+        |    MAX(den) AS d
+        |  FROM nk GROUP BY 1),
+        |rs AS (
+        |  SELECT event_type, n_days,
+        |    CAST(CAST(n1 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r1,
+        |    CAST(CAST(n2 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r2,
+        |    CAST(CAST(n3 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r3,
+        |    CAST(CAST(n4 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r4,
+        |    CAST(CAST(n5 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r5,
+        |    CAST(CAST(n6 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r6,
+        |    CAST(CAST(n7 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r7
+        |  FROM wide),
+        |q AS (
+        |  SELECT event_type, n_days,
+        |    CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) *
+        |      (r1*r1 / CAST(n_days - 1 AS DOUBLE)
+        |       + r2*r2 / CAST(n_days - 2 AS DOUBLE)
+        |       + r3*r3 / CAST(n_days - 3 AS DOUBLE)
+        |       + r4*r4 / CAST(n_days - 4 AS DOUBLE)
+        |       + r5*r5 / CAST(n_days - 5 AS DOUBLE)
+        |       + r6*r6 / CAST(n_days - 6 AS DOUBLE)
+        |       + r7*r7 / CAST(n_days - 7 AS DOUBLE)) AS q_lb
+        |  FROM rs)
+        |SELECT event_type, n_days, q_lb, CAST(7 AS BIGINT) AS df,
+        |  q_lb > 14.067140449340169 AS reject_white_noise
+        |FROM q ORDER BY event_type""".stripMargin,
+
+    // the ar_fit coefficient chain + lag-window scoring; the AR residual
+    // SSE replays Spark's day-ordered sort_array+aggregate fold via
+    // SUM(sq ORDER BY day) (both sequential IEEE folds), the naive SSE
+    // is exact BIGINT
+    "events_ar_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type, CAST(l.k AS BIGINT) AS lag, a.x AS x, b.x AS xk
+        |  FROM ranked a
+        |  JOIN (VALUES (1),(2),(3)) l(k) ON TRUE
+        |  JOIN ranked b ON b.event_type = a.event_type AND b.r = a.r + l.k),
+        |agg AS (
+        |  SELECT event_type, lag, SUM(x*xk) AS sxy, SUM(x) AS hx,
+        |    SUM(xk) AS tx, COUNT(*) AS m
+        |  FROM pairs GROUP BY 1, 2),
+        |nk AS (
+        |  SELECT a.event_type, a.lag, t.n, t.s,
+        |    CAST(n AS HUGEINT)*n*sxy - CAST(n AS HUGEINT)*s*(hx+tx)
+        |      + CAST(m AS HUGEINT)*s*s AS num,
+        |    CAST(n AS HUGEINT)*n*sxx - CAST(n AS HUGEINT)*s*s AS den
+        |  FROM agg a JOIN tot t USING (event_type)),
+        |wide AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |    CAST(MAX(s) AS BIGINT) AS sum_x,
+        |    MAX(CASE WHEN lag = 1 THEN num END) AS n1,
+        |    MAX(CASE WHEN lag = 2 THEN num END) AS n2,
+        |    MAX(CASE WHEN lag = 3 THEN num END) AS n3,
+        |    MAX(den) AS d
+        |  FROM nk GROUP BY 1),
+        |rs AS (
+        |  SELECT event_type,
+        |    CAST(sum_x AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+        |    CAST(CAST(n1 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r1,
+        |    CAST(CAST(n2 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r2,
+        |    CAST(CAST(n3 AS VARCHAR) AS DOUBLE) / CAST(CAST(d AS VARCHAR) AS DOUBLE) AS r3
+        |  FROM wide),
+        |p2 AS (SELECT *, CASE WHEN 1.0 - r1*r1 = 0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE (r2 - r1*r1) / (1.0 - r1*r1) END AS phi22 FROM rs),
+        |p21 AS (SELECT *, r1 - phi22*r1 AS phi21 FROM p2),
+        |p3 AS (SELECT *, 1.0 - phi21*r1 - phi22*r2 AS den3 FROM p21),
+        |p33 AS (SELECT *, CASE WHEN den3 = 0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE (r3 - phi21*r2 - phi22*r1) / den3 END AS phi33 FROM p3),
+        |coefs AS (
+        |  SELECT event_type, mu, phi21 - phi33*phi22 AS a1,
+        |    phi22 - phi33*phi21 AS a2, phi33 AS a3 FROM p33),
+        |lagd AS (
+        |  SELECT event_type, day, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS xm1,
+        |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS xm2,
+        |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS xm3
+        |  FROM daily),
+        |scored AS (
+        |  SELECT l.event_type, l.day, l.x, l.xm1,
+        |    mu + a1 * (CAST(xm1 AS DOUBLE) - mu)
+        |       + a2 * (CAST(xm2 AS DOUBLE) - mu)
+        |       + a3 * (CAST(xm3 AS DOUBLE) - mu) AS pred
+        |  FROM lagd l JOIN coefs c USING (event_type)
+        |  WHERE xm3 IS NOT NULL),
+        |sq AS (
+        |  SELECT event_type, day, x, xm1,
+        |    (pred - CAST(x AS DOUBLE)) * (pred - CAST(x AS DOUBLE)) AS sq
+        |  FROM scored)
+        |SELECT event_type, COUNT(*) AS n_pred,
+        |  SUM(sq ORDER BY day) AS sse_ar,
+        |  CAST(SUM((x - xm1) * (x - xm1)) AS BIGINT) AS sse_naive,
+        |  SUM(sq ORDER BY day)
+        |    < CAST(CAST(SUM((x - xm1) * (x - xm1)) AS BIGINT) AS DOUBLE) AS improved
+        |FROM sq GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // same pairwise frame; the Theil-Sen median replays via the identical
     // IEEE-double slope ordering with (d1, d2) tie-break and ceil-median
     "events_trend" ->
@@ -14466,6 +14754,28 @@ FROM rl r, br b ORDER BY r.score"""
     "text_compress" ->
       """SELECT doc_id, true AS ok_repetition_collapses, true AS ok_size_sane
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-doc code-point histogram via string_split (code points; '' is
+    // guarded — DuckDB splits the empty string to ['']); the entropy fold
+    // is −SUM(p·ln p ORDER BY ch), which replays the kernel's ascending
+    // code-point Math.log fold bit for bit (binary UTF-8 collation =
+    // code-point order)
+    "text_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE text <> ''),
+        |hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |ent AS (
+        |  SELECT h.doc_id, MAX(n) AS n_cp, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    -(SUM(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY ch)) AS h_nats
+        |  FROM hist h JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(ent.n_cp, 0) AS n_cp,
+        |  COALESCE(ent.n_distinct, 0) AS n_distinct,
+        |  COALESCE(ent.h_nats, 0.0) AS h_nats
+        |FROM documents d LEFT JOIN ent USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_normalize" ->
       """WITH p AS (

@@ -812,3 +812,53 @@ case class MathLn(child: Expression) extends UnaryExpression {
     copy(child = newChild)
   override def prettyName: String = "graft_ln"
 }
+
+/** Per-document code-point entropy stats in ONE pass: [n_cp, n_distinct, H]
+  * as doubles (counts are exact ≤ 2^53; callers cast back to long). H is
+  * the Shannon entropy in NATS of the code-point distribution, folded in
+  * ASCENDING code-point order — acc += p·ln(p) per distinct code point,
+  * output −acc — with ln = java.lang.Math.log (the MathLn cross-engine
+  * convention), so DuckDB replays it with −SUM(p·ln(p) ORDER BY ch) over a
+  * per-char GROUP BY: single-code-point docs give −0.0 on BOTH engines,
+  * empty docs +0.0 (the kernel's n = 0 branch; the oracle's guarded LEFT
+  * JOIN + COALESCE). Entropy is the cheap gibberish / compression-quality
+  * signal beside the DeflateSize ratio — low-entropy docs are repeated
+  * boilerplate, ultra-high-entropy docs are base64/binary spill.
+  */
+case class CharEntropyStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      n += 1
+    }
+    val h =
+      if (n == 0) 0.0
+      else {
+        var acc = 0.0
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          val p = c.toDouble / n.toDouble
+          acc = acc + p * java.lang.Math.log(p)
+        }
+        -acc
+      }
+    new GenericArrayData(Array[Any](n.toDouble, counts.size.toDouble, h))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+  override def prettyName: String = "char_entropy_stats"
+}

@@ -118,6 +118,84 @@ class R15WaveSpec extends AnyFunSuite {
     }
   }
 
+  // ---- events_ljungbox ----
+
+  test("events_ljungbox Q replays from the autocorr lane's own r_k, bitwise") {
+    val acf = SparkEntry.queries("events_autocorr")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val nDays = SparkEntry.queries("events_ar_fit")(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("events_ljungbox")(spark, Sf).collect()
+    assert(rows.length == nDays.size)
+    for (r <- rows) {
+      val t = r.getString(0)
+      val n = r.getLong(1)
+      assert(n == nDays(t))
+      var s = 0.0
+      for (k <- 1 to 7) {
+        val rk = acf((t, k.toLong))
+        s = s + rk * rk / (n - k).toDouble
+      }
+      val q = n.toDouble * (n + 2).toDouble * s
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(q), s"$t: ${r.getDouble(2)} vs $q")
+      assert(r.getLong(3) == 7L)
+      assert(r.getBoolean(4) == (q > 14.067140449340169))
+    }
+  }
+
+  // ---- events_ar_backtest ----
+
+  test("events_ar_backtest: exact naive SSE, consistent counts and flag") {
+    val daily = graft.sources.Tables.events(spark, Sf)
+      .selectExpr("event_type", "ts_ns div 86400000000000 as day")
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val byType = daily.keys.groupBy(_._1)
+    val rows = SparkEntry.queries("events_ar_backtest")(spark, Sf).collect()
+    for (r <- rows) {
+      val t = r.getString(0)
+      val days = byType(t).map(_._2).toSeq.sorted
+      val xs = days.map(d => daily((t, d)))
+      // exact integer naive SSE over rows with 3 lags present
+      val naive = (3 until xs.length)
+        .map(i => (xs(i) - xs(i - 1)) * (xs(i) - xs(i - 1))).sum
+      assert(r.getLong(1) == xs.length - 3, s"$t n_pred")
+      assert(r.getLong(3) == naive, s"$t sse_naive")
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getBoolean(4) == (r.getDouble(2) < naive.toDouble))
+    }
+  }
+
+  // ---- text_char_entropy ----
+
+  test("char entropy kernel: corners and a hand-computed reference") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.{CharEntropyStats, Sketch}
+    def stats(t: String): (Long, Long, Double) = {
+      val r = Seq(t).toDF("t")
+        .select(Sketch.column(CharEntropyStats(Sketch.expr(col("t")))).as("st"))
+        .head().getSeq[Double](0)
+      (r(0).toLong, r(1).toLong, r(2))
+    }
+    assert(stats("") == ((0L, 0L, 0.0)))
+    val single = stats("aaaa")
+    assert(single._1 == 4L && single._2 == 1L &&
+      java.lang.Double.doubleToLongBits(single._3) ==
+        java.lang.Double.doubleToLongBits(-0.0)) // the pinned -0.0 corner
+    // surrogate pair counts as ONE code point
+    assert(stats("😀") == ((1L, 1L, -0.0)))
+    // ascending-code-point fold, hand replayed: "ab" -> two p=1/2 terms
+    val ab = stats("ab")
+    val half = 0.5 * math.log(0.5)
+    assert(java.lang.Double.doubleToLongBits(ab._3) ==
+      java.lang.Double.doubleToLongBits(-(half + half)))
+    // uniform 4-symbol text: H = ln 4 up to the fold's rounding
+    val u4 = stats("abcdabcdabcd")
+    assert(math.abs(u4._3 - math.log(4.0)) < 1e-12)
+  }
+
   // ---- ml_mi_select ----
 
   test("ml_mi_select equals a driver-side fold over the exact cells, bitwise") {
