@@ -3265,6 +3265,103 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    "events_granger" -> { (s, dir) =>
+      // Pairwise Granger causality census (Granger 1969) over the
+      // event-type daily series — "does X's activity PREDICT Y's?" for
+      // all 20 ordered type pairs, the cross-series member of the
+      // time-series tier (everything before this lane is univariate).
+      // Per pair: restricted y_t = c + a·y_{t−1} vs unrestricted
+      // y_t = b0 + b1·y_{t−1} + b2·x_{t−1}; F = (SSE_r − SSE_u)(n−3)/SSE_u,
+      // asymptotic 95% decision vs the χ²₁ literal 3.8414588206941245.
+      // Exactness discipline: every Gram sum is exact BIGINT from ONE
+      // keyed agg over the day-aligned pair frame; the unrestricted
+      // 3×3 normal equations solve by Cramer with DECIMAL(38,0)
+      // determinants (EXACT, so association is irrelevant; ≤ ~3e35,
+      // inside both (38,0) and HUGEINT) — each coefficient is then ONE
+      // double division; both SSEs fold residual² in DAY order
+      // (sort_array+aggregate ↔ SUM(sq ORDER BY day)). Singular pairs
+      // (det = 0) yield NULL F identically. Shape: corpus → ONE keyed
+      // daily agg; the pair frame is O(types² × days) metadata.
+      val daily = Tables.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily.withColumn("xm1", lag("x", 1).over(w))
+        .where(col("xm1").isNotNull)
+      val ySide = lagged.select(col("event_type").as("y_type"), col("day"),
+        col("x").as("y"), col("xm1").as("u"))
+      val xSide = lagged.select(col("event_type").as("x_type"), col("day"),
+        col("xm1").as("v"))
+      val frame = ySide.join(xSide, "day")
+        .where(col("x_type") =!= col("y_type"))
+      val sums = frame.groupBy("x_type", "y_type").agg(
+        count(lit(1)).as("n"),
+        sum("y").as("sy"), sum("u").as("su"), sum("v").as("sv"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("u") * col("v")).as("suv"),
+        sum(col("u") * col("y")).as("suy"),
+        sum(col("v") * col("y")).as("svy"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      // 3×3 Cramer over the Gram matrix [[n,su,sv],[su,suu,suv],[sv,suv,svv]]
+      def det3(a11: Column, a12: Column, a13: Column,
+          a21: Column, a22: Column, a23: Column,
+          a31: Column, a32: Column, a33: Column): Column =
+        d19(a11) * (d19(a22) * d19(a33) - d19(a23) * d19(a32)) -
+          d19(a12) * (d19(a21) * d19(a33) - d19(a23) * d19(a31)) +
+          d19(a13) * (d19(a21) * d19(a32) - d19(a22) * d19(a31))
+      val coefs = sums
+        .withColumn("det", det3(col("n"), col("su"), col("sv"),
+          col("su"), col("suu"), col("suv"), col("sv"), col("suv"), col("svv")))
+        .withColumn("det0", det3(col("sy"), col("su"), col("sv"),
+          col("suy"), col("suu"), col("suv"), col("svy"), col("suv"), col("svv")))
+        .withColumn("det1", det3(col("n"), col("sy"), col("sv"),
+          col("su"), col("suy"), col("suv"), col("sv"), col("svy"), col("svv")))
+        .withColumn("det2", det3(col("n"), col("su"), col("sy"),
+          col("su"), col("suu"), col("suy"), col("sv"), col("suv"), col("svy")))
+        .withColumn("detr",
+          d19(col("n")) * d19(col("suu")) - d19(col("su")) * d19(col("su")))
+        .select(col("x_type"), col("y_type"), col("n"), col("sy"), col("su"),
+          when(col("det") === 0, lit(null).cast("double"))
+            .otherwise(col("det0").cast("double") / col("det").cast("double")).as("b0"),
+          when(col("det") === 0, lit(null).cast("double"))
+            .otherwise(col("det1").cast("double") / col("det").cast("double")).as("b1"),
+          when(col("det") === 0, lit(null).cast("double"))
+            .otherwise(col("det2").cast("double") / col("det").cast("double")).as("b2"),
+          when(col("detr") === 0, lit(null).cast("double"))
+            .otherwise(
+              (d19(col("n")) * d19(col("suy")) - d19(col("su")) * d19(col("sy")))
+                .cast("double") / col("detr").cast("double")).as("ar"))
+        .withColumn("cr",
+          (col("sy").cast("double") - col("ar") * col("su").cast("double"))
+            / col("n").cast("double"))
+      val scored = frame.join(broadcast(coefs), Seq("x_type", "y_type"))
+        .withColumn("pred_u",
+          col("b0") + col("b1") * col("u").cast("double")
+            + col("b2") * col("v").cast("double"))
+        .withColumn("pred_r", col("cr") + col("ar") * col("u").cast("double"))
+        .withColumn("squ",
+          (col("y").cast("double") - col("pred_u"))
+            * (col("y").cast("double") - col("pred_u")))
+        .withColumn("sqr",
+          (col("y").cast("double") - col("pred_r"))
+            * (col("y").cast("double") - col("pred_r")))
+      scored.groupBy("x_type", "y_type")
+        .agg(max("n").as("n"),
+          aggregate(
+            sort_array(collect_list(struct(col("day"), col("squ")))),
+            lit(0.0), (acc, t) => acc + t.getField("squ")).as("sse_u"),
+          aggregate(
+            sort_array(collect_list(struct(col("day"), col("sqr")))),
+            lit(0.0), (acc, t) => acc + t.getField("sqr")).as("sse_r"))
+        .select(col("x_type"), col("y_type"), col("n"),
+          col("sse_r"), col("sse_u"),
+          ((col("sse_r") - col("sse_u"))
+            * (col("n") - 3L).cast("double") / col("sse_u")).as("f_stat"))
+        .withColumn("granger_cause", col("f_stat") > lit(3.8414588206941245))
+        .orderBy("x_type", "y_type")
+    },
+
     "events_trend" -> { (s, dir) =>
       // Mann-Kendall trend test + Theil-Sen slope per event type — the
       // nonparametric trend member beside the smoothing/forecast tier
@@ -5680,6 +5777,41 @@ object SparkEntry {
         .select(col("col_x"), col("col_y"), col("n"), col("sum_x"),
           col("sum_y"), col("corr"))
         .orderBy("col_x", "col_y")
+    },
+
+    "profile_entropy" -> { (s, dir) =>
+      // Per-column Shannon entropy + normalized entropy — the
+      // distribution-shape member of the profiling tier (profile_table
+      // counts, profile_skew concentration; entropy is the single number
+      // answering "is this column informative or near-constant?", and
+      // H/ln(k) is the scale-free version comparable across columns).
+      // Per column: ONE keyed value-count agg (values cast to STRING so
+      // one schema carries every type; Spark's UTF8String binary order =
+      // DuckDB's binary collation, so the ASCENDING-value p·ln(p) fold —
+      // sort_array + aggregate with graft_ln — replays as
+      // −SUM(p·ln p ORDER BY v). h_norm is NULL for constant columns
+      // (ln 1 = 0) identically in both engines.
+      val ev = Tables.events(s, dir)
+      val cols = Seq(
+        ("event_type", col("event_type").cast("string")),
+        ("hour", expr("(ts_ns div 3600000000000) % 24").cast("string")),
+        ("dow", expr("((ts_ns div 86400000000000) + 4) % 7").cast("string")))
+      val perCol = cols.map { case (name, c) =>
+        ev.select(c.as("v")).groupBy("v").agg(count(lit(1)).as("c"))
+          .agg(sort_array(collect_list(struct(col("v"), col("c")))).as("xs"),
+            sum("c").as("n"), count(lit(1)).as("n_distinct"))
+          .select(lit(name).as("column"), col("xs"), col("n"), col("n_distinct"))
+      }
+      perCol.reduce(_ unionByName _)
+        .withColumn("h_nats", -expr(
+          """aggregate(xs, cast(0.0 as double), (acc, x) -> acc +
+            |  cast(x.c as double) / cast(n as double)
+            |    * graft_ln(cast(x.c as double) / cast(n as double)))""".stripMargin))
+        .select(col("column"), col("n"), col("n_distinct"), col("h_nats"),
+          when(col("n_distinct") > 1L,
+            col("h_nats") / expr("graft_ln(cast(n_distinct as double))"))
+            .as("h_norm"))
+        .orderBy("column")
     },
 
     "profile_table" -> { (s, dir) =>
@@ -10097,6 +10229,82 @@ FROM rl r, br b ORDER BY r.score"""
        |""".stripMargin + sel + "\nORDER BY event_type"
   }
 
+  /** events_granger oracle: the day-aligned pair frame, exact HUGEINT
+    * Gram sums, 3×3 Cramer determinants (exact, mirroring Spark's
+    * DECIMAL(38,0) — association-free by exactness), one VARCHAR→DOUBLE
+    * division per coefficient, and both SSE folds as SUM(sq ORDER BY
+    * day). */
+  private val eventsGrangerOracle: String = {
+    // determinant of [[a,b,c],[d,e,f],[g,h,i]] in HUGEINT
+    def det(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String): String =
+      s"""CAST($a AS HUGEINT)*(CAST($e AS HUGEINT)*$i - CAST($f AS HUGEINT)*$h)
+         |    - CAST($b AS HUGEINT)*(CAST($d AS HUGEINT)*$i - CAST($f AS HUGEINT)*$g)
+         |    + CAST($c AS HUGEINT)*(CAST($d AS HUGEINT)*$h - CAST($e AS HUGEINT)*$g)""".stripMargin
+    def vd(x: String): String = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |lagd AS (
+       |  SELECT event_type, day, x,
+       |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS xm1
+       |  FROM daily),
+       |lag2 AS (SELECT * FROM lagd WHERE xm1 IS NOT NULL),
+       |frame AS (
+       |  SELECT b.event_type AS x_type, a.event_type AS y_type, a.day,
+       |    a.x AS y, a.xm1 AS u, b.xm1 AS v
+       |  FROM lag2 a JOIN lag2 b
+       |    ON a.day = b.day AND a.event_type <> b.event_type),
+       |sums AS (
+       |  SELECT x_type, y_type, COUNT(*) AS n, SUM(y) AS sy, SUM(u) AS su,
+       |    SUM(v) AS sv, SUM(u*u) AS suu, SUM(v*v) AS svv, SUM(u*v) AS suv,
+       |    SUM(u*y) AS suy, SUM(v*y) AS svy
+       |  FROM frame GROUP BY 1, 2),
+       |dets AS (
+       |  SELECT *,
+       |    ${det("n", "su", "sv", "su", "suu", "suv", "sv", "suv", "svv")} AS det,
+       |    ${det("sy", "su", "sv", "suy", "suu", "suv", "svy", "suv", "svv")} AS det0,
+       |    ${det("n", "sy", "sv", "su", "suy", "suv", "sv", "svy", "svv")} AS det1,
+       |    ${det("n", "su", "sy", "su", "suu", "suy", "sv", "suv", "svy")} AS det2,
+       |    CAST(n AS HUGEINT)*suu - CAST(su AS HUGEINT)*su AS detr
+       |  FROM sums),
+       |coefs AS (
+       |  SELECT x_type, y_type, n, sy, su,
+       |    CASE WHEN det = 0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE ${vd("det0")} / ${vd("det")} END AS b0,
+       |    CASE WHEN det = 0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE ${vd("det1")} / ${vd("det")} END AS b1,
+       |    CASE WHEN det = 0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE ${vd("det2")} / ${vd("det")} END AS b2,
+       |    CASE WHEN detr = 0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE ${vd("CAST(n AS HUGEINT)*suy - CAST(su AS HUGEINT)*sy")}
+       |        / ${vd("detr")} END AS ar
+       |  FROM dets),
+       |coefs2 AS (
+       |  SELECT *,
+       |    (CAST(sy AS DOUBLE) - ar * CAST(su AS DOUBLE)) / CAST(n AS DOUBLE) AS cr
+       |  FROM coefs),
+       |scored AS (
+       |  SELECT f.x_type, f.y_type, f.day, f.y, c.n,
+       |    c.b0 + c.b1 * CAST(f.u AS DOUBLE) + c.b2 * CAST(f.v AS DOUBLE) AS pred_u,
+       |    c.cr + c.ar * CAST(f.u AS DOUBLE) AS pred_r
+       |  FROM frame f JOIN coefs2 c USING (x_type, y_type)),
+       |sq AS (
+       |  SELECT x_type, y_type, day, n,
+       |    (CAST(y AS DOUBLE) - pred_u) * (CAST(y AS DOUBLE) - pred_u) AS squ,
+       |    (CAST(y AS DOUBLE) - pred_r) * (CAST(y AS DOUBLE) - pred_r) AS sqr
+       |  FROM scored)
+       |SELECT x_type, y_type, CAST(MAX(n) AS BIGINT) AS n,
+       |  SUM(sqr ORDER BY day) AS sse_r,
+       |  SUM(squ ORDER BY day) AS sse_u,
+       |  (SUM(sqr ORDER BY day) - SUM(squ ORDER BY day))
+       |    * CAST(MAX(n) - 3 AS DOUBLE) / SUM(squ ORDER BY day) AS f_stat,
+       |  (SUM(sqr ORDER BY day) - SUM(squ ORDER BY day))
+       |    * CAST(MAX(n) - 3 AS DOUBLE) / SUM(squ ORDER BY day)
+       |    > 3.8414588206941245 AS granger_cause
+       |FROM sq GROUP BY 1, 2 ORDER BY x_type, y_type""".stripMargin
+  }
+
   /** graph_betweenness oracle: recursive-CTE distances capped at the
     * radius, one σ CTE per forward level (sum of predecessor σ's — exact
     * BIGINT), one δ CTE per backward level — σ_v/σ_w·(1+δ_w) folded in
@@ -11208,6 +11416,8 @@ FROM rl r, br b ORDER BY r.score"""
         |SELECT event_type, n_days, q_lb, CAST(7 AS BIGINT) AS df,
         |  q_lb > 14.067140449340169 AS reject_white_noise
         |FROM q ORDER BY event_type""".stripMargin,
+
+    "events_granger" -> eventsGrangerOracle,
 
     // the ar_fit coefficient chain + lag-window scoring; the AR residual
     // SSE replays Spark's day-ordered sort_array+aggregate fold via
@@ -14039,6 +14249,31 @@ FROM rl r, br b ORDER BY r.score"""
         |top AS (SELECT key, cnt FROM cnts ORDER BY cnt DESC, key LIMIT 10)
         |SELECT key, cnt, gini_num, gini_den, n_rows, n_keys, hhi_num
         |FROM top, gg ORDER BY cnt DESC, key""".stripMargin,
+
+    // per-column value histogram; the entropy fold is −SUM(p·ln p ORDER
+    // BY v) over STRING-cast values (binary collation = Spark's
+    // UTF8String sort_array order); h_norm NULL for constant columns
+    "profile_entropy" ->
+      """WITH vals AS (
+        |  SELECT 'event_type' AS col0, CAST(event_type AS VARCHAR) AS v FROM events
+        |  UNION ALL SELECT 'hour',
+        |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'dow',
+        |    CAST(((epoch_ns(ts) // 86400000000000) + 4) % 7 AS VARCHAR) FROM events),
+        |hist AS (SELECT col0, v, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+        |tot AS (SELECT col0, CAST(SUM(c) AS BIGINT) AS n,
+        |    COUNT(*) AS n_distinct FROM hist GROUP BY 1),
+        |ent AS (
+        |  SELECT h.col0,
+        |    -(SUM(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY v)) AS h_nats
+        |  FROM hist h JOIN tot USING (col0) GROUP BY 1)
+        |SELECT t.col0 AS "column", t.n, t.n_distinct, e.h_nats,
+        |  CASE WHEN t.n_distinct > 1
+        |    THEN e.h_nats / ln(CAST(t.n_distinct AS DOUBLE))
+        |    ELSE CAST(NULL AS DOUBLE) END AS h_norm
+        |FROM tot t JOIN ent e USING (col0)
+        |ORDER BY t.col0""".stripMargin,
 
     "profile_table" ->
       """SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
