@@ -60,8 +60,13 @@ object Betweenness {
     require(maxHop >= 1 && maxHop <= 16, "maxHop is unrolled; keep it small")
     val spark = edges.sparkSession
     import spark.implicits._
+    // pre-partitioned + sorted on `u`: BOTH passes probe es by u (forward
+    // expansion and the backward dependency join), so one clustering pays
+    // for 2·maxHop joins — the Scc/Bfs esBySrc discipline (r15).
     val es = edges.select(col("src").as("u"), col("dst").as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .repartition(col("u")).sortWithinPartitions("u")
+      .localCheckpoint(true)
 
     // FORWARD: level-synchronous BFS fused with σ path counting.
     var frontier = sources.map(s => (s, s, 1L)).toDF("s", "node", "sigma")

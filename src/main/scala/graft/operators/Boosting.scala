@@ -59,7 +59,14 @@ object Boosting {
     // do NOT reuse for sums or chained products, where (19,0) inputs would
     // not be re-promoted and could overflow.
     def d19(c: Column) = c.cast("decimal(19,0)")
+    // Input materialized ONCE (r15): round t's scan re-derived the narrow
+    // input from parquet plus t broadcast CASE hops — R rounds = R parquet
+    // re-scans of the same projection. One eager localCheckpoint turns
+    // each round's pass into a columnar block read; the residual chain
+    // itself stays lazy (materializing residuals per round was measured
+    // as a loss and remains rejected — see the scaladoc).
     var cur = data.withColumn("r", col(targetCol).cast("long"))
+      .localCheckpoint(true)
     var out: Option[DataFrame] = None
     for (t <- 0 until rounds) {
       val cells = cur.select(expr(stackExpr), col("r"))

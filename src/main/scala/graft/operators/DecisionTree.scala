@@ -44,7 +44,15 @@ object DecisionTree {
     require(features.nonEmpty && depth >= 1, "need features and depth >= 1")
     val stackExpr = s"stack(${features.size}, " +
       features.map(f => s"'$f', $f").mkString(", ") + ") as (feature, bucket)"
-    var cur = data.withColumn("node", lit(1L))
+    // Materialize the bagged input ONCE (r15 measured fix): every level's
+    // cell agg, the leaf census, and the caller's assigned consumers all
+    // re-executed the input lineage — for the forest lanes that lineage is
+    // scan + explode(T trees) + md5 bag-hash per row, recomputed depth+1
+    // times. One eager localCheckpoint makes each pass a columnar block
+    // read; blocks are freed on driver GC (the bench's inter-query GC).
+    // This is the guide's "persist the signatures" trade: one materialize
+    // vs depth+1 recomputes of a hash-heavy derivation.
+    var cur = data.withColumn("node", lit(1L)).localCheckpoint(true)
     var splits: Option[DataFrame] = None
     for (level <- 0 until depth) {
       val lo = 1L << level
@@ -131,7 +139,8 @@ object DecisionTree {
     require(features.nonEmpty && depth >= 1, "need features and depth >= 1")
     val stackExpr = s"stack(${features.size}, " +
       features.map(f => s"'$f', $f").mkString(", ") + ") as (feature, bucket)"
-    var cur = data.withColumn("node", lit(1L))
+    // input materialized once — see fitBagged's r15 note
+    var cur = data.withColumn("node", lit(1L)).localCheckpoint(true)
     var splits: Option[DataFrame] = None
     for (level <- 0 until depth) {
       val lo = 1L << level
