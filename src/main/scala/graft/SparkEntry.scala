@@ -1988,7 +1988,9 @@ object SparkEntry {
       // replay-safe ingest: the whole snapshot is delivered TWICE (reader's
       // resume-overlap case); stateful dropDuplicates on the PK lands it once
       val work = workDir("sdedup", dir)
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      // materialized once (r15): the doubled delivery staged the same
+      // snapshot twice from two separate parquet scans
+      val raw = s.read.parquet(s"$dir/events.parquet").localCheckpoint(true)
       raw.repartition(1).write.mode("overwrite").parquet(s"$work/staged")
       raw.repartition(1).write.mode("append").parquet(s"$work/staged")
       EventsIngest.ingestReplaySafe(s, s"$work/staged", s"$work/landing",
@@ -2664,7 +2666,10 @@ object SparkEntry {
       val t0 = (mm.getLong(0) + mm.getLong(1)) / 2
       val snapshot = Envelope.latestState(ev.where(col("ts_ns") <= t0),
         Seq("user_id"), Seq(col("ts_ns"), col("event_id")))
-      val changes = ev.where(col("ts_ns") > t0)
+      // materialized once (r15): the three mod-split staged writes below
+      // each re-derived this filter from parquet — three corpus scans for
+      // one file split (guide §5: persist what is reused)
+      val changes = ev.where(col("ts_ns") > t0).localCheckpoint(true)
       val staged = s"$work/staged"
       (0 until 3).foreach { i =>
         changes.where(pmod(col("event_id"), lit(3)) === i).repartition(1)
@@ -5676,24 +5681,36 @@ object SparkEntry {
       // outlier tail) and two near-uniform lineitem columns whose ZERO
       // counts are themselves the gated finding. Output: per-column n,
       // q1, q3, fence outlier counts, extremes.
+      // r15: ONE corpus scan per column. The value histogram is
+      // checkpointed once and every downstream statistic is derived from
+      // it — n/min/max as Σc/min(x)/max(x), and the fence census as
+      // c-weighted conditional sums over histogram rows (bit-identical
+      // integers to counting raw rows: every raw row of value x
+      // contributes 1 iff its histogram row satisfies the same integer
+      // predicate). The previous form re-scanned the raw values for tot
+      // and for the fence count, and re-derived the (unpersisted) hist
+      // inside PrefixSum and under BOTH q1/q3 consumers — ~6 corpus scans
+      // per column where one suffices (guide §1.2: don't compute things
+      // twice; §2.3: aggregate before you shuffle).
       def colCensus(name: String, src: DataFrame, v: Column) = {
-        val vals = src.select(v.cast("long").as("x"))
-        val hist = vals.groupBy("x").agg(count(lit(1)).as("c"))
+        val hist = src.select(v.cast("long").as("x"))
+          .groupBy("x").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
         // global cumulative over the value histogram WITHOUT an
         // unpartitioned window: operators/PrefixSum's two-phase bucket
         // scan (the sample_pps machinery)
         val cum = graft.operators.PrefixSum.inclusive(hist, "x", "c", 4096L)
-        val tot = vals.agg(count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
-        val j = cum.crossJoin(broadcast(tot))
-        val q1 = j.where(col("cum") >= expr("(25 * n + 99) div 100"))
-          .agg(min("x").as("q1"))
-        val q3 = j.where(col("cum") >= expr("(75 * n + 99) div 100"))
-          .agg(min("x").as("q3"))
-        val fenced = vals.crossJoin(broadcast(q1)).crossJoin(broadcast(q3))
+        val tot = hist.agg(coalesce(sum("c"), lit(0L)).as("n"),
+          min("x").as("mn"), max("x").as("mx"))
+        // both quartiles in ONE pass over the (tiny) cumulative table
+        val qs = cum.crossJoin(broadcast(tot))
+          .agg(min(when(col("cum") >= expr("(25 * n + 99) div 100"), col("x"))).as("q1"),
+            min(when(col("cum") >= expr("(75 * n + 99) div 100"), col("x"))).as("q3"))
+        val fenced = hist.crossJoin(broadcast(qs))
           .agg(sum(when(col("x") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3,
-              1L).otherwise(0L)).as("n_out_low"),
+              col("c")).otherwise(0L)).as("n_out_low"),
             sum(when(col("x") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3,
-              1L).otherwise(0L)).as("n_out_high"),
+              col("c")).otherwise(0L)).as("n_out_high"),
             first("q1").as("q1"), first("q3").as("q3"))
         fenced.crossJoin(broadcast(tot))
           .select(lit(name).as("column"), col("n"), col("mn").as("min_v"),

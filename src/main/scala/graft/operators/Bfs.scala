@@ -5,42 +5,49 @@ import org.apache.spark.sql.functions._
 
 /** Single-source BFS hop distances over a directed edge table — the
   * reachability/shortest-hop member of the graph tier (undirected CC,
-  * incremental CC, triangles, TextRank, SCC). Frontier-form BSP: each
-  * round expands only from the nodes discovered LAST round, anti-joined
-  * against the accumulated visited set — per-round work tracks the
-  * frontier's edges, not the visited set, the same discipline as Scc's
-  * backward pass.
+  * incremental CC, triangles, TextRank, SCC).
+  *
+  * FOLD FORM (r15, the Scc-coloring discipline brought to BFS): the state
+  * is ONE (node, dist) frame over the vertex set, dist NULL until
+  * discovered, kept HASH-PARTITIONED AND SORTED on the fold key and
+  * re-checkpointed once per round — LogicalRDD preserves
+  * outputPartitioning/outputOrdering through localCheckpoint, so the
+  * per-round fold (a left join of the pushed frontier minima into the
+  * state) is an SMJ that scans the state IN PLACE and shuffles only the
+  * frontier-sized delta. min over predecessors is monotone and
+  * label-correcting: a node's first push arrives exactly at its true hop
+  * distance (its dist-(d-1) predecessor entered the changed set the
+  * half-step before), so labels are set once and never revised.
+  *
+  * This replaces the r14/early-r15 frontier+anti-join form, which paid per
+  * round: two hop-distinct shuffles, two anti-joins, THREE checkpoints and
+  * a full repartition+sort rebuild of the visited set (an O(V) shuffle per
+  * round). The fold form pays ONE checkpoint + one count per double-step
+  * and re-shuffles nothing but the frontier's out-edges: the same rounds,
+  * ~half the jobs, and zero state-set shuffle volume. At 100 TB the state
+  * rewrite is a partition-local columnar copy; the removed visited shuffle
+  * scaled with |V|·rounds.
   *
   * DOUBLE-STEPPED like both Scc fixpoints (measured finding there: on
   * diameter-many metadata-scale shuffles the per-round fixed overhead —
   * materialization, count job, scheduling — dominates, so two hops per
-  * checkpoint nearly halves wall time). Correctness of the two-hop
-  * labels: every node at true distance d+2 has a predecessor at exactly
-  * d+1, which is in this round's hop-1 delta (new nodes only — expanding
-  * hop 2 from already-visited hop-1 hits would mislabel, so hop 1 is
-  * anti-joined BEFORE the second expansion).
+  * checkpoint nearly halves wall time).
   *
-  * VISITED is ONE checkpointed frame kept HASH-PARTITIONED AND SORTED on
-  * the anti-join key (r15 measured finding, reversing the r14 lazy-union
-  * form): LogicalRDD preserves outputPartitioning/outputOrdering through
-  * localCheckpoint, so both per-round anti-joins see a clustered, sorted
-  * right side and shuffle/sort NOTHING — the lazy union of deltas
-  * re-shuffled the whole visited set TWICE per round (every anti-join),
-  * which is why late rounds got slower as visited grew (0.45 → 1.0 s/hop
-  * at sf1). One repartition+sort+checkpoint of visited per round replaces
-  * the two anti-join shuffles: 35.2/29.3 → 20.8/19.8 s at sf1 and
-  * 85.9/79.3 → 60.0/55.3 s at sf10 on the 4-source 'scc-' digraph loop
-  * (cold/warm, exclusive runs). Rounds no longer slow down as visited
-  * grows; the remaining floor is the per-hop edge-table probe scan.
+  * Propagation is restricted to the `nodes` vertex set: a hash-derived
+  * edge target outside it (a "phantom" id) is dropped at the fold rather
+  * than carried to the end — identical results for every declared graph
+  * lane, where only real nodes have out-edges (edge src is always drawn
+  * from `nodes`), and the phantom sinks were dropped by the final
+  * semi-join anyway.
   */
 object Bfs {
 
   /** MULTI-source BFS: hop distances from every source in ONE BSP loop —
-    * the state is (s, node, dist) pairs and every join/anti-join keys on
-    * (s, node), so k sources cost one loop whose rounds track the UNION
-    * of the k frontiers, not k separate loops of diameter-many fixed
-    * round overheads each (the closeness-centrality shape: k traversals
-    * amortized into one). Same double-step discipline as `distances`.
+    * the state is (s, node, dist) rows and the fold keys on (s, node), so
+    * k sources cost one loop whose rounds track the UNION of the k
+    * frontiers, not k separate loops of diameter-many fixed round
+    * overheads each (the closeness-centrality shape: k traversals
+    * amortized into one). Same fold/double-step discipline as `distances`.
     *
     * @param sources distinct BFS roots (must be in `nodes`)
     * @return (s, node, dist): distance from source s to node, reachable
@@ -48,45 +55,45 @@ object Bfs {
   def distancesMulti(nodes: DataFrame, edges: DataFrame, sources: Seq[Long],
       maxIters: Int = 40): DataFrame = {
     require(sources.nonEmpty && sources.distinct.size == sources.size)
-    val spark = edges.sparkSession
-    import spark.implicits._
     val es = edges.select(col("src").as("u"), col("dst").as("v"))
       .distinct().localCheckpoint(true)
-    // partitioned+sorted on the anti-join key and kept that way every
-    // round — see the class doc's r15 measurement
-    var visited = sources.map(s => (s, s, 0L)).toDF("s", "node", "dist")
-      .repartition(col("s"), col("node"))
-      .sortWithinPartitions("s", "node")
+    // state: one row per (source, node); dist NULL = undiscovered. The
+    // source dimension rides an explode (no join), and the frame is
+    // partitioned+sorted on the fold key once — every later fold
+    // preserves that layout through the checkpoint.
+    var dists = nodes.select(col("node"),
+        explode(array(sources.map(lit(_)): _*)).as("s"))
+      .select(col("s"), col("node"),
+        when(col("node") === col("s"), lit(0L)).as("dist"))
+      .repartition(col("s"), col("node")).sortWithinPartitions("s", "node")
       .localCheckpoint(true)
-    var frontier = visited.select("s", "node")
-    var d = 0L
-    var frontierCount = sources.size.toLong
+    var changed = dists.where(col("dist").isNotNull)
+    var changedCount = changed.count()
+    // one hop: push min(dist)+1 from the changed set along edges, fold
+    // into the state; chg marks first-time discoveries only
+    def step(d: DataFrame, ch: DataFrame): DataFrame = {
+      val pushed = es
+        .join(ch.select(col("node").as("u"), col("s"), col("dist")), Seq("u"))
+        .groupBy(col("s"), col("v").as("node")).agg(min(col("dist")).as("pd"))
+      d.join(pushed, Seq("s", "node"), "left")
+        .select(col("s"), col("node"),
+          coalesce(col("dist"), col("pd") + 1L).as("dist"),
+          (col("dist").isNull && col("pd").isNotNull).as("chg"))
+    }
     var iter = 0
-    def hop(f: DataFrame): DataFrame =
-      es.join(f.select(col("s"), col("node").as("u")), Seq("u"))
-        .select(col("s"), col("v").as("node")).distinct()
-    while (frontierCount > 0) {
-      val h1 = hop(frontier)
-        .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
+    while (changedCount > 0) {
+      val f1 = step(dists.select("s", "node", "dist"),
+        changed.select("s", "node", "dist"))
+      val f2 = step(f1.select("s", "node", "dist"),
+          f1.where(col("chg")).select("s", "node", "dist"))
         .localCheckpoint(true)
-      val h2 = hop(h1)
-        .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
-        .join(h1, Seq("s", "node"), "left_anti")
-        .localCheckpoint(true)
-      val grown = h1.withColumn("dist", lit(d + 1L))
-        .union(h2.withColumn("dist", lit(d + 2L)))
-      visited = visited.union(grown)
-        .repartition(col("s"), col("node"))
-        .sortWithinPartitions("s", "node")
-        .localCheckpoint(true)
-      frontier = h2
-      frontierCount = h2.count()
-      d += 2
+      dists = f2.select("s", "node", "dist")
+      changed = f2.where(col("chg")).select("s", "node", "dist")
+      changedCount = changed.count()
       iter += 1
       require(iter < maxIters, s"multi-BFS did not converge in $maxIters rounds")
     }
-    visited.join(nodes.select("node"), Seq("node"), "left_semi")
-      .select("s", "node", "dist")
+    dists.where(col("dist").isNotNull).select("s", "node", "dist")
   }
 
   /** @param nodes (node: long) — vertex set; discovered ids outside it are
@@ -99,39 +106,34 @@ object Bfs {
       edges: DataFrame,
       source: Long,
       maxIters: Int = 40): DataFrame = {
-    val spark = edges.sparkSession
     val es = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    var visited = spark.range(1)
-      .select(lit(source).as("node"), lit(0L).as("dist"))
+    var dists = nodes.select(col("node"),
+        when(col("node") === lit(source), lit(0L)).as("dist"))
       .repartition(col("node")).sortWithinPartitions("node")
       .localCheckpoint(true)
-    var frontier = visited.select("node")
-    var d = 0L
-    var frontierCount = 1L
+    var changed = dists.where(col("dist").isNotNull)
+    var changedCount = changed.count()
+    def step(d: DataFrame, ch: DataFrame): DataFrame = {
+      val pushed = es
+        .join(ch.select(col("node").as("src"), col("dist")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("dist")).as("pd"))
+      d.join(pushed, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("dist"), col("pd") + 1L).as("dist"),
+          (col("dist").isNull && col("pd").isNotNull).as("chg"))
+    }
     var iter = 0
-    // one hop: distinct successors of f (labels applied by the caller)
-    def hop(f: DataFrame): DataFrame =
-      es.join(f.select(col("node").as("src")), Seq("src"))
-        .select(col("dst").as("node")).distinct()
-    while (frontierCount > 0) {
-      val h1 = hop(frontier)
-        .join(visited.select("node"), Seq("node"), "left_anti")
+    while (changedCount > 0) {
+      val f1 = step(dists.select("node", "dist"), changed.select("node", "dist"))
+      val f2 = step(f1.select("node", "dist"),
+          f1.where(col("chg")).select("node", "dist"))
         .localCheckpoint(true)
-      val h2 = hop(h1)
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .join(h1, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      val grown = h1.withColumn("dist", lit(d + 1L))
-        .union(h2.withColumn("dist", lit(d + 2L)))
-      visited = visited.union(grown)
-        .repartition(col("node")).sortWithinPartitions("node")
-        .localCheckpoint(true)
-      frontier = h2
-      frontierCount = h2.count()
-      d += 2
+      dists = f2.select("node", "dist")
+      changed = f2.where(col("chg")).select("node", "dist")
+      changedCount = changed.count()
       iter += 1
       require(iter < maxIters, s"BFS did not converge in $maxIters rounds")
     }
-    visited.join(nodes.select("node"), Seq("node"), "left_semi")
+    dists.where(col("dist").isNotNull).select("node", "dist")
   }
 }

@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   * DAG by critical-path depth (level(v) = length of the longest path from
   * any source to v). Longest path is NP-hard on general graphs but linear
   * on DAGs; the distributed form is Bellman-Ford-style max-relaxation to
-  * fixpoint — each round one keyed join + keyed max-agg over the edge
-  * table, DOUBLE-STEPPED like the Scc fixpoints (two relaxations per
-  * checkpoint + convergence count; the measured Scc finding — per-round
-  * fixed overhead dominates on metadata-scale frames — transfers).
-  * Convergence in ⌈depth/2⌉ rounds; monotone (levels only grow) and
-  * bounded by depth, so the fixpoint is exact. A CYCLE would diverge —
-  * the maxIters guard turns that into a loud failure rather than an
-  * infinite loop, which is the correct behavior for an operator whose
-  * contract is acyclic input. */
+  * fixpoint, DOUBLE-STEPPED like the Scc fixpoints and — r15 —
+  * DELTA-PROPAGATED with the state frame kept hash-partitioned + sorted
+  * on the fold key (the Scc-coloring discipline): max-relaxation is
+  * monotone and idempotent, so a node's outgoing contribution needs
+  * re-pushing only in the round after its level changed. Each round
+  * pushes only the changed set's levels one hop (twice) and folds them
+  * into the level frame with a left join — an SMJ that scans the state in
+  * place (LogicalRDD preserves partitioning/ordering through
+  * localCheckpoint), where the previous full-frame relax re-joined and
+  * re-shuffled ALL nodes' levels every round. Convergence in ⌈depth/2⌉
+  * rounds; a CYCLE would diverge — the maxIters guard turns that into a
+  * loud failure rather than an infinite loop, which is the correct
+  * behavior for an operator whose contract is acyclic input. */
 object DagLevels {
 
   /** @param nodes (node: long) — DAG vertex set
@@ -25,25 +29,31 @@ object DagLevels {
     * @return (node, level: long) — longest-path depth from any source */
   def levels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 60): DataFrame = {
     val es = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    // one relaxation: level'(v) = max(level(v), max over preds(level(u)+1));
-    // `old` rides inside the frame so change detection is a filter-count
-    def relax(l: DataFrame): DataFrame = {
-      val pushed = es.join(l.select(col("node").as("src"), col("level")), Seq("src"))
+    // one delta relaxation: push level+1 from the changed set, fold max
+    // into the state; chg marks nodes whose level actually grew
+    def relax(l: DataFrame, ch: DataFrame): DataFrame = {
+      val pushed = es
+        .join(ch.select(col("node").as("src"), col("level")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(max(col("level") + 1L).as("plvl"))
       l.join(pushed, Seq("node"), "left")
-        .select(col("node"), col("old"),
-          greatest(col("level"), coalesce(col("plvl"), col("level"))).as("level"))
+        .select(col("node"),
+          greatest(col("level"), coalesce(col("plvl"), col("level"))).as("level"),
+          (coalesce(col("plvl"), col("level")) > col("level")).as("chg"))
     }
-    var lvl = nodes.select(col("node"), lit(0L).as("level")).localCheckpoint(true)
-    var converged = false
+    var lvl = nodes.select(col("node"), lit(0L).as("level"))
+      .repartition(col("node")).sortWithinPartitions("node")
+      .localCheckpoint(true)
+    var changed = lvl
+    var changedCount = changed.count()
     var iter = 0
-    while (!converged) {
-      val next = relax(relax(
-          lvl.select(col("node"), col("level").as("old"), col("level"))))
+    while (changedCount > 0) {
+      val f1 = relax(lvl.select("node", "level"), changed.select("node", "level"))
+      val f2 = relax(f1.select("node", "level"),
+          f1.where(col("chg")).select("node", "level"))
         .localCheckpoint(true)
-      val changed = next.where(col("level") > col("old")).count()
-      lvl = next.select("node", "level")
-      converged = changed == 0
+      lvl = f2.select("node", "level")
+      changed = f2.where(col("chg")).select("node", "level")
+      changedCount = changed.count()
       iter += 1
       require(iter < maxIters,
         s"DAG level relaxation did not converge in $maxIters rounds — cyclic input?")

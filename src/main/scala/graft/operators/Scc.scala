@@ -199,18 +199,16 @@ object Scc {
         }
         if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
           System.err.println(s"[scc] phase ${phase + 1}: coloring $citer rounds on $remainingCount nodes at ${System.nanoTime() / 1000000}ms")
-        // ---- 3. backward mark fixpoint within color classes — FRONTIER
-        // form: each round expands only from the nodes marked LAST round
-        // (BFS against edge direction), anti-joined against the
-        // accumulated marked set; per-round work tracks the frontier's
-        // edges, not the full marked set. The marked set is ONE
-        // checkpointed frame kept hash-partitioned + sorted on `node`
-        // (the r15 Bfs measurement: LogicalRDD preserves partitioning/
-        // ordering through localCheckpoint, so the per-round anti-join
-        // stops re-shuffling the whole marked set — the previous lazy
-        // union of deltas paid that shuffle EVERY round and late rounds
-        // slowed as marked grew). marked rows: (node, color); seed =
-        // pivots.
+        // ---- 3. backward mark fixpoint within color classes — FOLD form
+        // (r15, the coloring loop's discipline): the state is ONE
+        // (node, color, m) frame over the remaining nodes, m = reaches-
+        // pivot flag, kept hash-partitioned + sorted on `node` and
+        // re-checkpointed once per double-step; the per-round fold (left
+        // join of the pushed predecessor set) is an SMJ that scans the
+        // state IN PLACE. This replaces the frontier+anti-join form,
+        // which paid a full repartition+sort rebuild of the marked set
+        // (an O(marked) shuffle) plus an extra checkpoint every round.
+        // Per-round shuffle volume is the frontier's in-edges only.
         // INTRA-CLASS edges are annotated ONCE per phase (r15): the
         // backward walk only ever crosses edges whose endpoints share a
         // color, and for such an edge the class label IS the edge's
@@ -222,37 +220,42 @@ object Scc {
           val cd = colors.select(col("node").as("dst"), col("color").as("dcolor"))
           es.join(cs, Seq("src")).join(cd, Seq("dst"))
             .where(col("scolor") === col("dcolor"))
-            .select(col("src"), col("dst"), col("scolor").as("ecolor"))
+            .select(col("src"), col("dst"))
             .repartition(col("dst")).sortWithinPartitions("dst")
             .localCheckpoint(true)
         }
-        // one backward step: in-class predecessors of `f` — dst ∈ f and
-        // color(src) = color(dst) = the edge's class label by construction
-        def expandBack(f: DataFrame): DataFrame =
-          esIntra.join(f.select(col("node").as("dst")), Seq("dst"), "left_semi")
-            .select(col("src").as("node"), col("ecolor").as("color")).distinct()
-        var marked = colors.where(col("node") === col("color"))
-          .repartition(col("node")).sortWithinPartitions("node")
+        // one backward step: fold the in-class predecessors of the changed
+        // set into the mark flags; chg marks first-time marks only
+        def backStep(st: DataFrame, ch: DataFrame): DataFrame = {
+          val pushed = esIntra
+            .join(ch.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src").as("node")).distinct()
+            .withColumn("p", lit(true))
+          st.join(pushed, Seq("node"), "left")
+            .select(col("node"), col("color"),
+              (col("m") || col("p").isNotNull).as("m"),
+              (!col("m") && col("p").isNotNull).as("chg"))
+        }
+        // seed: pivots (node == color); colors is already partitioned +
+        // sorted on node, so the projection keeps that layout
+        var mk = colors
+          .select(col("node"), col("color"), (col("node") === col("color")).as("m"))
           .localCheckpoint(true)
-        var frontier = marked
-        var frontierCount = frontier.count()
+        var mchanged = mk.where(col("m")).select("node")
+        var mchangedCount = mchanged.count()
         var miter = 0
-        while (frontierCount > 0) {
-          // DOUBLE-STEPPED like the coloring loop: two BFS hops per
-          // checkpoint + count; the 2-hop candidate set is deduped before
-          // the single anti-join against the accumulated marked set
-          val hop1 = expandBack(frontier)
-          val grown = hop1.union(expandBack(hop1)).distinct()
-            .join(marked, Seq("node"), "left_anti")
+        while (mchangedCount > 0) {
+          val b1 = backStep(mk.select("node", "color", "m"), mchanged)
+          val b2 = backStep(b1.select("node", "color", "m"),
+              b1.where(col("chg")).select("node"))
             .localCheckpoint(true)
-          frontierCount = grown.count()
-          if (frontierCount > 0) marked = marked.union(grown)
-            .repartition(col("node")).sortWithinPartitions("node")
-            .localCheckpoint(true)
-          frontier = grown
+          mk = b2.select("node", "color", "m")
+          mchanged = b2.where(col("chg")).select("node")
+          mchangedCount = mchanged.count()
           miter += 1
           require(miter < maxIters, s"backward mark did not converge in $maxIters rounds")
         }
+        val marked = mk.where(col("m")).select(col("node"), col("color"))
         if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
           System.err.println(s"[scc] phase ${phase + 1}: backward $miter rounds at ${System.nanoTime() / 1000000}ms")
         done += marked.select(col("node"), col("color").as("pivot")).localCheckpoint(true)
