@@ -31,33 +31,7 @@ import org.apache.spark.sql.functions._
   * DOUBLE-STEPPED like both Scc fixpoints (measured finding there: on
   * diameter-many metadata-scale shuffles the per-round fixed overhead —
   * materialization, count job, scheduling — dominates, so two hops per
-  * checkpoint nearly halves wall time). Correctness is k-step-invariant
-  * (every step pushes exactly the set the previous step discovered, and a
-  * round whose LAST step discovers nothing is a true fixpoint), but
-  * QUAD-stepping was tried r15 and is a measured NEGATIVE: sf0.1
-  * graph_scc 13.5→27.7 s, condensation 13.5→23.0 s, bfs 5.2→7.2 s,
-  * closeness 6.5→8.2 s (repeat-2 minima, control lane improved) — four
-  * chained folds per lineage mean the un-checkpointed plan re-scans the
-  * full state frame four times per round and AQE re-plans a deeper tree,
-  * which costs more than the saved checkpoint+count. Keep k = 2.
-  *
-  * WEIGHTED SHORTCUT EDGES (r15, the Scc-coloring squaring brought to
-  * distances): the walked edge table is es(w=1) ∪ es·es(w=2) — every
-  * 2-path composition as a weight-2 edge — and each push folds
-  * min(dist + w). Labels stay EXACT: every node at true distance d ≥ 2
-  * has a shortcut predecessor at d−2 (the node two back on its shortest
-  * path — its 2-path is in es·es by construction), so by induction the
-  * nodes discovered at step t are exactly those at distance 2t−1 or 2t,
-  * and every push arriving at a node's first-discovery step carries
-  * value ≥ d with at least one exactly-d push present (preds at d−1 via
-  * w=1, d−2 via w=2; any earlier arrival would need a pred at < d−2,
-  * which contradicts d's minimality). Rounds halve again on top of the
-  * double-step (4 distance units per checkpoint+count); volume bound
-  * |es·es| = Σ_v in(v)·out(v) ≤ maxOutDeg·|E| — the graph lanes' hash
-  * digraphs have out-degree ≤ 2, so the walked table is ≤ 3|E|.
-  * (Quad-STEPPING bought the same rounds and measured NEGATIVE — sf0.1
-  * scc 13.5→27.7 s, bfs 5.2→7.2 s — because it deepens the
-  * un-checkpointed lineage; shortcutting pays one extra self-join once.)
+  * checkpoint nearly halves wall time).
   *
   * Propagation is restricted to the `nodes` vertex set: a hash-derived
   * edge target outside it (a "phantom" id) is dropped at the fold rather
@@ -67,21 +41,6 @@ import org.apache.spark.sql.functions._
   * semi-join anyway.
   */
 object Bfs {
-
-  /** Hops folded into one lineage per checkpoint+count (see class doc). */
-  private val StepsPerRound = 2
-
-  /** (src, dst, w): the deduped edge set at w=1 plus every distinct
-    * 2-path composition at w=2 (see class doc; self-loop compositions are
-    * useless for min-distance and dropped). */
-  private def withShortcuts(edges: DataFrame): DataFrame = {
-    val es = edges.select(col("src"), col("dst")).distinct()
-    val sq = es.select(col("src"), col("dst").as("mid"))
-      .join(es.select(col("src").as("mid"), col("dst")), Seq("mid"))
-      .select(col("src"), col("dst")).distinct()
-      .where(col("src") =!= col("dst"))
-    es.withColumn("w", lit(1L)).union(sq.withColumn("w", lit(2L)))
-  }
 
   /** MULTI-source BFS: hop distances from every source in ONE BSP loop —
     * the state is (s, node, dist) rows and the fold keys on (s, node), so
@@ -96,9 +55,8 @@ object Bfs {
   def distancesMulti(nodes: DataFrame, edges: DataFrame, sources: Seq[Long],
       maxIters: Int = 40): DataFrame = {
     require(sources.nonEmpty && sources.distinct.size == sources.size)
-    val es = withShortcuts(edges)
-      .select(col("src").as("u"), col("dst").as("v"), col("w"))
-      .localCheckpoint(true)
+    val es = edges.select(col("src").as("u"), col("dst").as("v"))
+      .distinct().localCheckpoint(true)
     // state: one row per (source, node); dist NULL = undiscovered. The
     // source dimension rides an explode (no join), and the frame is
     // partitioned+sorted on the fold key once — every later fold
@@ -116,23 +74,21 @@ object Bfs {
     def step(d: DataFrame, ch: DataFrame): DataFrame = {
       val pushed = es
         .join(ch.select(col("node").as("u"), col("s"), col("dist")), Seq("u"))
-        .groupBy(col("s"), col("v").as("node"))
-        .agg(min(col("dist") + col("w")).as("pd"))
+        .groupBy(col("s"), col("v").as("node")).agg(min(col("dist")).as("pd"))
       d.join(pushed, Seq("s", "node"), "left")
         .select(col("s"), col("node"),
-          coalesce(col("dist"), col("pd")).as("dist"),
+          coalesce(col("dist"), col("pd") + 1L).as("dist"),
           (col("dist").isNull && col("pd").isNotNull).as("chg"))
     }
     var iter = 0
     while (changedCount > 0) {
-      var f = step(dists.select("s", "node", "dist"),
+      val f1 = step(dists.select("s", "node", "dist"),
         changed.select("s", "node", "dist"))
-      for (_ <- 2 to StepsPerRound)
-        f = step(f.select("s", "node", "dist"),
-          f.where(col("chg")).select("s", "node", "dist"))
-      f = f.localCheckpoint(true)
-      dists = f.select("s", "node", "dist")
-      changed = f.where(col("chg")).select("s", "node", "dist")
+      val f2 = step(f1.select("s", "node", "dist"),
+          f1.where(col("chg")).select("s", "node", "dist"))
+        .localCheckpoint(true)
+      dists = f2.select("s", "node", "dist")
+      changed = f2.where(col("chg")).select("s", "node", "dist")
       changedCount = changed.count()
       iter += 1
       require(iter < maxIters, s"multi-BFS did not converge in $maxIters rounds")
@@ -150,7 +106,7 @@ object Bfs {
       edges: DataFrame,
       source: Long,
       maxIters: Int = 40): DataFrame = {
-    val es = withShortcuts(edges).localCheckpoint(true)
+    val es = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     var dists = nodes.select(col("node"),
         when(col("node") === lit(source), lit(0L)).as("dist"))
       .repartition(col("node")).sortWithinPartitions("node")
@@ -160,22 +116,20 @@ object Bfs {
     def step(d: DataFrame, ch: DataFrame): DataFrame = {
       val pushed = es
         .join(ch.select(col("node").as("src"), col("dist")), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("dist") + col("w")).as("pd"))
+        .groupBy(col("dst").as("node")).agg(min(col("dist")).as("pd"))
       d.join(pushed, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("dist"), col("pd")).as("dist"),
+          coalesce(col("dist"), col("pd") + 1L).as("dist"),
           (col("dist").isNull && col("pd").isNotNull).as("chg"))
     }
     var iter = 0
     while (changedCount > 0) {
-      var f = step(dists.select("node", "dist"), changed.select("node", "dist"))
-      for (_ <- 2 to StepsPerRound)
-        f = step(f.select("node", "dist"),
-          f.where(col("chg")).select("node", "dist"))
-      f = f.localCheckpoint(true)
-      dists = f.select("node", "dist")
-      changed = f.where(col("chg")).select("node", "dist")
+      val f1 = step(dists.select("node", "dist"), changed.select("node", "dist"))
+      val f2 = step(f1.select("node", "dist"),
+          f1.where(col("chg")).select("node", "dist"))
+        .localCheckpoint(true)
+      dists = f2.select("node", "dist")
+      changed = f2.where(col("chg")).select("node", "dist")
       changedCount = changed.count()
       iter += 1
       require(iter < maxIters, s"BFS did not converge in $maxIters rounds")

@@ -123,20 +123,15 @@ object Scc {
       // recovered at the end as phaseStart ∖ survivors in ONE anti-join
       // (each peeled node is a singleton SCC, pivot = itself), instead of
       // O(rounds) lazy views re-executed during the final union.
-      if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
-        System.err.println(s"[scc] phase ${phase + 1}: trim setup done at ${System.nanoTime() / 1000000}ms")
       val trimStart = remaining
       var titer = 0
       var degCount = remainingCount
       var shrunk = true
-      // Two peels per checkpoint+count — peeling is confluent (a node
-      // peelable now stays peelable until removed), so the fixpoint is
-      // step-count-invariant; four peels measured NEGATIVE r15 (see
-      // Bfs.scala scaladoc for the family-wide A/B).
       while (shrunk && degCount > 0) {
-        var d = applyPeel(degrees, peelable(degrees))
-        for (_ <- 2 to 2) d = applyPeel(d, peelable(d))
-        degrees = d
+        val p1 = peelable(degrees)
+        val d1 = applyPeel(degrees, p1)
+        val p2 = peelable(d1)
+        degrees = applyPeel(d1, p2)
           .repartition(col("node")).sortWithinPartitions("node")
           .localCheckpoint(true)
         val c = degrees.count()
@@ -172,25 +167,8 @@ object Scc {
         // place. Convergence: two-step rounds where step 2 changes
         // nothing are a true fixpoint (step 1's changes are in the folded
         // frame and their push produced no further change).
-        // SHORTCUT EDGES (r15): one squaring pass es2 = es ∪ es·es halves
-        // the propagation rounds — max-color reachability is closed under
-        // adding edges that follow existing 2-paths (the fixpoint is the
-        // same; only arrival rounds change), and each saved round saves a
-        // checkpoint + count + two delta exchanges of fixed overhead.
-        // Volume bound: |es·es| = Σ_v in(v)·out(v) ≤ maxOutDeg · |E| —
-        // the graph lanes' hash digraphs have out-degree ≤ 2, so es2 ≤
-        // 3|E| and stays metadata-scale. (Quad-STEPPING was the measured-
-        // negative way to buy the same rounds; shortcutting pays one
-        // extra self-join per phase instead of deeper per-round lineage.)
-        val esCBySrc = {
-          val a = es.select(col("src"), col("dst").as("mid"))
-          val b = es.select(col("src").as("mid"), col("dst"))
-          es.union(a.join(b, Seq("mid")).select(col("src"), col("dst")))
-            .distinct()
-            .where(col("src") =!= col("dst"))
-            .repartition(col("src")).sortWithinPartitions("src")
-            .localCheckpoint(true)
-        }
+        val esCBySrc = es.repartition(col("src")).sortWithinPartitions("src")
+          .localCheckpoint(true)
         // one delta step: (full colors, changed) -> folded (node, color, chg)
         def deltaStep(c: DataFrame, ch: DataFrame): DataFrame = {
           val pushed = esCBySrc
@@ -207,29 +185,20 @@ object Scc {
         var changed = colors
         var changedCount = remainingCount
         var citer = 0
-        // Two delta pushes per checkpoint+count; the max fold is monotone
-        // and every change re-pushes exactly once in the following step,
-        // so the fixpoint is step-count-invariant (k = 4 measured
-        // NEGATIVE r15 — Bfs.scala scaladoc).
         while (changedCount > 0) {
-          var f = deltaStep(colors, changed)
-          for (_ <- 2 to 2)
-            f = deltaStep(
-              f.select(col("node"), col("color")),
-              f.where(col("chg")).select(col("node"), col("color")))
-          f = f.localCheckpoint(true)
-          colors = f.select("node", "color")
-          changed = f.where(col("chg")).select(col("node"), col("color"))
+          val f1 = deltaStep(colors, changed)
+          val f2 = deltaStep(
+              f1.select(col("node"), col("color")),
+              f1.where(col("chg")).select(col("node"), col("color")))
+            .localCheckpoint(true)
+          colors = f2.select("node", "color")
+          changed = f2.where(col("chg")).select(col("node"), col("color"))
           changedCount = changed.count()
           citer += 1
           require(citer < maxIters, s"coloring did not converge in $maxIters rounds")
         }
-        if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG")) {
+        if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
           System.err.println(s"[scc] phase ${phase + 1}: coloring $citer rounds on $remainingCount nodes at ${System.nanoTime() / 1000000}ms")
-          if (remainingCount <= 50)
-            System.err.println("[scc] colors: " + colors.orderBy("node").collect()
-              .map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(" "))
-        }
         // ---- 3. backward mark fixpoint within color classes — FOLD form
         // (r15, the coloring loop's discipline): the state is ONE
         // (node, color, m) frame over the remaining nodes, m = reaches-
@@ -246,21 +215,12 @@ object Scc {
         // color — so each hop is one semi-join into the pre-partitioned
         // intra-class edge table, with NO per-hop colors join at all
         // (the previous form joined the full color frame every hop).
-        // ... and SHORTCUT (r15) like the coloring pass: squaring the
-        // intra-class edges (composition through an intra-class middle)
-        // only adds u→w pairs with an existing intra-class 2-path, so
-        // backward reachability-to-pivot is unchanged and rounds halve.
         val esIntra = {
           val cs = colors.select(col("node").as("src"), col("color").as("scolor"))
           val cd = colors.select(col("node").as("dst"), col("color").as("dcolor"))
-          val intra = es.join(cs, Seq("src")).join(cd, Seq("dst"))
+          es.join(cs, Seq("src")).join(cd, Seq("dst"))
             .where(col("scolor") === col("dcolor"))
             .select(col("src"), col("dst"))
-          val a = intra.select(col("src"), col("dst").as("mid"))
-          val b = intra.select(col("src").as("mid"), col("dst"))
-          intra.union(a.join(b, Seq("mid")).select(col("src"), col("dst")))
-            .distinct()
-            .where(col("src") =!= col("dst"))
             .repartition(col("dst")).sortWithinPartitions("dst")
             .localCheckpoint(true)
         }
@@ -284,15 +244,13 @@ object Scc {
         var mchanged = mk.where(col("m")).select("node")
         var mchangedCount = mchanged.count()
         var miter = 0
-        // double-stepped like the coloring loop (same invariance argument)
         while (mchangedCount > 0) {
-          var b = backStep(mk.select("node", "color", "m"), mchanged)
-          for (_ <- 2 to 2)
-            b = backStep(b.select("node", "color", "m"),
-              b.where(col("chg")).select("node"))
-          b = b.localCheckpoint(true)
-          mk = b.select("node", "color", "m")
-          mchanged = b.where(col("chg")).select("node")
+          val b1 = backStep(mk.select("node", "color", "m"), mchanged)
+          val b2 = backStep(b1.select("node", "color", "m"),
+              b1.where(col("chg")).select("node"))
+            .localCheckpoint(true)
+          mk = b2.select("node", "color", "m")
+          mchanged = b2.where(col("chg")).select("node")
           mchangedCount = mchanged.count()
           miter += 1
           require(miter < maxIters, s"backward mark did not converge in $maxIters rounds")
