@@ -2015,7 +2015,11 @@ object SparkEntry {
       // exactly {0, 90} min — replayable in closed form by the oracle.
       import graft.streaming.TtlDedup
       val work = workDir("ttldedup", dir)
+      // materialized once (r16): four of the six staged batches derive from
+      // this frame, and each staged write re-ran the events scan + distinct
+      // (guide §5: persist what is reused)
       val keys = Tables.events(s, dir).select(col("user_id").as("k")).distinct()
+        .localCheckpoint(true)
       def at(df: DataFrame, minutes: Int): DataFrame =
         df.select(col("k"), (col("k") * 7 % 1000).cast("long").as("val"),
           expr(s"TIMESTAMP '2024-01-01 00:00:00' + INTERVAL $minutes MINUTES").as("ts"))

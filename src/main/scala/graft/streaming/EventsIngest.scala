@@ -114,6 +114,35 @@ object EventsIngest {
     }
   }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` scoped to the streaming
+    * STATE partition count, restoring the session value after (guide
+    * §2.1/§2.2 partition sizing). Stateful streaming operators
+    * (dropDuplicates[WithinWatermark], stream-stream joins, watermarked
+    * aggregation) create one state store — and one delta + commit file per
+    * MICRO-BATCH — per shuffle partition, and the count is PINNED into the
+    * checkpoint at first start, so it must be sized to expected state
+    * volume (keys per watermark horizon), never to whatever core count the
+    * session happens to run with: state here measures kilobytes-per-key
+    * horizons, and a core-count default charges every micro-batch a full
+    * fan of near-empty state commits (measured by the r15 driver as
+    * INVERSE scaling: stream_ttl_dedup 6.9 s at 8 cores vs 13.8 s at 32 —
+    * same data, same query). foreachBatch loops get the same scope: their
+    * per-batch keyed shuffles carry one micro-batch of rows, not a
+    * battery-scale frame. `SPARK_GRAFT_STREAM_STATE_PARTITIONS` overrides
+    * for production state volumes; the local default keeps the 8- and
+    * 32-core benches on the SAME state layout so the driver's core-count
+    * A/B measures compute scaling, not state-file count. */
+  private[streaming] def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    // restore only after the blocking run completes: streams clone the
+    // session conf on their own thread, so restoring right after start()
+    // would race the clone
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run `stream` to a parquet landing zone with AvailableNow + checkpoint,
     * block to completion, and return the landed data. Shared by the
     * streaming ingests. */
@@ -122,13 +151,15 @@ object EventsIngest {
       landingDir: String,
       checkpointDir: String,
       outputMode: Option[org.apache.spark.sql.streaming.OutputMode] = None): DataFrame = {
-    val writer = stream.writeStream
-      .format("parquet")
-      .option("path", landingDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-    val q = outputMode.fold(writer)(writer.outputMode).start()
-    q.awaitTermination()
+    withStatePartitions(stream.sparkSession) {
+      val writer = stream.writeStream
+        .format("parquet")
+        .option("path", landingDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+      val q = outputMode.fold(writer)(writer.outputMode).start()
+      q.awaitTermination()
+    }
     stream.sparkSession.read.parquet(landingDir)
   }
 

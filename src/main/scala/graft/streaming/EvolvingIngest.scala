@@ -60,6 +60,7 @@ object EvolvingIngest {
       .parquet(stagedDir)
 
     val knownEpochs = epochSchemas.keySet.toSeq
+    EventsIngest.withStatePartitions(spark) {
     val q = stream.writeStream
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         // the micro-batch is scanned once per epoch slice plus the
@@ -103,6 +104,7 @@ object EvolvingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
 
     spark.read.parquet(landing).drop("_batch_id")
   }

@@ -65,6 +65,7 @@ object SnapshotHandoff {
     val stream = spark.readStream.schema(changeSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedChanges)
+    EventsIngest.withStatePartitions(spark) {
     val q = stream.writeStream
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
@@ -88,6 +89,7 @@ object SnapshotHandoff {
       }
       .start()
     q.awaitTermination()
+    }
     spark.read.parquet(stateDir)
   }
 }

@@ -35,6 +35,7 @@ object StreamFanout {
     EventsIngest.deleteRecursive(aggDir)
     EventsIngest.deleteRecursive(ckpt)
 
+    EventsIngest.withStatePartitions(spark) {
     val q = EventsIngest.fileStream(spark, eventsPath, schema)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -51,6 +52,7 @@ object StreamFanout {
       }
       .start()
     q.awaitTermination()
+    }
     (spark.read.option("basePath", rawDir).parquet(s"$rawDir/batch=*"),
       spark.read.option("basePath", aggDir).parquet(s"$aggDir/batch=*"))
   }

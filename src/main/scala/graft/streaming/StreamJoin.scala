@@ -96,15 +96,8 @@ object StreamJoin {
       joinType)
 
     // a stream-stream join keeps FOUR state stores per shuffle partition;
-    // the store count is pinned by the partition count at checkpoint
-    // creation, so scope a lower value to this query (the data volume per
-    // micro-batch is what the partition count should track, not the
-    // session-wide batch setting) and restore the session conf after
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    // restore only after termination: the stream clones the session conf
-    // on its own thread, so restoring right after start() would race
-    try EventsIngest.runToParquet(joined, landing, ckpt)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // the scoping (and its rationale) now lives in runToParquet's
+    // withStatePartitions, shared by every stateful streaming lane
+    EventsIngest.runToParquet(joined, landing, ckpt)
   }
 }
