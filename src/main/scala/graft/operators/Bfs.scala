@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftBridge
 
 /** Single-source BFS hop distances over a directed edge table — the
   * reachability/shortest-hop member of the graph tier (undirected CC,
@@ -61,14 +62,21 @@ object Bfs {
     // source dimension rides an explode (no join), and the frame is
     // partitioned+sorted on the fold key once — every later fold
     // preserves that layout through the checkpoint.
-    var dists = nodes.select(col("node"),
-        explode(array(sources.map(lit(_)): _*)).as("s"))
-      .select(col("s"), col("node"),
-        when(col("node") === col("s"), lit(0L)).as("dist"))
-      .repartition(col("s"), col("node")).sortWithinPartitions("s", "node")
-      .localCheckpoint(true)
-    var changed = dists.where(col("dist").isNotNull)
-    var changedCount = changed.count()
+    // FUSED materialize+count (r16): localCheckpoint(true)'s internal
+    // count is discarded by the public API, so every round paid a second
+    // whole-frame job for its convergence signal — the bridge returns the
+    // counts from the materialization job itself (see GraftBridge).
+    val (d0, _, seed0) = GraftBridge.localCheckpointCount(
+      nodes.select(col("node"),
+          explode(array(sources.map(lit(_)): _*)).as("s"))
+        .select(col("s"), col("node"),
+          when(col("node") === col("s"), lit(0L)).as("dist"),
+          (col("node") === col("s")).as("chg"))
+        .repartition(col("s"), col("node")).sortWithinPartitions("s", "node"),
+      Some("chg"))
+    var dists = d0
+    var changed = dists.where(col("chg")).select("s", "node", "dist")
+    var changedCount = seed0
     // one hop: push min(dist)+1 from the changed set along edges, fold
     // into the state; chg marks first-time discoveries only
     def step(d: DataFrame, ch: DataFrame): DataFrame = {
@@ -84,12 +92,13 @@ object Bfs {
     while (changedCount > 0) {
       val f1 = step(dists.select("s", "node", "dist"),
         changed.select("s", "node", "dist"))
-      val f2 = step(f1.select("s", "node", "dist"),
-          f1.where(col("chg")).select("s", "node", "dist"))
-        .localCheckpoint(true)
-      dists = f2.select("s", "node", "dist")
+      val (f2, _, nChg) = GraftBridge.localCheckpointCount(
+        step(f1.select("s", "node", "dist"),
+          f1.where(col("chg")).select("s", "node", "dist")),
+        Some("chg"))
+      dists = f2
       changed = f2.where(col("chg")).select("s", "node", "dist")
-      changedCount = changed.count()
+      changedCount = nChg
       iter += 1
       require(iter < maxIters, s"multi-BFS did not converge in $maxIters rounds")
     }
@@ -107,12 +116,16 @@ object Bfs {
       source: Long,
       maxIters: Int = 40): DataFrame = {
     val es = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    var dists = nodes.select(col("node"),
-        when(col("node") === lit(source), lit(0L)).as("dist"))
-      .repartition(col("node")).sortWithinPartitions("node")
-      .localCheckpoint(true)
-    var changed = dists.where(col("dist").isNotNull)
-    var changedCount = changed.count()
+    // fused materialize+count, as in distancesMulti
+    val (d0, _, seed0) = GraftBridge.localCheckpointCount(
+      nodes.select(col("node"),
+          when(col("node") === lit(source), lit(0L)).as("dist"),
+          (col("node") === lit(source)).as("chg"))
+        .repartition(col("node")).sortWithinPartitions("node"),
+      Some("chg"))
+    var dists = d0
+    var changed = dists.where(col("chg")).select("node", "dist")
+    var changedCount = seed0
     def step(d: DataFrame, ch: DataFrame): DataFrame = {
       val pushed = es
         .join(ch.select(col("node").as("src"), col("dist")), Seq("src"))
@@ -125,12 +138,13 @@ object Bfs {
     var iter = 0
     while (changedCount > 0) {
       val f1 = step(dists.select("node", "dist"), changed.select("node", "dist"))
-      val f2 = step(f1.select("node", "dist"),
-          f1.where(col("chg")).select("node", "dist"))
-        .localCheckpoint(true)
-      dists = f2.select("node", "dist")
+      val (f2, _, nChg) = GraftBridge.localCheckpointCount(
+        step(f1.select("node", "dist"),
+          f1.where(col("chg")).select("node", "dist")),
+        Some("chg"))
+      dists = f2
       changed = f2.where(col("chg")).select("node", "dist")
-      changedCount = changed.count()
+      changedCount = nChg
       iter += 1
       require(iter < maxIters, s"BFS did not converge in $maxIters rounds")
     }

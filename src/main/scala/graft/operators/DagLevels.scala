@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftBridge
 
 /** Longest-path levels over a DAG — the second half of graph
   * condensation: contract SCCs (Scc.components), then rank the condensed
@@ -40,20 +41,25 @@ object DagLevels {
           greatest(col("level"), coalesce(col("plvl"), col("level"))).as("level"),
           (coalesce(col("plvl"), col("level")) > col("level")).as("chg"))
     }
-    var lvl = nodes.select(col("node"), lit(0L).as("level"))
-      .repartition(col("node")).sortWithinPartitions("node")
-      .localCheckpoint(true)
-    var changed = lvl
-    var changedCount = changed.count()
+    // fused materialize+count (r16): the convergence count rides the
+    // materialization job instead of a second whole-frame job per round
+    // (see GraftBridge.localCheckpointCount)
+    val (l0, n0, _) = GraftBridge.localCheckpointCount(
+      nodes.select(col("node"), lit(0L).as("level"))
+        .repartition(col("node")).sortWithinPartitions("node"))
+    var lvl = l0
+    var changed = l0
+    var changedCount = n0
     var iter = 0
     while (changedCount > 0) {
       val f1 = relax(lvl.select("node", "level"), changed.select("node", "level"))
-      val f2 = relax(f1.select("node", "level"),
-          f1.where(col("chg")).select("node", "level"))
-        .localCheckpoint(true)
+      val (f2, _, nChg) = GraftBridge.localCheckpointCount(
+        relax(f1.select("node", "level"),
+          f1.where(col("chg")).select("node", "level")),
+        Some("chg"))
       lvl = f2.select("node", "level")
       changed = f2.where(col("chg")).select("node", "level")
-      changedCount = changed.count()
+      changedCount = nChg
       iter += 1
       require(iter < maxIters,
         s"DAG level relaxation did not converge in $maxIters rounds — cyclic input?")

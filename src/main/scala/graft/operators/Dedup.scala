@@ -608,13 +608,19 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("src") === labels("v"))
         .groupBy(col("dst").as("u")).agg(min("lab").as("nlab"))
-      val next = labels.join(nbrMin, labels("v") === col("u"), "left")
-        .select(col("v"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lab", "old"), "v")
-        .where(col("lab") < col("old")).count() // bounded: dup-graph vertices only
-      labels = next // superseded checkpoint blocks are freed by the ContextCleaner
-      converged = changed == 0
+      // chg is computed INLINE (nlab < old lab ⟺ the fold lowered the
+      // label) and counted by the fused materialize+count (r16) — the
+      // previous form re-joined next against labels and ran a second
+      // whole-frame job per round just to learn the changed count
+      val (next, _, nChg) = org.apache.spark.sql.graftshim.GraftBridge
+        .localCheckpointCount(
+          labels.join(nbrMin, labels("v") === col("u"), "left")
+            .select(col("v"),
+              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+              coalesce(col("nlab") < col("lab"), lit(false)).as("chg")),
+          Some("chg"))
+      labels = next.select("v", "lab") // superseded blocks freed by the ContextCleaner
+      converged = nChg == 0
       iter += 1
     }
     edges.unpersist(false)
@@ -680,15 +686,21 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
     }
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // the (count, bit-XOR of xxhash64(u,v)) set checksum rides the
+    // materialization job itself (r16, GraftBridge.localCheckpointXor) —
+    // the previous form ran a second whole-frame aggregate per round
+    def checkpointWithChecksum(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val (f, n, x) = org.apache.spark.sql.graftshim.GraftBridge
+        .localCheckpointXor(
+          e.withColumn("h", xxhash64(col("u"), col("v"))), "h")
+      (f.select("u", "v"), (n, x))
     }
-    var edges = pairs.where(col(aCol) =!= col(bCol))
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-        least(col(aCol), col(bCol)).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+    val (edges0, cs0) = checkpointWithChecksum(
+      pairs.where(col(aCol) =!= col(bCol))
+        .select(greatest(col(aCol), col(bCol)).as("u"),
+          least(col(aCol), col(bCol)).as("v"))
+        .distinct())
+    var edges = edges0
     // vertices appearing ONLY in degenerate self-pairs keep their own label
     // (the mirror of propagation's behavior); a vertex with BOTH a self-pair
     // and real edges gets its label from the star forest alone — emitting
@@ -699,12 +711,11 @@ object Dedup {
     val selfLabels = pairs.where(col(aCol) === col(bCol))
       .select(col(aCol).as("v"), col(aCol).as("cluster")).distinct()
       .join(realVerts, Seq("v"), "left_anti")
-    var cs = checksum(edges)
+    var cs = cs0
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextCs = checksum(next)
+      val (next, nextCs) = checkpointWithChecksum(smallStar(largeStar(edges)))
       converged = nextCs == cs
       edges = next
       cs = nextCs

@@ -4,6 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftBridge
 
 /** Strongly connected components of a DIRECTED graph — the directed
   * sibling of the undirected CC tier (min-label propagation, star pointer
@@ -61,12 +62,20 @@ object Scc {
     // the fixpoint loops was tried and is ~50% SLOWER (75.6 s vs 50.6 s)
     // — AQE's post-shuffle coalescing of these metadata-scale frames
     // outweighs its per-exchange re-plan latency. Leave AQE alone.
-    var remaining = nodes.select(col("node")).distinct().localCheckpoint(true)
+    // FUSED materialize+count (r16, every fixpoint below): public
+    // localCheckpoint(true) runs an internal count whose value it discards,
+    // so each loop round paid a SECOND whole-frame job just to learn its
+    // convergence signal — GraftBridge.localCheckpointCount returns the
+    // counts from the materialization job itself (one job per round
+    // instead of two; partitioning/ordering preserved identically).
+    val (rem0, remCount0, _) =
+      GraftBridge.localCheckpointCount(nodes.select(col("node")).distinct())
+    var remaining = rem0
+    var remainingCount = remCount0
     var es = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     // accumulated (node, pivot) assignments; pivot is canonicalized at the end
     val done = ArrayBuffer.empty[DataFrame]
     var phase = 0
-    var remainingCount = remaining.count()
     while (remainingCount > localFinishBelow && phase < maxPhases) {
       // ---- 1. trim fixpoint: no-in or no-out nodes are singleton SCCs.
       // DELTA-PEELED (r15): degrees are computed ONCE, then each round
@@ -131,10 +140,10 @@ object Scc {
         val p1 = peelable(degrees)
         val d1 = applyPeel(degrees, p1)
         val p2 = peelable(d1)
-        degrees = applyPeel(d1, p2)
-          .repartition(col("node")).sortWithinPartitions("node")
-          .localCheckpoint(true)
-        val c = degrees.count()
+        val (d2, c, _) = GraftBridge.localCheckpointCount(
+          applyPeel(d1, p2)
+            .repartition(col("node")).sortWithinPartitions("node"))
+        degrees = d2
         shrunk = c != degCount
         degCount = c
         titer += 1
@@ -187,13 +196,14 @@ object Scc {
         var citer = 0
         while (changedCount > 0) {
           val f1 = deltaStep(colors, changed)
-          val f2 = deltaStep(
+          val (f2, _, nChg) = GraftBridge.localCheckpointCount(
+            deltaStep(
               f1.select(col("node"), col("color")),
-              f1.where(col("chg")).select(col("node"), col("color")))
-            .localCheckpoint(true)
+              f1.where(col("chg")).select(col("node"), col("color"))),
+            Some("chg"))
           colors = f2.select("node", "color")
           changed = f2.where(col("chg")).select(col("node"), col("color"))
-          changedCount = changed.count()
+          changedCount = nChg
           citer += 1
           require(citer < maxIters, s"coloring did not converge in $maxIters rounds")
         }
@@ -238,20 +248,23 @@ object Scc {
         }
         // seed: pivots (node == color); colors is already partitioned +
         // sorted on node, so the projection keeps that layout
-        var mk = colors
-          .select(col("node"), col("color"), (col("node") === col("color")).as("m"))
-          .localCheckpoint(true)
+        val (mk0, _, nSeed) = GraftBridge.localCheckpointCount(
+          colors.select(col("node"), col("color"),
+            (col("node") === col("color")).as("m")),
+          Some("m"))
+        var mk = mk0
         var mchanged = mk.where(col("m")).select("node")
-        var mchangedCount = mchanged.count()
+        var mchangedCount = nSeed
         var miter = 0
         while (mchangedCount > 0) {
           val b1 = backStep(mk.select("node", "color", "m"), mchanged)
-          val b2 = backStep(b1.select("node", "color", "m"),
-              b1.where(col("chg")).select("node"))
-            .localCheckpoint(true)
+          val (b2, _, nChg) = GraftBridge.localCheckpointCount(
+            backStep(b1.select("node", "color", "m"),
+              b1.where(col("chg")).select("node")),
+            Some("chg"))
           mk = b2.select("node", "color", "m")
           mchanged = b2.where(col("chg")).select("node")
-          mchangedCount = mchanged.count()
+          mchangedCount = nChg
           miter += 1
           require(miter < maxIters, s"backward mark did not converge in $maxIters rounds")
         }
@@ -259,9 +272,10 @@ object Scc {
         if (sys.env.contains("SPARK_GRAFT_SCC_DEBUG"))
           System.err.println(s"[scc] phase ${phase + 1}: backward $miter rounds at ${System.nanoTime() / 1000000}ms")
         done += marked.select(col("node"), col("color").as("pivot")).localCheckpoint(true)
-        remaining = remaining.join(marked.select("node"), Seq("node"), "left_anti")
-          .localCheckpoint(true)
-        remainingCount = remaining.count()
+        val (rem2, remC, _) = GraftBridge.localCheckpointCount(
+          remaining.join(marked.select("node"), Seq("node"), "left_anti"))
+        remaining = rem2
+        remainingCount = remC
         es = es
           .join(remaining.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(remaining.select(col("node").as("dst")), Seq("dst"), "left_semi")
