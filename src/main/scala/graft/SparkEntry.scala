@@ -1230,7 +1230,14 @@ object SparkEntry {
       // while the plan carries only bucket counts plus the two
       // boundary-rank slices. count/min/max remain one keyed agg.
       import graft.operators.QuantileHist
+      // materialized once (r16): the two interpolation passes and the
+      // count/min/max agg together read lineitem 7× (histogram build +
+      // rank-slice selection per value column + the keyed agg); one
+      // 3-column materialization serves every pass from columnar blocks
+      // (guide §5 persist-what-you-reuse — the ml-family discipline)
       val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .localCheckpoint(true)
       val keys = Seq("l_returnflag")
       val medQty = QuantileHist
         .exactInterpolated(li, keys, "l_quantity", 1.0, Seq("0.5"))
@@ -1486,6 +1493,10 @@ object SparkEntry {
       // `est - width <= exact <= est` guarantee (inclusive both ends: a
       // value exactly on a bucket edge sits at est - width).
       import graft.operators.QuantileHist
+      // NOT checkpointed (r16, measured negative 2.32->2.76 s): estimate
+      // and exactRankValue already share the persisted histogram subtree
+      // via the cache manager, so a lane-level input materialization saves
+      // only one narrow parquet scan while paying a materialization job
       val li = Tables.lineitem(s, dir)
       val keys = Seq("l_returnflag")
       val qs = Seq("0.25", "0.50", "0.75", "0.95")
@@ -1579,10 +1590,16 @@ object SparkEntry {
       // window answered later by union-merge, never rescanning raw rows.
       import graft.expressions.RankSample
       val k = 4096
+      // materialized once (r16): the monthly and direct sketch builds each
+      // re-ran the parquet scan AND the per-row md5 row-hash u; one narrow
+      // materialization computes u once and serves both aggregation passes
+      // (guide §5 — the ml-family discipline)
       val li = Tables.lineitem(s, dir)
         .withColumn("v", (dec2(col("l_extendedprice")) * 100).cast("long"))
         .withColumn("u", Tf.hash60(concat(col("l_orderkey").cast("string"),
           lit("-"), col("l_linenumber").cast("string"))))
+        .select(col("l_returnflag"), col("l_shipdate"), col("v"), col("u"))
+        .localCheckpoint(true)
       val monthly = li
         .groupBy(col("l_returnflag"),
           (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
