@@ -44,7 +44,13 @@ object TextRank {
     val e = edges.join(wsum, Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("wsum"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // node set materialized ONCE, pre-partitioned + sorted on the fold key
+    // (r16, the Bfs/Scc state-frame discipline): every round's fold join
+    // re-executed the distinct and re-exchanged the node set; LogicalRDD
+    // preserves the layout so each round's left join SMJ-scans it in place
     val nodes = e.select(col("src").as("word")).distinct()
+      .repartition(col("word")).sortWithinPartitions("word")
+      .localCheckpoint(true)
     val base = 15L * scale / 100L
     var ranks = nodes.select(col("word"), lit(scale).as("r")).localCheckpoint(true)
     for (_ <- 1 to iterations) {
