@@ -9,7 +9,11 @@ object RunOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",")
-    val explain = args.length > 2 && args(2) == "explain"
+    val explain = args.length > 2 && args(2).startsWith("explain")
+    // "explainonly": print the plan but skip the executing count — for
+    // committing plan dumps without paying a full run per lane (note the
+    // BSP operators still run their fixpoint jobs during query BUILD)
+    val explainOnly = args.length > 2 && args(2) == "explainonly"
     val show = args.length > 2 && args(2) == "show"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -27,8 +31,12 @@ object RunOne {
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (explain) df.explain("formatted")
       if (show) df.show(100, false)
-      val n = df.count()
-      println(f"[runone] $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      if (explainOnly) {
+        println(f"[runone] $name explained in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } else {
+        val n = df.count()
+        println(f"[runone] $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
     }
     spark.stop()
   }
